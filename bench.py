@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Each query is executed once after a session warm-up; timing covers plan +
+execution to a driver-side count/collect of the (small) result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+# The bench set: scan-heavy aggregation, multi-join, window/as-of, cumsum —
+# the shapes that dominate cost at scale. Point lookups are excluded (they
+# measure parquet footer latency, not engine throughput).
+BENCH_QUERIES = (
+    "q1_pricing_summary",
+    "j5_broadcast_dim_join",
+    "j1_latest_per_key",
+    "j3_asof_all_keys",
+    "a5_fee_sum_per_sender",
+    "a7_cumulative_per_group",
+    "j4_semi_join",
+    "a4_distinct_users",
+)
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    from eth_indexer_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", cpus=CPUS)
+    registry = entrymod.queries()
+    names = [n for n in BENCH_QUERIES if n in registry]
+
+    # warm-up: JVM/codegen/parquet footer caches, not measured
+    registry[names[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

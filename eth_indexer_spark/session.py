@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+One place to encode the execution-model decisions that matter at 100 TB:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real cluster
+  AQE coalescing makes the static number a ceiling, not a target.
+- UTC session timezone so timestamps compare bit-exactly against the DuckDB
+  oracle (DuckDB timestamps are UTC-naive).
+- Arrow enabled for every pandas/Pandas-UDF boundary.
+- Broadcast threshold left at default (10 MB) — dimension tables in this
+  engine (erc20 registry, subscriptions, region/nation) are far below it; we
+  still hint ``F.broadcast`` explicitly at every intentional broadcast join so
+  the plan does not silently regress when a dim grows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "eth_indexer_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the session.
+
+    ``cpus`` controls both ``local[N]`` parallelism and the shuffle-partition
+    count. On a cluster deployment the caller passes master/shuffle settings
+    via ``extra_conf`` instead; nothing here assumes single-node.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    if not os.environ.get("MASTER") and "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{n}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
