@@ -27,13 +27,19 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 # measure parquet footer latency, not engine throughput).
 BENCH_QUERIES = (
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "j5_broadcast_dim_join",
+    "j6_fact_fact_join",
     "j1_latest_per_key",
+    "j2_asof_join_stream",
     "j3_asof_all_keys",
     "a5_fee_sum_per_sender",
     "a7_cumulative_per_group",
+    "a10_global_running_sum",
     "j4_semi_join",
     "a4_distinct_users",
+    "a12_count_distinct",
 )
 
 

@@ -463,3 +463,369 @@ def t4_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(100)
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# A1 — COUNT(*) (store/block_header/block_header.go:49,125-132).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_count",
+    "SELECT COUNT(*) AS n_rows FROM lineitem",
+)
+def a1_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# A6 — grouped aggregation with cardinality guard (reward diffs assert ≤1
+# miner / ≤2 uncles per block: store/transfer_processor.go:169-219,
+# model/types.go:44-51). HAVING filter on the aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a6_having_guard",
+    """
+    SELECT user_id, COUNT(*) AS n_purchases, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    HAVING COUNT(*) > 15
+    """,
+)
+def a6_having_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .filter(F.col("n_purchases") > 15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — fork-schedule scalar math (miner reward by era + uncle formulas:
+# common/utils.go:216-254, model/types.go:93-123). Pure column CASE WHEN —
+# no UDF, stays inside whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a9_era_case_math",
+    """
+    SELECT era, COUNT(*) AS n_orders, ROUND(SUM(reward), 2) AS total_reward
+    FROM (
+        SELECT CASE WHEN o_orderdate <  TIMESTAMP '1997-01-01 00:00:00' THEN 'frontier'
+                    WHEN o_orderdate <  TIMESTAMP '1999-01-01 00:00:00' THEN 'byzantium'
+                    ELSE 'constantinople' END AS era,
+               CASE WHEN o_orderdate <  TIMESTAMP '1997-01-01 00:00:00' THEN o_totalprice * 0.05
+                    WHEN o_orderdate <  TIMESTAMP '1999-01-01 00:00:00' THEN o_totalprice * 0.03
+                    ELSE o_totalprice * 0.02 END AS reward
+        FROM orders
+    )
+    GROUP BY era
+    """,
+)
+def a9_era_case_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    t97 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    t99 = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    era = (
+        F.when(F.col("o_orderdate") < t97, "frontier")
+        .when(F.col("o_orderdate") < t99, "byzantium")
+        .otherwise("constantinople")
+    )
+    reward = (
+        F.when(F.col("o_orderdate") < t97, F.col("o_totalprice") * 0.05)
+        .when(F.col("o_orderdate") < t99, F.col("o_totalprice") * 0.03)
+        .otherwise(F.col("o_totalprice") * 0.02)
+    )
+    return (
+        o.select(era.alias("era"), reward.alias("reward"))
+        .groupBy("era")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("reward"), 2).alias("total_reward"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — GLOBAL running total (total difficulty td(n)=td(parent)+difficulty,
+# service/indexer/indexer.go:249-274). Implemented with the two-phase
+# distributed prefix sum (operators/prefix_sum.py) — no single-task window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a10_global_running_sum",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(20,2))) OVER (
+               ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_td
+    FROM events
+    """,
+)
+def a10_global_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eth_indexer_spark.operators.prefix_sum import global_running_sum
+
+    ev = _t(spark, sf_dir, "events")
+    out = global_running_sum(
+        ev,
+        order_key="event_id",
+        value_col=F.col("value").cast("decimal(20,2)"),
+        out_col="running_td",
+    )
+    return out.select("event_id", F.col("running_td").cast("double").alias("running_td"))
+
+
+# ---------------------------------------------------------------------------
+# A11/A12 — rollup + exact distinct count (beyond-reference analytics
+# surface; the reference has no grouping sets — SURVEY §2.4 note).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a11_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "a12_count_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a12_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — fact-to-fact equi join (txs ↔ receipts by tx_hash; the reference zips
+# them positionally with a consistency check, store/transfer_processor.go:
+# 225-236 — Spark-first is a keyed shuffle join, never positional).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j6_fact_fact_join",
+    """
+    SELECT o.o_orderstatus,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def j6_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 — 1:N hydration (receipt + its logs assembled into one record:
+# store/transaction_receipt/transaction_receipt.go:62-73,106-119). Spark-first
+# = groupBy + ordered collect; serialized as a string so the oracle compares
+# exactly across engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p5_hydration",
+    """
+    SELECT o_orderkey,
+           STRING_AGG(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS line_numbers,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 450000
+    GROUP BY o_orderkey
+    """,
+)
+def p5_hydration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("l_linenumber"))).alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — set ops (the reference's seen-set / membership logic, SURVEY §2.6).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u1_union_distinct",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def u1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# J2-general — distributed as-of JOIN (every purchase sees the user's latest
+# click at-or-before it; generalizes account.go:64's per-key LIMIT 1 into the
+# union-window operator, operators/asof.py). Oracle: DuckDB native ASOF JOIN.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j2_asof_join_stream",
+    """
+    SELECT p.event_id, p.user_id, p.value,
+           c.event_id AS click_event_id, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j2_asof_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eth_indexer_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        value_cols=["click_event_id", "click_value"],
+        suffix="",
+    ).select("event_id", "user_id", "value", "click_event_id", "click_value")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics — multi-join analytical depth for the bench set.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
