@@ -1,0 +1,128 @@
+"""EP3 read-path tests (plans/queries.py) over the domain fixtures — the
+query semantics of store/account/account.go, block_header.go,
+transaction_receipt.go, subscription.go."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_indexer_spark.pipeline import transform as tr
+from eth_indexer_spark.plans import queries as q
+from tests.fixtures import ETH, T1, A1, A2, A3, RAW_SCHEMAS, bhash, build_raw, thash
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    pdfs = build_raw()
+    return {n: spark.createDataFrame(p, schema=RAW_SCHEMAS[n]) for n, p in pdfs.items()}
+
+
+@pytest.fixture(scope="module")
+def headers(raw):
+    return tr.compute_header_rewards(
+        raw["block_headers_raw"], raw["transactions"], raw["transaction_receipts"]
+    )
+
+
+def test_header_by_hash_and_number(headers):
+    assert q.header_by_hash(headers, bhash(103)).collect()[0]["number"] == 103
+    assert q.header_by_number(headers, 101).collect()[0]["hash"] == bhash(101)
+    assert q.header_by_hash(headers, "ff" * 32).count() == 0
+
+
+def test_latest_header_and_count(headers):
+    assert q.latest_header(headers).collect()[0]["number"] == 105
+    assert q.header_count(headers).collect()[0]["count"] == 6
+
+
+def test_td_by_hash(headers):
+    td = tr.total_difficulty(headers)
+    assert int(q.td_by_hash(td, bhash(102)).collect()[0]["td"]) == 100 + 101 + 102
+
+
+def test_tx_lookups(raw):
+    txs = raw["transactions"]
+    assert q.tx_by_hash(txs, thash("100a")).collect()[0]["block_number"] == 100
+    assert q.txs_by_block_hash(txs, bhash(104)).count() == 1
+
+
+def test_receipt_hydration(raw):
+    """P5: receipt + ordered logs array; empty array (not null) when the tx
+    has no logs (transaction_receipt.go:106-119)."""
+    r = q.receipt_with_logs(
+        raw["transaction_receipts"], raw["receipt_logs"], thash("101a")
+    ).collect()[0]
+    assert len(r["logs"]) == 2
+    contracts = {lg["contract_address"] for lg in r["logs"]}
+    assert T1 in contracts
+    r2 = q.receipt_with_logs(
+        raw["transaction_receipts"], raw["receipt_logs"], thash("100a")
+    ).collect()[0]
+    assert r2["logs"] == []
+
+
+def test_find_account_asof(raw):
+    """J2: as-of reads over sparse snapshots (account.go:64,175-185).
+    A3's ETH rows sit at blocks 80 and 95 — a mid-range as-of must see the
+    older row, not the latest."""
+    bal = raw["seed_balances"]
+    assert q.find_account(bal, ETH, A3, 90).collect()[0]["balance"] == "700"
+    assert q.find_account(bal, ETH, A3).collect()[0]["balance"] == "800"
+    assert q.find_account(bal, ETH, A3, 79).count() == 0
+    # unknown token ⇒ empty result, not an error (per-token table semantics)
+    assert q.find_account(bal, "ee" * 20, A3).count() == 0
+
+
+def test_latest_accounts(raw):
+    got = {
+        r["address"]: (r["block_number"], r["balance"])
+        for r in q.latest_accounts(raw["seed_balances"], ETH).collect()
+    }
+    assert got[A3] == (95, "800")
+    assert got[A1] == (90, str(10**6))
+    sub = q.latest_accounts(raw["seed_balances"], ETH, [A3]).collect()
+    assert len(sub) == 1 and sub[0]["address"] == A3
+
+
+def test_transfers_by_address(raw, headers):
+    eth = tr.extract_eth_transfers(raw["transactions"])
+    rows = q.transfers_by_address(eth, ETH, A1).collect()
+    assert [r["block_number"] for r in rows] == sorted(
+        [r["block_number"] for r in rows], reverse=True
+    )
+    assert all(r["from"] == A1 or r["to"] == A1 for r in rows)
+
+
+def test_find_erc20(raw):
+    assert q.find_erc20(raw["erc20"], T1).collect()[0]["name"] == "TokenOne"
+    assert q.find_erc20(raw["erc20"], "dd" * 20).count() == 0
+
+
+def test_subscription_pagination(raw):
+    subs = raw["subscriptions"]
+    page1 = q.list_subscriptions(subs, group=1, page=1, limit=1).collect()
+    page2 = q.list_subscriptions(subs, group=1, page=2, limit=1).collect()
+    assert [r["id"] for r in page1] == [1]
+    assert [r["id"] for r in page2] == [2]
+    assert q.list_subscriptions(subs, group=1, page=3, limit=1).count() == 0
+
+
+def test_old_subscriptions_semi_join(spark, raw):
+    addrs = spark.createDataFrame([(A1,), ("ff" * 20,)], "address string")
+    got = {r["address"] for r in q.old_subscriptions_for(raw["subscriptions"], addrs).collect()}
+    assert got == {A1}
+
+
+def test_find_total_balance_asof(spark, raw, headers):
+    eth = tr.extract_eth_transfers(raw["transactions"])
+    rew = tr.reward_events(headers)
+    events = eth.unionByName(rew)
+    fees = tr.tx_fees(raw["transactions"], raw["transaction_receipts"])
+    deltas = tr.ledger_deltas(events, fees)
+    sd = deltas.join(F.broadcast(raw["subscriptions"].select("address", "group")), "address")
+    totals = tr.total_balance_rollup(sd, fees, events, raw["subscriptions"])
+    r = q.find_total_balance(totals, 102, ETH, 1).collect()[0]
+    assert r["block_number"] == 102
+    r_future = q.find_total_balance(totals, 10_000, ETH, 2).collect()[0]
+    assert r_future["block_number"] == 104  # A3's last ETH activity (uncle reward)
