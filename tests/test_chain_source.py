@@ -1,0 +1,33 @@
+"""Batched external-lookup stand-in (sources/chain.py vs client/balancer.go)."""
+
+from __future__ import annotations
+
+from eth_indexer_spark.sources.chain import deterministic_fake_lookup, fetch_balances
+from tests.fixtures import A1, A2, T1, ETH
+
+
+def test_fetch_balances_plumbing(spark):
+    req = spark.createDataFrame(
+        [(ETH, A1), (ETH, A2), (T1, A1), (T1, A2)], "token string, address string"
+    )
+    out = fetch_balances(req, chunk_size=2)
+    rows = {(r["token"], r["address"]): r["balance"] for r in out.collect()}
+    assert len(rows) == 4
+    # deterministic: same inputs → same balances
+    import pandas as pd
+    expect = deterministic_fake_lookup(pd.DataFrame({"token": [ETH], "address": [A1]}))
+    assert rows[(ETH, A1)] == expect.iloc[0]
+
+
+def test_custom_lookup_fn_and_chunking(spark):
+    calls = []
+
+    def fn(chunk):
+        calls.append(len(chunk))
+        return chunk["address"].str.len().astype(str)
+
+    req = spark.createDataFrame([(ETH, f"{i:040x}") for i in range(10)],
+                                "token string, address string").coalesce(1)
+    out = fetch_balances(req, lookup_fn=fn, chunk_size=3)
+    assert out.count() == 10
+    assert all(r["balance"] == "40" for r in out.collect())
