@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from eth_indexer_spark.plans import analytics
+from eth_indexer_spark.plans import extensions as _extensions  # noqa: F401  (registers queries)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -40,6 +40,11 @@ BENCH_QUERIES = (
     "j4_semi_join",
     "a4_distinct_users",
     "a12_count_distinct",
+    "x_dedup_exact",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_minhash_lsh",
+    "x_ann_cosine_topk",
+    "x_text_quality",
 )
 
 

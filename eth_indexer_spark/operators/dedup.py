@@ -1,0 +1,232 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Four strategies, all UDF-free (pure Catalyst expressions → whole-stage
+codegen), ordered by cost/recall trade-off:
+
+- :func:`exact_dedup` — hash-groupBy on a content digest. One shuffle of
+  (digest, id); the 100 TB workhorse for byte-identical copies.
+- :func:`ngram_jaccard_pairs` — exact near-dup pairs via the shared-shingle
+  inverted index: explode shingles, self-join on shingle, count
+  intersections, filter on true Jaccard. Never materializes the O(N²) cross
+  product — only pairs sharing ≥1 shingle meet the join, which is the
+  standard scalable formulation; still quadratic in pathological corpora
+  (everything similar), which is what MinHash fixes.
+- :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH: candidates
+  only when a band collides, then exact-Jaccard verification. Cost is
+  O(N × signature) + bucket-local joins: the 100 TB near-dup path.
+- :func:`simhash` / :func:`simhash_near_pairs` — 64-bit SimHash fingerprints;
+  near-dups = pairs within Hamming distance ``max_hamming``, found by the
+  byte-band pigeonhole trick (distance ≤ 8 ⇒ at least one of 8 bytes equal).
+
+Shingling/hashing conventions shared by all: whitespace word tokens,
+``k``-word shingles, ``xxhash64(seed_tag || shingle)`` as the hash family
+(one seed tag per hash function — avoids 64-bit modular arithmetic that ANSI
+mode would reject on overflow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_digest(text_col) -> Column:
+    """Canonical exact-dup key: md5 of the raw text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(c)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: one row per distinct content digest with the
+    minimum id as the canonical survivor and the group size."""
+    return (
+        df.select(content_digest(text_col).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text_col, k: int = 3) -> Column:
+    """Distinct k-word shingles of a whitespace-tokenized text (array<string>).
+    Documents shorter than k words yield an empty array."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(c, " ")
+    n = F.size(words)
+    shingle_at = lambda i: F.concat_ws(" ", F.slice(words, i, k))  # noqa: E731
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact near-duplicate pairs: Jaccard(shingles_i, shingles_j) ≥ threshold,
+    i < j, via the inverted shingle index (no cross join)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sizes = sh.select("doc", F.size("shingles").alias("n"))
+    inv = sh.select("doc", F.explode("shingles").alias("s"))
+
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    si = sizes.select(F.col("doc").alias("i"), F.col("n").alias("ni"))
+    sj = sizes.select(F.col("doc").alias("j"), F.col("n").alias("nj"))
+    jac = F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))
+    return (
+        inter.join(si, "i")
+        .join(sj, "j")
+        .filter(jac >= threshold)
+        .select("i", "j")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles_col, num_hashes: int = 32) -> Column:
+    """array<bigint> MinHash signature: element h = min over shingles of
+    xxhash64('h:' || shingle). Empty shingle sets get NULL elements."""
+    c = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    return F.array(
+        *[
+            F.array_min(F.transform(c, lambda s: F.xxhash64(F.concat(F.lit(f"{h}:"), s))))
+            for h in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH with exact-Jaccard verification.
+
+    ``num_hashes`` must divide into ``bands`` equal rows-per-band; a pair is
+    a candidate iff some band's signature slice matches exactly (bucket
+    equi-join on (band, band_hash) — shuffle is per-bucket, never all-pairs).
+    Candidates are then verified against the true shingle Jaccard, so the
+    output contains no false positives; recall follows the LSH S-curve.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = sh.select(
+        "doc", "shingles", minhash_signature("shingles", num_hashes).alias("sig")
+    )
+
+    band_rows = []
+    for band in range(bands):
+        start = band * rows_per_band + 1  # slice is 1-based
+        band_rows.append(
+            sig.select(
+                "doc",
+                F.lit(band).alias("band"),
+                F.xxhash64(F.concat_ws(",", F.slice("sig", start, rows_per_band))).alias("bh"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
+        .distinct()
+    )
+
+    si = sh.select(F.col("doc").alias("i"), F.col("shingles").alias("sh_i"))
+    sj = sh.select(F.col("doc").alias("j"), F.col("shingles").alias("sh_j"))
+    inter = F.size(F.array_intersect("sh_i", "sh_j"))
+    union = F.size("sh_i") + F.size("sh_j") - inter
+    return (
+        candidates.join(si, "i")
+        .join(sj, "j")
+        .filter((inter / union) >= threshold)
+        .select("i", "j")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint per document: bit b of the fingerprint is 1
+    iff Σ over tokens of ±1 (sign of bit b of xxhash64(token)) is positive.
+    One projection, no shuffle; the per-bit sums are array aggregates."""
+    words = F.array_distinct(F.split(F.col(text_col), " "))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+        )
+
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(bit_sum(b) > 0, F.lit(1 << b if b < 63 else -(2**63)).cast("long")).otherwise(0)
+    return df.select(F.col(id_col).alias("doc"), fp.alias("fingerprint"))
+
+
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs of fingerprints within ``max_hamming`` bits, via the byte-band
+    pigeonhole: hamming ≤ 7 ⇒ at least one of the 8 bytes is equal, so an
+    equi-join per byte-band finds every candidate without a cross join."""
+    bands = []
+    for byte in range(8):
+        bands.append(
+            fps.select(
+                "doc",
+                "fingerprint",
+                F.lit(byte).alias("band"),
+                F.shiftright("fingerprint", byte * 8).bitwiseAND(F.lit(255)).alias("bh"),
+            )
+        )
+    buckets = bands[0]
+    for br in bands[1:]:
+        buckets = buckets.unionByName(br)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
+        .distinct()
+    )

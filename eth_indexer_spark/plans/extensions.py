@@ -1,0 +1,252 @@
+"""Training-data pipeline extension queries over ``documents`` and
+``embeddings`` — deduplication, similarity search, text analysis — each
+registered with a DuckDB oracle where the semantics are SQL-expressible
+(hash-family-dependent ops — MinHash/SimHash/LSH/IVF — get rows-only checks;
+their *verification* predicates are exact, so the oracle-checked
+ngram-jaccard / cosine-pairs queries pin the same ground truth).
+
+Registered into the same QUERIES/ORACLE registry as plans/analytics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eth_indexer_spark.catalog import load_table
+from eth_indexer_spark.functions import text as tx
+from eth_indexer_spark.operators import dedup, similarity
+from eth_indexer_spark.plans.analytics import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ (documents with shifted ids): manufactures exact
+    duplicates so exact-dedup is non-degenerate (the corpus itself is
+    distinct-by-text)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_exact",
+    """
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+    )
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM all_docs GROUP BY md5(text)
+    """,
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_doubled_docs(spark, sf_dir), "text", "doc_id")
+
+
+@register(
+    "x_dedup_ngram_jaccard",
+    """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM docs WHERE len(w) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    SELECT i, j
+    FROM pairs JOIN sizes si ON i = si.doc_id JOIN sizes sj ON j = sj.doc_id
+    WHERE inter * 1.0 / (si.n + sj.n - inter) >= 0.5
+    """,
+)
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.5
+    )
+
+
+@register("x_dedup_minhash_lsh")  # hash-family dependent → rows-only check
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, num_hashes=32, bands=8, threshold=0.5,
+    )
+
+
+@register("x_dedup_simhash")  # hash-family dependent → rows-only check
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = dedup.simhash(_doubled_docs(spark, sf_dir), "text", "doc_id")
+    return dedup.simhash_near_pairs(fps, max_hamming=3)
+
+
+@register(
+    "x_embed_near_dup",
+    """
+    SELECT a.vec_id AS i, b.vec_id AS j
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@register(
+    "x_ann_cosine_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.e) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    return similarity.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), q, k=10, exclude_id=0
+    ).select("vec_id")
+
+
+@register("x_ann_rhp_lsh")  # approximate → rows-only check
+def x_ann_rhp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    return similarity.rhp_ann_topk(
+        _t(spark, sf_dir, "embeddings"), q, dim=len(q), k=10, n_planes=8
+    ).select("vec_id")
+
+
+@register("x_ann_ivf")  # approximate → rows-only check
+def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), q, k=10, nlist=16, nprobe=4
+    ).select("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_text_stats",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+'))                   AS n_tokens,
+           length(text)                                               AS n_chars_q,
+           ROUND(len(regexp_extract_all(text, '[a-zA-Z]')) * 1.0
+                 / length(text), 4)                                   AS alpha_ratio,
+           ROUND(len(list_filter(string_split(lower(text), ' '),
+                                 w -> w IN ('the','a','and','of','to','in','is','it','that','for'))) * 1.0
+                 / len(string_split(lower(text), ' ')), 4)            AS stop_ratio
+    FROM documents
+    """,
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.char_count("text").alias("n_chars_q"),
+        tx.alpha_ratio("text").alias("alpha_ratio"),
+        tx.stopword_ratio("text").alias("stop_ratio"),
+    )
+
+
+@register(
+    "x_text_quality",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(text, '\\s+')) AS t,
+               len(regexp_extract_all(text, '[a-zA-Z]')) * 1.0 / length(text) AS alpha,
+               len(list_filter(string_split(lower(text), ' '),
+                               w -> w IN ('the','a','and','of','to','in','is','it','that','for'))) * 1.0
+               / len(string_split(lower(text), ' ')) AS stop
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(t / 64.0, 1.0)
+                 + 0.4 * ROUND(alpha, 4)
+                 + 0.2 * LEAST(ROUND(stop, 4) * 5, 1.0), 5) AS quality
+    FROM m
+    """,
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+@register(
+    "x_text_langid",
+    """
+    WITH c AS (
+        SELECT doc_id,
+               string_split(lower(text), ' ') AS w,
+               len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, cjk,
+               len(list_filter(w, x -> x IN ('the','and','of','is','to')))   AS c_en,
+               len(list_filter(w, x -> x IN ('le','la','et','les','des')))   AS c_fr,
+               len(list_filter(w, x -> x IN ('el','la','los','que','de')))   AS c_es,
+               len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS c_de
+        FROM c
+    )
+    SELECT doc_id,
+           CASE WHEN cjk > 0 THEN 'zh'
+                WHEN GREATEST(c_en, c_fr, c_es, c_de) = 0 THEN 'und'
+                WHEN c_en = GREATEST(c_en, c_fr, c_es, c_de) THEN 'en'
+                WHEN c_fr = GREATEST(c_en, c_fr, c_es, c_de) THEN 'fr'
+                WHEN c_es = GREATEST(c_en, c_fr, c_es, c_de) THEN 'es'
+                WHEN c_de = GREATEST(c_en, c_fr, c_es, c_de) THEN 'de'
+                ELSE 'und' END AS lang_pred
+    FROM m
+    """,
+)
+def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "x_text_fingerprint",
+    """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint("text").alias("fp"))

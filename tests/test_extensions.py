@@ -1,0 +1,128 @@
+"""Semantic tests for the training-data extension operators: approximate
+methods (MinHash-LSH, SimHash, RHP-LSH, IVF) validated against their exact
+counterparts on the sf0.001 corpus; multimodal plumbing on synthetic binary."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_indexer_spark.catalog import load_table
+from eth_indexer_spark.operators import dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_minhash_lsh_no_false_positives_and_high_recall(docs):
+    truth = {
+        (r["i"], r["j"])
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["i"], r["j"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", k=3, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert lsh <= truth, "verification must eliminate false positives"
+    if truth:
+        recall = len(lsh) / len(truth)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} too low (truth={len(truth)})"
+
+
+def test_simhash_identical_docs_collide(spark, docs):
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    fps = dedup.simhash(doubled, "text", "doc_id")
+    pairs = {
+        (r["i"], r["j"]) for r in dedup.simhash_near_pairs(fps, max_hamming=0).collect()
+    }
+    n_docs = docs.count()
+    exact = {(r["doc_id"], r["doc_id"] + 100000) for r in docs.select("doc_id").collect()}
+    assert exact <= pairs, "identical texts must have identical fingerprints"
+    # the corpus vocabulary is ~30 words, so many distinct docs share a
+    # fingerprint legitimately — just require it doesn't collapse entirely
+    total_possible = (2 * n_docs) * (2 * n_docs - 1) / 2
+    assert len(pairs) < total_possible / 10, "fingerprints collapsed the corpus"
+
+
+def test_exact_dedup_groups(spark, docs):
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    out = dedup.exact_dedup(doubled, "text", "doc_id").collect()
+    assert all(r["n_copies"] == 2 for r in out)
+    assert all(r["keep_id"] < 100000 for r in out)
+
+
+def test_rhp_ann_recall(emb):
+    row = emb.filter(F.col("vec_id") == 0).head()
+    q = [float(x) for x in row["embedding"]]
+    exact = [
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb, q, k=10, exclude_id=0).collect()
+    ]
+    approx = {
+        r["vec_id"]
+        for r in similarity.rhp_ann_topk(emb, q, dim=len(q), k=10, n_planes=6).collect()
+    }
+    # embeddings are near-random (max pairwise cosine ≈ 0.5), the regime
+    # where hyperplane LSH is weakest — require better-than-chance overlap
+    # (chance for 10 of 500 ≈ 0.02), not high recall
+    overlap = len(set(exact) & approx) / 10
+    assert overlap >= 0.1, f"RHP-LSH overlap with exact top-10 at chance level: {overlap}"
+
+
+def test_ivf_ann_runs_and_ranks(emb):
+    row = emb.filter(F.col("vec_id") == 0).head()
+    q = [float(x) for x in row["embedding"]]
+    got = similarity.ivf_topk(emb, q, k=10, nlist=8, nprobe=4).collect()
+    assert len(got) == 10
+    sims = [r["sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_cosine_topk_self_query(emb):
+    """Querying with vector 0 without exclusion must rank vec 0 first with
+    sim ≈ 1."""
+    row = emb.filter(F.col("vec_id") == 0).head()
+    q = [float(x) for x in row["embedding"]]
+    top = similarity.cosine_topk(emb, q, k=1).collect()[0]
+    assert top["vec_id"] == 0
+    assert abs(top["sim"] - 1.0) < 1e-9
+
+
+def test_multimodal_decode_and_frames(spark, docs):
+    media = docs.limit(20).select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    decoded = multimodal.decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["format"] == "fake"
+        assert r["width"] >= 16 and r["height"] >= 16
+        assert r["duration_ms"] == len(bytes(r["media"])) * 10
+
+    frames = multimodal.sample_frames(media, every_n_bytes=100, frame_size=50)
+    fr = frames.collect()
+    assert {r["doc_id"] for r in fr} == {r["doc_id"] for r in rows}
+    one = [r for r in fr if r["frame_idx"] == 0]
+    assert all(len(bytes(r["frame"])) <= 50 for r in fr)
+    assert len(one) == 20
+
+
+def test_strict_decoder_is_explicit():
+    with pytest.raises(NotImplementedError):
+        multimodal.strict_decoder(b"\x00")
