@@ -140,6 +140,43 @@ REORGS = T.StructType([
     _s("created_at", TS),
 ])
 
+# -- raw (fetcher-shaped) inputs of the ingest pipeline ----------------------
+# DDL strings: the shape a block source (sources/blocks.py) delivers before
+# reward derivation. Headers carry uncleN_* fetch columns that
+# compute_header_rewards consumes; the stored BLOCK_HEADERS schema above is
+# the derived output.
+
+RAW_SCHEMAS: dict[str, str] = {
+    "block_headers_raw": (
+        "hash string, parent_hash string, uncle_hash string, coinbase string, "
+        "root string, tx_hash string, receipt_hash string, difficulty long, "
+        "number long, gas_limit long, gas_used long, time long, "
+        "extra_data binary, mix_digest string, nonce string, "
+        "uncle1_hash string, uncle1_coinbase string, uncle1_number long, "
+        "uncle2_hash string, uncle2_coinbase string, uncle2_number long, "
+        "created_at timestamp"
+    ),
+    "transactions": (
+        "hash string, block_hash string, `from` string, `to` string, nonce long, "
+        "gas_price long, gas_limit long, amount string, payload binary, "
+        "block_number long"
+    ),
+    "transaction_receipts": (
+        "root string, status int, cumulative_gas_used long, bloom binary, "
+        "tx_hash string, contract_address string, gas_used long, block_number long"
+    ),
+    "receipt_logs": (
+        "tx_hash string, block_number long, contract_address string, "
+        "event_name string, topic1 string, topic2 string, topic3 string, data binary"
+    ),
+    "subscriptions": (
+        "id long, block_number long, group long, address string, "
+        "created_at timestamp, updated_at timestamp"
+    ),
+    "seed_balances": "token string, block_number long, address string, balance string, group long",
+    "erc20": "address string, block_number long, total_supply string, decimals int, name string",
+}
+
 DOMAIN_TABLES: dict[str, T.StructType] = {
     "block_headers": BLOCK_HEADERS,
     "transactions": TRANSACTIONS,

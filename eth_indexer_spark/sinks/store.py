@@ -1,0 +1,291 @@
+"""Idempotent partitioned-parquet store — the sink layer (SURVEY §2.7, §7.4).
+
+Replaces the reference's MySQL write surface:
+
+- S6 multi-table transactional insert (store/store.go:115-173,215-316): one
+  DB transaction covering headers+txs+receipts+logs+balances+transfers+
+  total_balances for ≤50 blocks, rollback on error.
+- M1/M2 range delete by block for reorg retraction, chunked 20 blocks/stmt
+  newest→oldest (store/store.go:175-212, store/block_header/block_header.go:44).
+- M3/M4 small-dimension updates (store/subscription/subscription.go:50,62-63,
+  96-102,131-146; store/account/account.go:57,161-168).
+- M5 duplicate-key tolerance: MySQL unique keys + swallowed err 1062 used as
+  idempotency between concurrent indexers (common/errors.go:26-57,
+  service/indexer/indexer.go:152-158).
+
+Spark-first design
+------------------
+Every block-keyed table is laid out as parquet partitioned by
+``block_bucket = block_number // bucket_size``. That single choice buys the
+whole mutation surface without a transaction log:
+
+- **Insert = dynamic partition overwrite** of exactly the buckets present in
+  the batch (``partitionOverwriteMode=dynamic``). Re-running a failed batch
+  rewrites the same buckets with the same rows — idempotent, the M5 semantic
+  — and untouched history is never rewritten, so a 50-block micro-batch costs
+  O(batch), not O(table), at 100 TB.
+- **Range delete = partition rewrite** of only the buckets intersecting
+  [from, to]; interior buckets (fully covered by the range) are dropped
+  whole with no data read, only the ≤2 boundary buckets are read+filtered.
+  The reference's 20-block delete chunking exists to bound MySQL lock time;
+  a partition swap is already bounded by bucket size, so the knob disappears.
+- **Point/range reads prune**: ``WHERE block_number BETWEEN a AND b`` prunes
+  to ⌈(b−a)/bucket⌉ partitions because the bucket is a pure function of
+  ``block_number`` and the store injects the derived bucket predicate.
+
+Token-keyed tables (transfers, balances) add a leading ``token`` partition —
+the reference's per-token tables (store/account/account.go:55-56) as dynamic
+partition pruning instead of DDL.
+
+Small dimensions (subscriptions, erc20, reorgs) are rewritten whole on
+update — they are KBs; the reference's batch UPDATE ... IN is row-level only
+because MySQL offers nothing cheaper.
+
+On a real deployment the same layout maps 1:1 onto Delta Lake
+(``replaceWhere`` / ``DELETE WHERE`` / MERGE) for snapshot isolation across
+readers; plain parquet keeps this repo dependency-free while preserving the
+partition economics.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Unique keys per table (SURVEY §1.4) — dedup-on-key before every write (M5).
+UNIQUE_KEYS: dict[str, list[str]] = {
+    "block_headers": ["number"],
+    "transactions": ["hash"],
+    "transaction_receipts": ["tx_hash"],
+    "receipt_logs": ["tx_hash", "contract_address", "event_name", "topic1", "topic2", "data"],
+    "total_difficulty": ["hash"],
+    "transfers": ["token", "block_number", "tx_hash", "from", "to"],
+    "balances": ["token", "block_number", "address"],
+    "total_balances": ["token", "block_number", "group"],
+    "erc20": ["address"],
+    "subscriptions": ["address"],
+    "reorgs": ["from_hash", "to_hash"],
+}
+
+# Column the block bucket derives from, per block-keyed table.
+BLOCK_COLUMN: dict[str, str] = {
+    "block_headers": "number",
+    "transactions": "block_number",
+    "transaction_receipts": "block_number",
+    "receipt_logs": "block_number",
+    "total_difficulty": "block",
+    "transfers": "block_number",
+    "balances": "block_number",
+    "total_balances": "block_number",
+}
+
+# Extra leading partition columns (per-token sharding, SURVEY §1.1).
+EXTRA_PARTITIONS: dict[str, list[str]] = {
+    "transfers": ["token"],
+    "balances": ["token"],
+}
+
+DIMENSION_TABLES = ("erc20", "subscriptions", "reorgs")
+
+_BUCKET = "block_bucket"
+
+
+class ParquetStore:
+    """One directory per table under ``root``; block-keyed tables partitioned
+    by (token?,) block_bucket."""
+
+    def __init__(self, spark: SparkSession, root: str, bucket_size: int = 1000):
+        self.spark = spark
+        self.root = root
+        self.bucket_size = bucket_size
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- paths ---------------------------------------------------------------
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        # a partitioned dir with zero partitions left is still "exists"
+        return os.path.isdir(p) and any(
+            not n.startswith((".", "_")) for n in os.listdir(p)
+        )
+
+    # -- reads ---------------------------------------------------------------
+
+    def read(self, table: str) -> DataFrame:
+        """Scan one table. Block-keyed tables come back with the physical
+        ``block_bucket`` partition column dropped — callers see the logical
+        schema; range predicates still prune because `read_range` injects
+        the bucket predicate."""
+        df = self.spark.read.parquet(self.path(table))
+        return df.drop(_BUCKET) if table in BLOCK_COLUMN else df
+
+    def read_range(self, table: str, lo: int | None = None, hi: int | None = None) -> DataFrame:
+        """Range scan with explicit partition pruning: the bucket predicate
+        is derived from [lo, hi] so the parquet source lists only
+        ⌈(hi−lo)/bucket⌉ partitions regardless of table size."""
+        col = BLOCK_COLUMN[table]
+        df = self.spark.read.parquet(self.path(table))
+        if lo is not None:
+            df = df.filter((F.col(_BUCKET) >= lo // self.bucket_size) & (F.col(col) >= lo))
+        if hi is not None:
+            df = df.filter((F.col(_BUCKET) <= hi // self.bucket_size) & (F.col(col) <= hi))
+        return df.drop(_BUCKET)
+
+    # -- writes --------------------------------------------------------------
+
+    def _with_bucket(self, table: str, df: DataFrame) -> DataFrame:
+        col = BLOCK_COLUMN[table]
+        return df.withColumn(_BUCKET, (F.col(col) / self.bucket_size).cast("long"))
+
+    def write_blocks(
+        self, tables: dict[str, DataFrame], block_range: tuple[int, int] | None = None
+    ) -> None:
+        """S6: the multi-table batch insert, with **overwrite-by-block-range**
+        semantics: for each table, all stored rows with block ∈ range are
+        replaced by the batch's rows; rows outside the range are untouched.
+
+        Physically: the batch's rows are unioned with the *surviving*
+        out-of-range rows of the touched buckets, and that union dynamically
+        overwrites exactly those buckets. One distributed pass per table,
+        O(batch + bucket_size) — never O(table). Re-running the same batch
+        converges to the same state (the M5 idempotency semantic; the
+        reference gets it from unique keys + swallowed duplicate-key errors,
+        service/indexer/indexer.go:152-158). The reference's all-or-nothing
+        DB transaction becomes repair-by-replay; Delta's ``replaceWhere``
+        would restore multi-table atomicity on a production deployment.
+
+        ``block_range``: inclusive block span this batch covers. Defaults to
+        each table's own min/max block (one tiny agg job per table).
+        """
+        for table, df in tables.items():
+            key = UNIQUE_KEYS.get(table)
+            if key:
+                df = df.dropDuplicates(key)
+            col = BLOCK_COLUMN[table]
+            if block_range is not None:
+                lo, hi = block_range
+            else:
+                row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+                lo, hi = row["lo"], row["hi"]
+            if lo is None:
+                continue  # empty batch for this table
+
+            if self.exists(table):
+                lo_b, hi_b = lo // self.bucket_size, hi // self.bucket_size
+                survivors = (
+                    self.spark.read.parquet(self.path(table))
+                    .filter((F.col(_BUCKET) >= lo_b) & (F.col(_BUCKET) <= hi_b))
+                    .filter((F.col(col) < lo) | (F.col(col) > hi))
+                    .drop(_BUCKET)
+                )
+                # materialize before overwriting the path they were read from
+                df = df.unionByName(survivors.localCheckpoint())
+
+            out = self._with_bucket(table, df)
+            parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
+            (
+                out.write.mode("overwrite")
+                .partitionBy(*parts)
+                .parquet(self.path(table))
+            )
+
+    def append_blocks(self, tables: dict[str, DataFrame]) -> None:
+        """Append variant for batches known to touch new buckets only —
+        skips the overwrite listing. Dedup-on-key still applies within the
+        batch; cross-batch idempotency needs `write_blocks`."""
+        for table, df in tables.items():
+            key = UNIQUE_KEYS.get(table)
+            if key:
+                df = df.dropDuplicates(key)
+            out = self._with_bucket(table, df)
+            parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
+            out.write.mode("append").partitionBy(*parts).parquet(self.path(table))
+
+    # -- mutations -----------------------------------------------------------
+
+    def delete_block_range(self, table: str, lo: int, hi: int) -> None:
+        """M1/M2: retract all rows with block ∈ [lo, hi].
+
+        Physical plan: buckets strictly inside the range are deleted whole
+        (pure metadata, no data read); the ≤2 boundary buckets are read,
+        filtered, and swapped. Cost is O(bucket_size), independent of table
+        size — the property the reference's chunked DELETE approximates.
+        """
+        if not self.exists(table):
+            return
+        col = BLOCK_COLUMN[table]
+        lo_b, hi_b = lo // self.bucket_size, hi // self.bucket_size
+        root = self.path(table)
+
+        # survivors live only in the ≤2 boundary buckets; interior buckets
+        # are dropped whole without reading a byte. Materialize survivors to
+        # a temp dir (distributed write, never driver-resident) BEFORE
+        # dropping their source partitions, then swap back in.
+        survivors = (
+            self.spark.read.parquet(root)
+            .filter((F.col(_BUCKET) >= lo_b) & (F.col(_BUCKET) <= hi_b))
+            .filter((F.col(col) < lo) | (F.col(col) > hi))
+        )
+        if survivors.limit(1).count() == 0:
+            self._drop_bucket_dirs(table, lo_b, hi_b)
+            return
+        tmp = os.path.join(self.root, f"__tmp_{table}_retract")
+        survivors.write.mode("overwrite").parquet(tmp)
+
+        self._drop_bucket_dirs(table, lo_b, hi_b)
+        back = self.spark.read.parquet(tmp)
+        out = self._with_bucket(table, back.drop(_BUCKET))
+        parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
+        out.write.mode("append").partitionBy(*parts).parquet(root)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _drop_bucket_dirs(self, table: str, lo_b: int, hi_b: int) -> None:
+        root = self.path(table)
+        prefix_dirs = [root]
+        if table in EXTRA_PARTITIONS:  # token=<v>/block_bucket=<n>
+            prefix_dirs = [
+                os.path.join(root, d)
+                for d in os.listdir(root)
+                if d.startswith(tuple(f"{c}=" for c in EXTRA_PARTITIONS[table]))
+            ]
+        for pd_ in prefix_dirs:
+            for d in os.listdir(pd_):
+                if d.startswith(f"{_BUCKET}="):
+                    b = int(d.split("=", 1)[1])
+                    if lo_b <= b <= hi_b:
+                        shutil.rmtree(os.path.join(pd_, d), ignore_errors=True)
+
+    def retract_blocks(self, lo: int, hi: int, tables: tuple[str, ...] | None = None) -> None:
+        """The full reorg retraction (store/store.go:319-378): range-delete
+        every derived table. Per-token tables need no enumeration — the token
+        partition column covers all tokens in one pass."""
+        for t in tables or tuple(BLOCK_COLUMN):
+            self.delete_block_range(t, lo, hi)
+
+    def update_dimension(self, table: str, df: DataFrame) -> None:
+        """M3/M4: replace a small dimension wholesale (subscriptions / erc20
+        / reorgs audit log). Write-temp-then-swap so a crash mid-write never
+        leaves a half dimension."""
+        key = UNIQUE_KEYS.get(table)
+        if key:
+            df = df.dropDuplicates(key)
+        tmp = os.path.join(self.root, f"__tmp_{table}")
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.path(table)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+    def append_dimension(self, table: str, df: DataFrame) -> None:
+        """Append rows to a dimension (reorgs audit rows), dedup on key."""
+        if self.exists(table):
+            merged = self.read(table).unionByName(df)
+        else:
+            merged = df
+        self.update_dimension(table, merged)

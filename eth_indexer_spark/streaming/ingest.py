@@ -1,0 +1,216 @@
+"""Streaming ingest shell (SURVEY §2.1 S1/S6, §2.9, §7.5): the EP1 lifecycle
+(service/indexer/indexer.go:122-327) as Structured Streaming ``foreachBatch``
+over micro-batches of block headers.
+
+Per micro-batch:
+
+1. **Order + dedup** — sort by number, drop (number, hash) duplicates, drop
+   headers already stored verbatim (old-block skip, indexer.go:141-144).
+2. **Reorg check** (:mod:`eth_indexer_spark.streaming.reorg`) — parent-hash
+   continuity against the stored head; fork ⇒ TD race ⇒ either ignore or
+   retract [fork+1, head] and replay the new branch; gap ⇒ backfill headers
+   from the source first (indexer.go:218-246).
+3. **Ingest** in chunks of ≤ ``MAX_BLOCKS_PER_BATCH`` (= the reference's
+   ``maxBlocksToInsert`` 50, indexer.go:39): fetch the raw tables for the
+   chunk's block hashes (S2/S3 seam), run the batch transform pipeline
+   (pipeline/transform.py) seeded from the store's current state, and commit
+   through the idempotent partition-overwrite sink (sinks/store.py).
+
+Scale notes: only the *headers* of a micro-batch are driver-resident (tiny,
+bounded by the trigger); the raw tables, pipeline, and sink writes are all
+distributed. The strictly-sequential constraint the reference enforces with
+a single consumer thread (indexer.go:137-139) is needed only for the
+carry-forward aggregates, which the pipeline expresses as per-key windowed
+prefix sums *within* the batch and seeds *across* batches from the store —
+batches commit in order because foreachBatch is serial per query.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from eth_indexer_spark.pipeline import transform as X
+from eth_indexer_spark.schema import BLOCK_HEADERS, RAW_SCHEMAS, REORGS
+from eth_indexer_spark.sinks.store import ParquetStore
+from eth_indexer_spark.streaming.reorg import ReorgDecision, check_reorg
+
+# the reference's maxBlocksToInsert (indexer.go:38-40)
+MAX_BLOCKS_PER_BATCH = 50
+# stored-header lookup window for fork detection = max detectable reorg depth
+REORG_WINDOW = 512
+
+_HEADER_COLS = [f.name for f in BLOCK_HEADERS.fields]
+
+
+class BlockIngestor:
+    """Drives source → pipeline → sink for one chain. Holds no state beyond
+    the store — head/TD are re-read per batch, so a restarted job resumes
+    exactly where the store left off (checkpoint-free idempotency; the
+    streaming checkpoint only positions the *source*)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: ParquetStore,
+        source,
+        subscriptions: DataFrame,
+        erc20: DataFrame,
+    ):
+        self.spark = spark
+        self.store = store
+        self.source = source
+        self.subscriptions = subscriptions
+        self.erc20 = erc20
+
+    # -- stored-chain state ---------------------------------------------------
+
+    def _stored_recent(self) -> dict[int, dict]:
+        if not self.store.exists("block_headers"):
+            return {}
+        head = (
+            self.store.read("block_headers")
+            .agg(F.max("number").alias("n"))
+            .collect()[0]["n"]
+        )
+        if head is None:
+            return {}
+        rows = (
+            self.store.read_range("block_headers", head - REORG_WINDOW, head)
+            .select("number", "hash", "parent_hash")
+            .collect()
+        )
+        return {r["number"]: r.asDict() for r in rows}
+
+    def _td_at(self, n: int) -> int:
+        if n < 0 or not self.store.exists("total_difficulty"):
+            return 0
+        row = self.store.read_range("total_difficulty", n, n).collect()
+        return int(row[0]["td"]) if row else 0
+
+    # -- entry points ----------------------------------------------------------
+
+    def process_headers(self, headers: list[dict]) -> str:
+        """Apply one micro-batch of raw header dicts. Returns the action."""
+        seen: dict[tuple[int, str], dict] = {}
+        for h in sorted(headers, key=lambda x: x["number"]):
+            seen[(h["number"], h["hash"])] = h
+        incoming = list(seen.values())
+
+        decision = check_reorg(
+            self._stored_recent(), incoming, self.source.header_by_hash, self._td_at
+        )
+        self._apply(decision)
+        return decision.action
+
+    def process_batch(self, headers_df: DataFrame, batch_id: int | None = None) -> str:
+        """foreachBatch adapter."""
+        return self.process_headers([r.asDict() for r in headers_df.collect()])
+
+    # -- decision application ---------------------------------------------------
+
+    def _apply(self, d: ReorgDecision) -> None:
+        if d.action.startswith("ignore"):
+            return
+        replay = d.replay
+        if d.action == "gap":
+            backfill = self.source.headers_range(*d.gap)
+            replay = backfill + replay
+        if d.action == "reorg":
+            self.store.retract_blocks(d.retract_from, d.retract_to)
+            row = dict(d.reorg_row, created_at=datetime.now(timezone.utc).replace(tzinfo=None))
+            self.store.append_dimension(
+                "reorgs", self.spark.createDataFrame([row], REORGS)
+            )
+        for i in range(0, len(replay), MAX_BLOCKS_PER_BATCH):
+            self._ingest(replay[i : i + MAX_BLOCKS_PER_BATCH])
+
+    # -- the distributed pipeline for one chunk ---------------------------------
+
+    def _ingest(self, branch: list[dict]) -> None:
+        if not branch:
+            return
+        first_n = branch[0]["number"]
+        raw = self.source.raw_tables_for([h["hash"] for h in branch])
+        txs, receipts, logs = (
+            raw["transactions"],
+            raw["transaction_receipts"],
+            raw["receipt_logs"],
+        )
+        headers = X.compute_header_rewards(raw["block_headers_raw"], txs, receipts)
+
+        events = (
+            X.extract_eth_transfers(txs)
+            .unionByName(X.extract_erc20_transfers(logs, self.erc20))
+            .unionByName(X.reward_events(headers))
+        )
+        fees = X.tx_fees(txs, receipts)
+        deltas = X.ledger_deltas(events, fees)
+
+        seed_bal = (
+            self.store.read_range("balances", None, first_n - 1)
+            if self.store.exists("balances")
+            else None
+        )
+        snapshots = X.balance_snapshots(deltas, self.subscriptions, seed_bal)
+
+        subs_g = F.broadcast(self.subscriptions.select("address", "group"))
+        snap_deltas = deltas.join(subs_g, "address")
+        prev_totals = None
+        if self.store.exists("total_balances"):
+            w = W.partitionBy("token", "group").orderBy(F.desc("block_number"))
+            prev_totals = (
+                self.store.read_range("total_balances", None, first_n - 1)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("token", "group", "balance")
+            )
+        totals = X.total_balance_rollup(
+            snap_deltas, fees, events, self.subscriptions, prev_totals
+        )
+        td = X.total_difficulty(headers, seed_td=str(self._td_at(first_n - 1)))
+
+        self.store.write_blocks(
+            block_range=(int(first_n), int(branch[-1]["number"])),
+            tables={
+                "block_headers": headers.select(*_HEADER_COLS),
+                "transactions": txs,
+                "transaction_receipts": receipts,
+                "receipt_logs": logs,
+                "total_difficulty": td,
+                "transfers": events,
+                "balances": snapshots,
+                "total_balances": totals,
+            }
+        )
+
+
+def start_stream(
+    spark: SparkSession,
+    ingestor: BlockIngestor,
+    headers_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """File-source Structured Streaming wrapper: each parquet file landing in
+    ``headers_dir`` is a batch of raw block headers (the WS subscription
+    channel stand-in, client/subscriber.go:28-31). ``foreachBatch`` routes
+    into the ingestor; `availableNow` drains-and-stops for tests, continuous
+    deployments drop it and set a processingTime trigger."""
+    stream = (
+        spark.readStream.schema(RAW_SCHEMAS["block_headers_raw"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(headers_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: ingestor.process_batch(df, bid) and None
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -52,36 +52,7 @@ def u256_bytes(v: int) -> bytes:
     return v.to_bytes(32, "big")
 
 
-RAW_SCHEMAS = {
-    "block_headers_raw": (
-        "hash string, parent_hash string, uncle_hash string, coinbase string, "
-        "root string, tx_hash string, receipt_hash string, difficulty long, "
-        "number long, gas_limit long, gas_used long, time long, "
-        "extra_data binary, mix_digest string, nonce string, "
-        "uncle1_hash string, uncle1_coinbase string, uncle1_number long, "
-        "uncle2_hash string, uncle2_coinbase string, uncle2_number long, "
-        "created_at timestamp"
-    ),
-    "transactions": (
-        "hash string, block_hash string, `from` string, `to` string, nonce long, "
-        "gas_price long, gas_limit long, amount string, payload binary, "
-        "block_number long"
-    ),
-    "transaction_receipts": (
-        "root string, status int, cumulative_gas_used long, bloom binary, "
-        "tx_hash string, contract_address string, gas_used long, block_number long"
-    ),
-    "receipt_logs": (
-        "tx_hash string, block_number long, contract_address string, "
-        "event_name string, topic1 string, topic2 string, topic3 string, data binary"
-    ),
-    "subscriptions": (
-        "id long, block_number long, group long, address string, "
-        "created_at timestamp, updated_at timestamp"
-    ),
-    "seed_balances": "token string, block_number long, address string, balance string, group long",
-    "erc20": "address string, block_number long, total_supply string, decimals int, name string",
-}
+from eth_indexer_spark.schema import RAW_SCHEMAS  # noqa: E402  (single source of truth)
 
 A1, A2, A3, A9 = addr(1), addr(2), addr(3), addr(9)
 T1 = addr(0xAAAA)          # registered ERC20
@@ -128,12 +99,25 @@ def uncle_reward(block_n: int, uncle_n: int) -> int:
     return (8 + uncle_n - block_n) * BASE_REWARD // 8
 
 
-def build_raw() -> dict[str, pd.DataFrame]:
+def build_raw(
+    blocks=BLOCKS, prefix: str = "b", fork_parent: tuple[int, str] | None = None
+) -> dict[str, pd.DataFrame]:
+    """Raw tables for a block list. ``prefix`` names the branch (block hashes
+    become ``<prefix><n>``); ``fork_parent=(n, hash)`` points block n's
+    parent at another branch — used to build reorg forks."""
+    def bh(n: int) -> str:
+        return f"{prefix}{n}".encode().hex().rjust(64, "0")
+
     headers, txs, receipts, logs = [], [], [], []
-    for number, coinbase, diff, block_txs, block_logs, uncles in BLOCKS:
+    for number, coinbase, diff, block_txs, block_logs, uncles in blocks:
         u = list(uncles) + [None, None]
+        parent = (
+            fork_parent[1]
+            if fork_parent is not None and number == fork_parent[0]
+            else bh(number - 1)
+        )
         headers.append({
-            "hash": bhash(number), "parent_hash": bhash(number - 1),
+            "hash": bh(number), "parent_hash": parent,
             "uncle_hash": h32(f"u{number}"), "coinbase": coinbase,
             "root": h32(f"r{number}"), "tx_hash": h32(f"t{number}"),
             "receipt_hash": h32(f"rc{number}"),
@@ -153,7 +137,7 @@ def build_raw() -> dict[str, pd.DataFrame]:
         cum = 0
         for i, (tag, f_, t_, amount, gp, gu) in enumerate(block_txs):
             txs.append({
-                "hash": thash(tag), "block_hash": bhash(number),
+                "hash": thash(tag), "block_hash": bh(number),
                 "from": f_, "to": t_, "nonce": i,
                 "gas_price": gp, "gas_limit": gu * 2,
                 "amount": str(amount), "payload": b"",
@@ -204,7 +188,7 @@ def build_raw() -> dict[str, pd.DataFrame]:
 # ---------------------------------------------------------------------------
 
 
-def expected_model() -> dict[str, object]:
+def expected_model(blocks=BLOCKS) -> dict[str, object]:
     registered = {t[0] for t in ERC20_REGISTRY}
     sub_group = {a: g for _, _, g, a in SUBSCRIPTIONS}
 
@@ -212,7 +196,7 @@ def expected_model() -> dict[str, object]:
     events = []                                     # (token, block, tx_hash, from, to, value)
     header_rewards: dict[int, dict[str, int]] = {}  # block -> reward cols
 
-    for number, coinbase, diff, block_txs, block_logs, uncles in BLOCKS:
+    for number, coinbase, diff, block_txs, block_logs, uncles in blocks:
         txs_fee = 0
         for tag, f_, t_, amount, gp, gu in block_txs:
             fee = gp * gu
@@ -286,7 +270,7 @@ def expected_model() -> dict[str, object]:
 
     # total difficulty (seeded 0 at batch start)
     td, tds = 0, []
-    for number, _cb, diff, *_ in BLOCKS:
+    for number, _cb, diff, *_ in blocks:
         td += diff
         tds.append((number, bhash(number), td))
 

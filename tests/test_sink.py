@@ -1,0 +1,136 @@
+"""Sink-layer tests (SURVEY §2.7): idempotent batch insert (S6/M5), range
+delete (M1/M2), dimension update (M3/M4), pruned range reads."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_indexer_spark.sinks.store import ParquetStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
+
+
+def headers_df(spark, numbers):
+    return spark.createDataFrame(
+        [(f"h{n}", f"h{n-1}", n, 100 + n) for n in numbers],
+        "hash string, parent_hash string, number long, difficulty long",
+    )
+
+
+def transfers_df(spark, rows):
+    """rows: (token, block_number, tx_hash, from, to, value)"""
+    return spark.createDataFrame(
+        rows,
+        "token string, block_number long, tx_hash string, "
+        "`from` string, `to` string, value string",
+    )
+
+
+def test_write_blocks_idempotent(spark, store):
+    """Re-running the same batch (crash-before-commit replay) converges:
+    no duplicate rows — the M5 unique-key semantic."""
+    batch = {"block_headers": headers_df(spark, range(100, 106))}
+    store.write_blocks(batch)
+    store.write_blocks(batch)
+    got = store.read("block_headers")
+    assert got.count() == 6
+    assert got.select("number").distinct().count() == 6
+
+
+def test_write_blocks_dedups_within_batch(spark, store):
+    df = headers_df(spark, [100, 100, 101])
+    store.write_blocks({"block_headers": df})
+    assert store.read("block_headers").count() == 2
+
+
+def test_overwrite_by_block_range(spark, store):
+    """Overwrite granularity is the BLOCK RANGE, not the partition: a later
+    batch sharing a bucket with an earlier one must not clobber it, and
+    re-writing a sub-range replaces only that sub-range."""
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 105))})
+    # second batch lands in the same bucket (bucket_size=10)
+    store.write_blocks({"block_headers": headers_df(spark, range(105, 120))})
+    assert store.read("block_headers").count() == 20
+    # replaying an interior range replaces exactly that range
+    store.write_blocks({"block_headers": headers_df(spark, [110])}, block_range=(110, 110))
+    nums = {r["number"] for r in store.read("block_headers").select("number").collect()}
+    assert nums == set(range(100, 120))
+    # replaying a wider range drops rows the replay no longer produces
+    store.write_blocks({"block_headers": headers_df(spark, [115])}, block_range=(115, 119))
+    nums = {r["number"] for r in store.read("block_headers").select("number").collect()}
+    assert nums == set(range(100, 116))
+
+
+def test_delete_block_range_boundary_and_interior(spark, store):
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 140))})
+    # [105, 131]: buckets 10 and 13 are boundary (partial), 11-12 interior
+    store.delete_block_range("block_headers", 105, 131)
+    nums = sorted(r["number"] for r in store.read("block_headers").collect())
+    assert nums == list(range(100, 105)) + list(range(132, 140))
+
+
+def test_delete_range_in_token_partitioned_table(spark, store):
+    rows = [
+        (tok, n, f"t{tok}{n}", "a", "b", "1")
+        for tok in ("AAAA", "BBBB")
+        for n in range(100, 120)
+    ]
+    store.write_blocks({"transfers": transfers_df(spark, rows)})
+    store.delete_block_range("transfers", 103, 111)
+    got = store.read("transfers")
+    assert got.count() == 2 * (20 - 9)
+    per_tok = {r["token"]: r["n"] for r in got.groupBy("token").agg(F.count("*").alias("n")).collect()}
+    assert per_tok == {"AAAA": 11, "BBBB": 11}
+
+
+def test_retract_blocks_spans_all_tables(spark, store):
+    store.write_blocks(
+        {
+            "block_headers": headers_df(spark, range(100, 110)),
+            "transfers": transfers_df(
+                spark, [("AAAA", n, f"t{n}", "a", "b", "1") for n in range(100, 110)]
+            ),
+        }
+    )
+    store.retract_blocks(104, 109)
+    assert store.read("block_headers").count() == 4
+    assert store.read("transfers").count() == 4
+
+
+def test_read_range_prunes_and_filters(spark, store):
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 140))})
+    got = store.read_range("block_headers", 117, 123)
+    nums = sorted(r["number"] for r in got.collect())
+    assert nums == list(range(117, 124))
+    # the bucket predicate must appear in the plan (partition pruning)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "block_bucket" in plan
+
+
+def test_dimension_update_and_append(spark, store):
+    subs = spark.createDataFrame(
+        [(1, 0, 1, "aa")], "id long, block_number long, group long, address string"
+    )
+    store.update_dimension("subscriptions", subs)
+    assert store.read("subscriptions").count() == 1
+    # M3: batch update = wholesale replace
+    subs2 = spark.createDataFrame(
+        [(1, 7, 1, "aa"), (2, 0, 2, "bb")],
+        "id long, block_number long, group long, address string",
+    )
+    store.update_dimension("subscriptions", subs2)
+    got = {r["address"]: r["block_number"] for r in store.read("subscriptions").collect()}
+    assert got == {"aa": 7, "bb": 0}
+    # append with key dedup (reorgs audit style)
+    store.append_dimension(
+        "subscriptions",
+        spark.createDataFrame(
+            [(3, 0, 1, "cc"), (2, 9, 2, "bb")],
+            "id long, block_number long, group long, address string",
+        ),
+    )
+    assert store.read("subscriptions").count() == 3

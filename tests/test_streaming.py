@@ -1,0 +1,225 @@
+"""End-to-end ingest + reorg tests (SURVEY §2.9, §7.5-6): the EP1 lifecycle
+over fixture chains, asserted against the independent golden model — the
+strategy of service/indexer/indexer_test.go:58-1246 (sequential insert, gap
+backfill, duplicate/old-block skip, reorg on winning fork, losing fork
+ignored) without mocks: a real store, real pipeline, real decision logic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_indexer_spark.sinks.store import ParquetStore
+from eth_indexer_spark.sources.blocks import PandasBlockSource
+from eth_indexer_spark.streaming.ingest import BlockIngestor, start_stream
+from eth_indexer_spark.streaming.reorg import check_reorg
+from tests.fixtures import (
+    A3,
+    A9,
+    BLOCKS,
+    RAW_SCHEMAS,
+    build_raw,
+    expected_model,
+)
+
+# fork branch: replaces main-chain blocks 104-105 with heavier blocks carrying
+# different transfers (same tuple shape as fixtures.BLOCKS)
+FORK_BLOCKS = [
+    (104, A9, 500, [("f104", A3, A9, 42, 6, 7)], [], []),
+    (105, A3, 500, [], [], []),
+]
+
+
+def _mk(spark, tmp_path, raw_pdfs):
+    store = ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
+    source = PandasBlockSource(
+        spark,
+        raw_pdfs["block_headers_raw"],
+        raw_pdfs["transactions"],
+        raw_pdfs["transaction_receipts"],
+        raw_pdfs["receipt_logs"],
+    )
+    subs = spark.createDataFrame(raw_pdfs["subscriptions"], RAW_SCHEMAS["subscriptions"])
+    erc20 = spark.createDataFrame(raw_pdfs["erc20"], RAW_SCHEMAS["erc20"])
+    ing = BlockIngestor(spark, store, source, subs, erc20)
+    # seed the store's balances with the fixture seed rows (the "state before
+    # this indexer started"), matching the golden model's seeding
+    store.write_blocks(
+        {"balances": spark.createDataFrame(raw_pdfs["seed_balances"], RAW_SCHEMAS["seed_balances"])}
+    )
+    return store, source, ing
+
+
+def headers_of(raw_pdfs, numbers):
+    pdf = raw_pdfs["block_headers_raw"]
+    return [r.to_dict() for _, r in pdf[pdf["number"].isin(numbers)].iterrows()]
+
+
+def assert_state_matches(store, model, n_blocks_from=100):
+    snaps = {
+        (r["token"], r["block_number"], r["address"]): (int(r["balance"]), r["group"])
+        for r in store.read("balances")
+        .filter(F.col("block_number") >= n_blocks_from)
+        .collect()
+    }
+    assert snaps == {(t, n, a): (b, g) for t, n, a, b, g in model["snapshots"]}
+
+    totals = {
+        (r["token"], r["block_number"], r["group"]): (
+            int(r["balance"]), int(r["tx_fee"]), int(r["miner_reward"]), int(r["uncles_reward"])
+        )
+        for r in store.read("total_balances").collect()
+    }
+    assert totals == {(t, n, g): (b, f, m, u) for t, n, g, b, f, m, u in model["totals"]}
+
+    td = {r["block"]: int(r["td"]) for r in store.read("total_difficulty").collect()}
+    assert td == {n: v for n, _h, v in model["td"]}
+
+
+def test_sequential_batches_match_golden(spark, tmp_path):
+    raw = build_raw()
+    store, _src, ing = _mk(spark, tmp_path, raw)
+
+    assert ing.process_headers(headers_of(raw, [100, 101, 102])) == "bootstrap"
+    assert ing.process_headers(headers_of(raw, [103, 104, 105])) == "append"
+
+    assert_state_matches(store, expected_model())
+    assert store.read("block_headers").count() == 6
+    assert store.read("transactions").count() == 5
+
+
+def test_duplicate_and_old_blocks_skipped(spark, tmp_path):
+    raw = build_raw()
+    store, _src, ing = _mk(spark, tmp_path, raw)
+    ing.process_headers(headers_of(raw, [100, 101, 102, 103, 104, 105]))
+
+    before = store.read("balances").count()
+    assert ing.process_headers(headers_of(raw, [103, 104])) == "ignore_duplicate"
+    assert ing.process_headers(headers_of(raw, [105])) == "ignore_duplicate"
+    assert store.read("balances").count() == before
+    assert_state_matches(store, expected_model())
+
+
+def test_gap_backfill(spark, tmp_path):
+    """Blocks 102-103 never arrive on the stream; the ingestor must sync them
+    from the source (indexer.go:218-246) before applying 104-105."""
+    raw = build_raw()
+    store, _src, ing = _mk(spark, tmp_path, raw)
+    ing.process_headers(headers_of(raw, [100, 101]))
+    assert ing.process_headers(headers_of(raw, [104, 105])) == "gap"
+    assert_state_matches(store, expected_model())
+
+
+def test_reorg_winning_fork(spark, tmp_path):
+    raw = build_raw()
+    store, source, ing = _mk(spark, tmp_path, raw)
+    ing.process_headers(headers_of(raw, [100, 101, 102, 103, 104, 105]))
+
+    # heavier fork branching off block 103
+    b103_hash = headers_of(raw, [103])[0]["hash"]
+    fork = build_raw(blocks=FORK_BLOCKS, prefix="c", fork_parent=(104, b103_hash))
+    source.extend(
+        fork["block_headers_raw"], fork["transactions"],
+        fork["transaction_receipts"], fork["receipt_logs"],
+    )
+
+    assert ing.process_headers(headers_of(fork, [104, 105])) == "reorg"
+
+    # audit row (model/types.go:257-263)
+    reorgs = store.read("reorgs").collect()
+    assert len(reorgs) == 1
+    r = reorgs[0]
+    assert (r["from"], r["to"]) == (104, 105)
+    assert r["to_hash"] == headers_of(raw, [105])[0]["hash"]
+
+    # canonical chain is now A[100..103] + fork[104..105]
+    stored_hashes = {
+        row["number"]: row["hash"] for row in store.read("block_headers").collect()
+    }
+    assert stored_hashes[104] == headers_of(fork, [104])[0]["hash"]
+    assert stored_hashes[105] == headers_of(fork, [105])[0]["hash"]
+
+    combined = BLOCKS[:4] + FORK_BLOCKS
+    assert_state_matches(store, expected_model(blocks=combined))
+    # old branch's transactions were retracted, fork's are present
+    txs = {r["hash"] for r in store.read("transactions").collect()}
+    assert not any(h.endswith("tx104a".encode().hex()) for h in txs)
+    assert any(h.endswith("txf104".encode().hex()) for h in txs)
+
+
+def test_reorg_losing_fork_ignored(spark, tmp_path):
+    raw = build_raw()
+    store, source, ing = _mk(spark, tmp_path, raw)
+    ing.process_headers(headers_of(raw, [100, 101, 102, 103, 104, 105]))
+
+    light = [(104, A9, 1, [], [], []), (105, A3, 1, [], [], [])]
+    b103_hash = headers_of(raw, [103])[0]["hash"]
+    fork = build_raw(blocks=light, prefix="d", fork_parent=(104, b103_hash))
+    source.extend(fork["block_headers_raw"])
+
+    assert ing.process_headers(headers_of(fork, [104, 105])) == "ignore_losing_fork"
+    assert_state_matches(store, expected_model())
+    assert not store.exists("reorgs")
+
+
+def test_reorg_walk_traces_below_batch(spark):
+    """The fork walk must follow parent hashes through headers NOT in the
+    incoming batch (indexer.go:374-405): stored chain 1..5, incoming fork
+    block 5' whose ancestry 3',4' is only reachable via header_by_hash."""
+    stored = {
+        n: {"number": n, "hash": f"a{n}", "parent_hash": f"a{n-1}", "difficulty": 10}
+        for n in range(1, 6)
+    }
+    branch = {
+        f"c{n}": {
+            "number": n,
+            "hash": f"c{n}",
+            "parent_hash": "a2" if n == 3 else f"c{n-1}",
+            "difficulty": 100,
+        }
+        for n in (3, 4, 5)
+    }
+    d = check_reorg(
+        stored,
+        [branch["c5"]],
+        lambda h: branch.get(h),
+        lambda n: 10 * n,
+    )
+    assert d.action == "reorg"
+    assert [h["number"] for h in d.replay] == [3, 4, 5]
+    assert (d.retract_from, d.retract_to) == (3, 5)
+    assert d.reorg_row == {
+        "from": 3, "from_hash": "a3", "to": 5, "to_hash": "a5",
+    }
+
+
+def test_structured_streaming_file_source(spark, tmp_path):
+    """The actual Structured Streaming wrapper: header batches land as
+    parquet files; availableNow drains them through foreachBatch."""
+    raw = build_raw()
+    store, _src, ing = _mk(spark, tmp_path, raw)
+
+    import glob
+    import os
+    import shutil
+
+    hdr_dir = tmp_path / "stream_in"
+    stage = tmp_path / "stage"
+    hdr_dir.mkdir()
+    pdf = raw["block_headers_raw"]
+    for i, nums in enumerate([[100, 101, 102], [103, 104, 105]]):
+        batch = spark.createDataFrame(
+            pdf[pdf["number"].isin(nums)], RAW_SCHEMAS["block_headers_raw"]
+        )
+        batch.coalesce(1).write.mode("overwrite").parquet(str(stage / f"b{i}"))
+        part = glob.glob(str(stage / f"b{i}" / "part-*.parquet"))[0]
+        dest = str(hdr_dir / f"batch_{i}.parquet")
+        shutil.copy(part, dest)
+        # file source orders by modification time: make it strictly increasing
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    q = start_stream(
+        spark, ing, str(hdr_dir), str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert_state_matches(store, expected_model())
