@@ -26,6 +26,7 @@ mode would reject on overflow).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -76,16 +77,22 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact near-duplicate pairs: Jaccard(shingles_i, shingles_j) ≥ threshold,
     i < j, via the inverted shingle index (no cross join)."""
-    sh = _spread(df, id_col).select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    sizes = sh.select("doc", F.size("shingles").alias("n"))
     # join on 64-bit shingle hashes, not strings: the shuffled index shrinks
     # ~3× and key compares are long equality. Collision risk over the whole
     # corpus is ~|shingles|²/2⁶⁵ — immaterial next to fp thresholds.
-    inv = sh.select(
-        "doc", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
+    # The hashed frame is persisted: both the inverted index and the size
+    # lookup consume it, and shingling+hashing is the CPU-heavy stage — at
+    # scale this is the one intermediate worth materializing
+    # (MEMORY_AND_DISK spills instead of recomputing).
+    sh = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sizes = sh.select("doc", F.size("hsh").alias("n"))
+    inv = sh.select("doc", F.explode("hsh").alias("s"))
 
     a = inv.alias("a")
     b = inv.alias("b")
@@ -148,11 +155,14 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
+    # persisted: consumed three times (banding + both verification sides);
+    # recomputing the shingle+hash stage 3× was the dominant cost
     sh = (
         _spread(df, id_col)
         .select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # one pass: signature → array of per-band hashes → posexplode.
