@@ -388,6 +388,48 @@ def total_balance_rollup(
     )
 
 
+def new_token_backfill(
+    balances: DataFrame, subs: DataFrame, token: str, block_number: int
+) -> DataFrame:
+    """A8 (store/new_erc20.go:41-175): when a token is registered at block N,
+    seed ``total_balances`` for every subscription group — latest stored
+    balance per subscribed address as-of N, summed per group.
+
+    The reference pages through all subscriptions 1000 at a time
+    (subLimit, new_erc20.go:35) because it fetches balances over RPC;
+    deriving from the stored balance table it is one as-of reduction
+    (window top-1 per address) + one exact grouped sum. Exact uint256 path:
+    seeds may exceed DECIMAL(38,0)."""
+    w = W.partitionBy("address").orderBy(F.desc("block_number"))
+    latest = (
+        balances.filter(
+            (F.col("token") == token) & (F.col("block_number") <= block_number)
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .join(F.broadcast(subs.select("address")), "address", "left_semi")
+    )
+
+    def _sum_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "token": [token],
+                "block_number": [block_number],
+                "group": [pdf.iloc[0]["group"]],
+                "balance": [str(sum(int(b) for b in pdf["balance"]))],
+                "tx_fee": ["0"],
+                "miner_reward": ["0"],
+                "uncles_reward": ["0"],
+            }
+        )
+
+    return latest.groupBy("group").applyInPandas(
+        _sum_group,
+        "token string, block_number long, group long, balance string, "
+        "tx_fee string, miner_reward string, uncles_reward string",
+    )
+
+
 def total_difficulty(headers: DataFrame, seed_td: str = "0") -> DataFrame:
     """A10 (service/indexer/indexer.go:249-274): td(n) = td(parent) +
     difficulty, seeded by the stored td of the batch's parent. Within a

@@ -829,3 +829,155 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# P3/P4/P6 — remaining point-lookup shapes of the EP3 read surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p3_point_lookup_alt_key",
+    """
+    SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier WHERE s_suppkey = 3
+    """,
+)
+def p3_point_lookup_alt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (store/block_header/block_header.go:45,89-96): TD lookup by hash —
+    point lookup through a secondary unique key on a narrow table."""
+    return (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") == 3)
+        .select("s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+@register(
+    "p4_rows_by_parent_key",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, ROUND(l_extendedprice, 2) AS price
+    FROM lineitem WHERE l_orderkey = 7
+    """,
+)
+def p4_rows_by_parent_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (store/transaction/transaction.go:38-39,62-78): transactions by
+    block_hash — the 1:N children of one parent key."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") == 7)
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+@register(
+    "p6_sentinel_filter",
+    """
+    SELECT c_custkey, c_nationkey, c_mktsegment
+    FROM customer WHERE c_nationkey = 0
+    """,
+)
+def p6_sentinel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (store/account/account.go:58-61,125-159): the block_number = 0
+    "new, uninitialized" sentinel split on a registry dimension."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3 — ordered scan with limit; A2 — pagination count; A8 — backfill agg;
+# J7 — parent-chain continuity self-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t3_topk_scan",
+    """
+    SELECT event_id, ts, user_id, ROUND(value, 2) AS value
+    FROM events ORDER BY value DESC, event_id LIMIT 100
+    """,
+)
+def t3_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (store/account/account.go:67): transfers ORDER BY block_number DESC
+    — executed as TakeOrderedAndProject (per-partition top-k + merge), never
+    a global sort. event_id tiebreaks for determinism."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "event_id")
+        .limit(100)
+    )
+
+
+@register(
+    "a2_pagination_count",
+    """
+    SELECT COUNT(*) AS total,
+           CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_pages
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def a2_pagination_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (store/subscription/subscription.go:53-58,148-206): the COUNT
+    paired with LIMIT offset,n pagination."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.ceil(F.count(F.lit(1)) / 100.0).cast("long").alias("n_pages"),
+        )
+    )
+
+
+@register(
+    "a8_group_backfill",
+    """
+    SELECT c_nationkey AS grp,
+           ROUND(SUM(c_acctbal), 2) AS total_balance,
+           COUNT(*) AS n_accounts
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def a8_group_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (store/new_erc20.go:41-175): total-balance backfill for a newly
+    registered token — Σ balances per subscription group over the whole
+    subscription set. The reference pages 1000 rows at a time; distributed
+    form is one partial-aggregated groupBy. Domain form:
+    pipeline.transform.new_token_backfill."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("grp"))
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.count(F.lit(1)).alias("n_accounts"),
+        )
+    )
+
+
+@register(
+    "j7_chain_continuity",
+    """
+    SELECT COUNT(*) AS n_violations
+    FROM events a JOIN events b ON b.event_id = a.event_id + 1
+    WHERE b.ts < a.ts
+    """,
+)
+def j7_chain_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (service/indexer/indexer.go:374-405; store/store.go:150-172): the
+    parent-hash chain consistency check — self-join successive entries,
+    count ordering violations. Equi-join on a derived key, AQE-planned."""
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("b.event_id") == F.col("a.event_id") + 1)
+        .filter(F.col("b.ts") < F.col("a.ts"))
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )

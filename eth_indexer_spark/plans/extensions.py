@@ -250,3 +250,61 @@ def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (operators/multimodal.py): media as opaque binary +
+# typed metadata. The corpus has no real media, so the text bytes stand in as
+# the payload; the fake decoder derives metadata purely from byte length,
+# which DuckDB can mirror — so the mapInPandas plumbing itself is
+# oracle-checked end to end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_mm_decode_meta",
+    """
+    SELECT doc_id,
+           16 + (octet_length(encode(text)) % 64)        AS width,
+           16 + ((octet_length(encode(text)) // 64) % 64) AS height,
+           3                                              AS n_channels,
+           octet_length(encode(text)) * 10                AS duration_ms
+    FROM documents
+    """,
+)
+def x_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eth_indexer_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("media")
+    )
+    return mm.decode_media(d, "media").select(
+        "doc_id", "width", "height", "n_channels", "duration_ms"
+    )
+
+
+@register(
+    "x_mm_frame_sample",
+    """
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (
+        SELECT doc_id, n,
+               CAST(CEIL(GREATEST(n, 1) / 256.0) AS BIGINT) AS n_frames
+        FROM m
+    )
+    SELECT doc_id, n_frames,
+           64 * (n_frames - 1) + LEAST(64, n - 256 * (n_frames - 1)) AS frame_bytes
+    FROM f
+    """,
+)
+def x_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eth_indexer_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("media")
+    )
+    frames = mm.sample_frames(d, "media", every_n_bytes=256, frame_size=64)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame")).alias("frame_bytes"),
+    )

@@ -157,6 +157,20 @@ def test_total_balance_rollup(raw, events, model):
     assert got == want
 
 
+def test_new_token_backfill(raw, spark):
+    """A8: registering T1 at block 100 seeds per-group totals from the
+    latest stored balances (SEED_BALANCES: A1@90=1e40, A2@95=1e4 in group 1;
+    A3@95=50 in group 2; the A3@80 row is superseded)."""
+    totals = tr.new_token_backfill(raw["seed_balances"], raw["subscriptions"], T1, 100)
+    got = {
+        (r["token"], r["block_number"], r["group"]): int(r["balance"])
+        for r in totals.collect()
+    }
+    assert got == {(T1, 100, 1): 10**40 + 10000, (T1, 100, 2): 50}
+    fees = {(r["tx_fee"], r["miner_reward"], r["uncles_reward"]) for r in totals.collect()}
+    assert fees == {("0", "0", "0")}
+
+
 def test_total_difficulty(raw, headers, model):
     td = tr.total_difficulty(headers)
     got = {(r["block"], r["hash"]): int(r["td"]) for r in td.collect()}
