@@ -163,6 +163,7 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            len(regexp_split_to_array(text, '\\s+'))                   AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
            length(text)                                               AS n_chars_q,
            ROUND(len(regexp_extract_all(text, '[a-zA-Z]')) * 1.0
                  / length(text), 4)                                   AS alpha_ratio,
@@ -177,6 +178,7 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         tx.token_count("text").alias("n_tokens"),
+        tx.word_token_count("text").alias("n_bpe_tokens"),
         tx.char_count("text").alias("n_chars_q"),
         tx.alpha_ratio("text").alias("alpha_ratio"),
         tx.stopword_ratio("text").alias("stop_ratio"),
@@ -308,3 +310,60 @@ def x_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.length("frame")).alias("frame_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows / sessionization (streaming/windows.py) — batch forms of
+# the streaming operators, oracle-checked. The streaming paths are pinned to
+# these in tests/test_streaming_windows.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_windowed_agg",
+    """
+    SELECT date_trunc('hour', ts)                   AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def x_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eth_indexer_spark.streaming.windows import windowed_event_aggregate
+
+    return windowed_event_aggregate(
+        _t(spark, sf_dir, "events"), window="1 hour", keys=("event_type",)
+    )
+
+
+@register(
+    "x_sessions",
+    """
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts)) >= 1800
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           MIN(ts)              AS session_start,
+           MAX(ts)              AS session_end,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def x_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eth_indexer_spark.streaming.windows import sessionize_batch
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return sessionize_batch(e, gap_minutes=30.0)

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from eth_indexer_spark.pipeline import transform as X
-from eth_indexer_spark.schema import BLOCK_HEADERS, RAW_SCHEMAS, REORGS
+from eth_indexer_spark.schema import BLOCK_HEADERS, ERC20, RAW_SCHEMAS, REORGS
 from eth_indexer_spark.sinks.store import ParquetStore
 from eth_indexer_spark.streaming.reorg import ReorgDecision, check_reorg
 
@@ -109,6 +109,65 @@ class BlockIngestor:
     def process_batch(self, headers_df: DataFrame, batch_id: int | None = None) -> str:
         """foreachBatch adapter."""
         return self.process_headers([r.asDict() for r in headers_df.collect()])
+
+    # -- EP2: token registration ------------------------------------------------
+
+    def register_token(
+        self,
+        address: str,
+        name: str = "",
+        total_supply: str = "0",
+        decimals: int = 18,
+        at_block: int | None = None,
+    ) -> None:
+        """EP2 (service/indexer/indexer.go:88-120, store/account/account.go:
+        81-123, store/new_erc20.go:41-175): register an ERC20 token — upsert
+        the registry row stamped with the registration block, and backfill
+        ``total_balances`` for every subscription group from the stored
+        balances as-of that block. The reference additionally CREATEs two
+        per-token tables; the token partition column makes that a no-op here
+        (SURVEY §1.1)."""
+        if at_block is None:
+            stored = self._stored_recent()
+            at_block = max(stored) if stored else 0
+
+        row = {
+            "address": address,
+            "block_number": at_block,
+            "total_supply": total_supply,
+            "decimals": decimals,
+            "name": name,
+        }
+        new = self.spark.createDataFrame([row], ERC20)
+        if self.store.exists("erc20"):
+            merged = (
+                self.store.read("erc20")
+                .filter(F.col("address") != address)
+                .localCheckpoint()
+                .unionByName(new)
+            )
+        else:
+            merged = new
+        self.store.update_dimension("erc20", merged)
+        self.erc20 = self.store.read("erc20")
+
+        if not self.store.exists("balances"):
+            return
+        backfill = X.new_token_backfill(
+            self.store.read("balances"), self.subscriptions, address, at_block
+        )
+        # preserve other tokens' totals already written at this block: the
+        # sink's overwrite unit is the whole block range, so fold them in
+        if self.store.exists("total_balances"):
+            others = (
+                self.store.read_range("total_balances", at_block, at_block)
+                .filter(F.col("token") != address)
+                .localCheckpoint()
+            )
+            backfill = backfill.unionByName(others)
+        self.store.write_blocks(
+            {"total_balances": backfill}, block_range=(at_block, at_block)
+        )
 
     # -- decision application ---------------------------------------------------
 

@@ -1,0 +1,174 @@
+"""Event-time windowed aggregation and stateful sessionization.
+
+The reference has NO event-time windows at all (SURVEY §2.9 — its only
+"window" is strict per-block sequencing), so this module is part of the
+beyond-reference analytics surface: the standard Structured Streaming
+late-data toolkit applied to the engine's event streams.
+
+- :func:`windowed_event_aggregate` — tumbling/sliding event-time windows
+  with a watermark for late-data eviction. The SAME code path serves batch
+  DataFrames (window() is an ordinary grouping expression there), which is
+  how the tests pin streaming output to batch ground truth.
+- :func:`sessionize` — session windows with an inactivity gap, as a custom
+  stateful operator over ``applyInPandasWithState``: per-key state carries
+  the open session; events beyond the gap close it and emit a session row.
+  This is the template for any custom stateful operator the engine needs
+  (the reference's closest analog is the per-block carry-forward state,
+  transfer_processor.go:337-356, which the batch pipeline handles with
+  windowed prefix sums instead).
+
+Scale notes: both operators shuffle once on the grouping key and hold
+bounded per-key state (a window's partial aggregate / one open session);
+watermarks bound state growth under unbounded streams. Skewed keys hit the
+same AQE skew handling as any other shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+_STATE_SCHEMA = "session_start double, last_ts double, n long, total double"
+
+
+def windowed_event_aggregate(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(window, *keys) count and value sum. On a streaming input the
+    watermark bounds how late an event may arrive and still be aggregated;
+    on a batch input the identical plan runs without state."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        df.groupBy(win.alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful session windows over a STREAMING DataFrame.
+
+    A session is a maximal run of a user's events with inter-event gaps
+    < ``gap_minutes``. Completed sessions are emitted as soon as a later
+    event (or batch) proves the gap; the open tail session stays in state
+    until a future batch closes it. Arrow-batched per-key processing; state
+    is 4 scalars per user.
+    """
+    gap_s = gap_minutes * 60.0
+
+    def _process(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+
+        closed: list[tuple[float, float, int, float]] = []
+        for pdf in pdfs:
+            ts = pdf[ts_col].astype("datetime64[ns]").astype("int64") / 1e9
+            vals = pdf[value_col].astype(float)
+            order = ts.argsort(kind="stable")
+            for t, v in zip(ts.iloc[order], vals.iloc[order]):
+                if last is not None and (t - last) >= gap_s:
+                    closed.append((start, last, n, total))
+                    start, n, total = None, 0, 0.0
+                if start is None:
+                    start = t
+                last = t
+                n += 1
+                total += v
+
+        state.update((start, last, n, total))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(closed),
+                    "session_start": pd.to_datetime([c[0] for c in closed], unit="s"),
+                    "session_end": pd.to_datetime([c[1] for c in closed], unit="s"),
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [round(c[3], 2) for c in closed],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        _process,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch ground truth for :func:`sessionize` (and an oracle-checkable
+    operator in its own right): session id = running count of gap breaks per
+    user (lag + windowed cumsum — one shuffle on the user key), then one row
+    per session."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    gap_break = (
+        F.when(
+            F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+            >= gap_minutes * 60.0,
+            1,
+        )
+        .otherwise(0)
+    )
+    with_sid = events.withColumn(
+        "session_id", F.sum(gap_break).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy(user_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .drop("session_id")
+    )

@@ -193,6 +193,46 @@ def test_reorg_walk_traces_below_batch(spark):
     }
 
 
+def test_register_token_backfill(spark, tmp_path):
+    """EP2: registering a token upserts the registry and backfills per-group
+    totals from stored balances as-of the registration block, preserving
+    other tokens' totals at that block."""
+    from tests.fixtures import T1, ETH
+
+    raw = build_raw()
+    store, _src, ing = _mk(spark, tmp_path, raw)
+    # pre-existing ETH total at the registration block must survive
+    store.write_blocks(
+        {
+            "total_balances": spark.createDataFrame(
+                [(ETH, 100, 1, "77", "0", "0", "0")],
+                "token string, block_number long, group long, balance string, "
+                "tx_fee string, miner_reward string, uncles_reward string",
+            )
+        }
+    )
+
+    ing.register_token(T1, name="TokenOne", at_block=100)
+
+    reg = {r["address"]: r["block_number"] for r in store.read("erc20").collect()}
+    assert reg[T1] == 100
+
+    totals = {
+        (r["token"], r["group"]): int(r["balance"])
+        for r in store.read("total_balances").collect()
+    }
+    # groups seeded from SEED_BALANCES latest-as-of-100; ETH row preserved
+    assert totals == {(T1, 1): 10**40 + 10000, (T1, 2): 50, (ETH, 1): 77}
+
+    # idempotent: re-registering converges to the same state
+    ing.register_token(T1, name="TokenOne", at_block=100)
+    totals2 = {
+        (r["token"], r["group"]): int(r["balance"])
+        for r in store.read("total_balances").collect()
+    }
+    assert totals2 == totals
+
+
 def test_structured_streaming_file_source(spark, tmp_path):
     """The actual Structured Streaming wrapper: header batches land as
     parquet files; availableNow drains them through foreachBatch."""
