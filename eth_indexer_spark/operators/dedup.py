@@ -207,6 +207,61 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Winnowing (rolling-hash document fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    hash every character ``k``-gram, then keep the minimum hash of each
+    sliding window of ``window`` consecutive gram hashes; the distinct kept
+    hashes are the document's fingerprint set.
+
+    Guarantee: any substring shared by two documents of length ≥
+    ``k + window - 1`` contributes at least one shared fingerprint — the
+    local-sampling property that makes this the standard plagiarism /
+    overlap detector. Expected density ≈ 2/(window+1) of all grams.
+
+    Pure Catalyst expressions (sequence/transform/slice/array_min), one
+    projection, no shuffle. Documents shorter than ``k`` chars get an empty
+    set; shorter than ``k + window - 1`` keep the single global min."""
+    c = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (k - 1)),
+        lambda i: F.xxhash64(F.substr(c, i, F.lit(k))),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(grams) - (window - 1)),
+        lambda j: F.array_min(F.slice(grams, j, window)),
+    )
+    fps = (
+        F.when(F.length(c) >= k + window - 1, F.array_distinct(mins))
+        .when(F.length(c) >= k, F.array(F.array_min(grams)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return df.select(F.col(id_col).alias("doc"), fps.alias("fingerprints"))
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """Pairs of documents sharing ≥ ``min_shared`` winnowing fingerprints,
+    via the inverted fingerprint index (equi-join per fingerprint, never a
+    cross join) — the same scale shape as the shingle inverted index."""
+    inv = fps.select("doc", F.explode("fingerprints").alias("fp"))
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select("i", "j", "shared")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

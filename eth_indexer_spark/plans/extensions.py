@@ -367,3 +367,16 @@ def x_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
     return sessionize_batch(e, gap_minutes=30.0)
+
+
+@register("x_text_winnow")  # hash-family dependent → rows-only check
+def x_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints per document (operators/dedup.py:
+    winnow_fingerprints); output is the fingerprint-set size — the values
+    depend on the xxhash64 family, so the driver records a rows-only check
+    while tests/test_extensions.py pins the winnowing guarantee itself."""
+    from eth_indexer_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "text", "doc_id", k=8, window=4)
+    return fps.select("doc", F.size("fingerprints").alias("n_fingerprints"))

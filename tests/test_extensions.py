@@ -126,3 +126,56 @@ def test_multimodal_decode_and_frames(spark, docs):
 def test_strict_decoder_is_explicit():
     with pytest.raises(NotImplementedError):
         multimodal.strict_decoder(b"\x00")
+
+
+class TestWinnowing:
+    """Winnowing guarantee (Schleimer et al.): a shared substring of length
+    ≥ k + window − 1 yields ≥ 1 shared fingerprint; disjoint texts share
+    none; fingerprinting is deterministic."""
+
+    def _fps(self, spark, texts, k=8, window=4):
+        from eth_indexer_spark.operators.dedup import winnow_fingerprints
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        rows = winnow_fingerprints(df, "text", "doc_id", k=k, window=window).collect()
+        return {r["doc"]: set(r["fingerprints"]) for r in rows}
+
+    def test_shared_substring_shares_fingerprint(self, spark):
+        common = "the quick brown fox jumps over the lazy dog once more"
+        fps = self._fps(
+            spark,
+            [f"AAAA xxxx {common} yyyy", f"zzzz {common} BBBB wwww qqqq"],
+        )
+        assert fps[0] & fps[1], "shared substring must share a fingerprint"
+
+    def test_disjoint_texts_share_nothing(self, spark):
+        fps = self._fps(
+            spark,
+            ["abcdefghijklmnopqrstuvwxyz 0123", "ZYXWVUTSRQPONMLKJIHGFEDCBA 4567"],
+        )
+        assert not (fps[0] & fps[1])
+
+    def test_deterministic_and_edge_lengths(self, spark):
+        fps = self._fps(spark, ["same text here same", "same text here same", "ninechars", "tiny"])
+        assert fps[0] == fps[1] and fps[0]
+        assert len(fps[2]) == 1, "k ≤ len < k+window-1 keeps the global min"
+        assert fps[3] == set(), "len < k is empty"
+
+    def test_overlap_pairs(self, spark):
+        from eth_indexer_spark.operators.dedup import (
+            winnow_fingerprints,
+            winnow_overlap_pairs,
+        )
+
+        common = "a long shared passage that definitely exceeds the gram window"
+        df = spark.createDataFrame(
+            [(0, f"intro {common} outro"), (1, f"{common} different tail"),
+             (2, "completely unrelated content with nothing in common at all")],
+            "doc_id long, text string",
+        )
+        fps = winnow_fingerprints(df, "text", "doc_id")
+        pairs = {(r["i"], r["j"]) for r in winnow_overlap_pairs(fps, min_shared=2).collect()}
+        assert (0, 1) in pairs
+        assert not any(2 in p for p in pairs)
