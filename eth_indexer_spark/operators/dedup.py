@@ -94,13 +94,7 @@ def ngram_jaccard_pairs(
     sizes = sh.select("doc", F.size("hsh").alias("n"))
     inv = sh.select("doc", F.explode("hsh").alias("s"))
 
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _copair_counts(inv, "s")
     si = sizes.select(F.col("doc").alias("i"), F.col("n").alias("ni"))
     sj = sizes.select(F.col("doc").alias("j"), F.col("n").alias("nj"))
     jac = F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))
@@ -109,6 +103,32 @@ def ngram_jaccard_pairs(
         .join(sj, "j")
         .filter(jac >= threshold)
         .select("i", "j")
+    )
+
+
+def _copair_counts(inv: DataFrame, key: str) -> DataFrame:
+    """(i, j, inter) = number of inverted-index keys shared by each doc pair,
+    i < j. Groups docs per key, drops singleton keys (they cannot form a
+    pair — typically the vast majority), emits in-group pairs by double
+    explode, counts. Versus the classic index self-join this shuffles the
+    big index ONCE instead of twice-plus-join — the property that matters
+    when the index is the dominant volume; at local bench scale the two are
+    within noise of each other (stage overhead dominates there). A key
+    appearing in d docs still emits O(d²) pairs — the irreducible cost of
+    exact co-occurrence — and its doc list is materialized per group, so
+    pipelines facing ultra-frequent keys should drop them explicitly (a
+    semantic change, deliberately not done here)."""
+    grp = (
+        inv.groupBy(key)
+        .agg(F.collect_set("doc").alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    return (
+        grp.select(F.explode("docs").alias("i"), "docs")
+        .select("i", F.explode("docs").alias("j"))
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
 
 
@@ -176,23 +196,15 @@ def minhash_lsh_pairs(
             for band in range(bands)
         ]
     )
+    # bucket key folds (band, band_hash) into one long — a cross-band hash
+    # collision only ADDS a candidate, and candidates pass exact
+    # verification, so correctness is unaffected
     buckets = (
         sh.select("doc", minhash_signature("hsh", num_hashes).alias("sig"))
         .select("doc", F.posexplode(band_hashes).alias("band", "bh"))
+        .select("doc", F.xxhash64("band", "bh").alias("bucket"))
     )
-
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
-        .distinct()
-    )
+    candidates = _copair_counts(buckets, "bucket").select("i", "j")
 
     si = sh.select(F.col("doc").alias("i"), F.col("hsh").alias("sh_i"))
     sj = sh.select(F.col("doc").alias("j"), F.col("hsh").alias("sh_j"))
@@ -248,16 +260,13 @@ def winnow_overlap_pairs(
     fps: DataFrame, min_shared: int = 2
 ) -> DataFrame:
     """Pairs of documents sharing ≥ ``min_shared`` winnowing fingerprints,
-    via the inverted fingerprint index (equi-join per fingerprint, never a
+    via the inverted fingerprint index (grouped co-pair counting, never a
     cross join) — the same scale shape as the shingle inverted index."""
     inv = fps.select("doc", F.explode("fingerprints").alias("fp"))
-    a, b = inv.alias("a"), inv.alias("b")
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= min_shared)
-        .select("i", "j", "shared")
+        _copair_counts(inv, "fp")
+        .filter(F.col("inter") >= min_shared)
+        .select("i", "j", F.col("inter").alias("shared"))
     )
 
 
