@@ -268,6 +268,22 @@ class ParquetStore:
         for t in tables or tuple(BLOCK_COLUMN):
             self.delete_block_range(t, lo, hi)
 
+    def compact(self, table: str) -> None:
+        """Maintenance: rewrite a block-keyed table so each partition holds
+        one file. Every micro-batch write adds a file per touched bucket, so
+        a long-running ingest accumulates small files that degrade scan
+        listing and parquet footer overhead — the standard lakehouse
+        compaction concern (Delta OPTIMIZE). Repartitioning by the partition
+        columns routes each partition's rows to a single task → single file;
+        the rewrite lands in a temp dir and swaps in atomically."""
+        parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
+        df = self.spark.read.parquet(self.path(table)).repartition(*[F.col(c) for c in parts])
+        tmp = os.path.join(self.root, f"__tmp_{table}_compact")
+        df.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+        final = self.path(table)
+        shutil.rmtree(final)
+        os.replace(tmp, final)
+
     def update_dimension(self, table: str, df: DataFrame) -> None:
         """M3/M4: replace a small dimension wholesale (subscriptions / erc20
         / reorgs audit log). Write-temp-then-swap so a crash mid-write never

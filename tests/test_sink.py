@@ -111,6 +111,25 @@ def test_read_range_prunes_and_filters(spark, store):
     assert "block_bucket" in plan
 
 
+def test_compact_merges_small_files(spark, store):
+    import glob
+
+    for lo in (100, 103, 106):  # three batches into the same bucket
+        store.write_blocks(
+            {"block_headers": headers_df(spark, range(lo, lo + 3))},
+            block_range=(lo, lo + 2),
+        )
+    before = sorted(r["number"] for r in store.read("block_headers").collect())
+    bucket_dir = store.path("block_headers") + "/block_bucket=10"
+    assert len(glob.glob(bucket_dir + "/*.parquet")) >= 2
+
+    store.compact("block_headers")
+
+    assert len(glob.glob(bucket_dir + "/*.parquet")) == 1
+    after = sorted(r["number"] for r in store.read("block_headers").collect())
+    assert after == before
+
+
 def test_dimension_update_and_append(spark, store):
     subs = spark.createDataFrame(
         [(1, 0, 1, "aa")], "id long, block_number long, group long, address string"
