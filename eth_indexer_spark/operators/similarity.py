@@ -41,7 +41,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI error) when either vector has zero norm; NULL sims
+    sort last under desc ordering, so zero vectors never enter a top-k."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -62,8 +64,10 @@ def cosine_pairs(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact embedding near-dup pairs: cosine ≥ threshold, i < j.
-    Pre-normalizes once so the join condition is a plain dot product."""
-    unit = emb.select(
+    Pre-normalizes once so the join condition is a plain dot product.
+    Zero-norm vectors are dropped — cosine is undefined for them (and ANSI
+    mode would otherwise raise on the division)."""
+    unit = emb.filter(norm(_vec(vec_col)) > 0).select(
         F.col(id_col).alias("id"),
         F.transform(_vec(vec_col), lambda x: x / norm(_vec(vec_col))).alias("u"),
     )

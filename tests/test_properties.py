@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the custom distributed operators —
+each checked against a brute-force Python model on randomized inputs. The
+reference's suite is example-based only (SURVEY §5); properties catch the
+edge shapes examples miss (empty keys, ties, single-partition collapse).
+
+Examples are deliberately few (each builds a Spark job); the generators
+focus on boundary structure, not volume.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from eth_indexer_spark.operators.asof import asof_join
+from eth_indexer_spark.operators.prefix_sum import global_running_sum
+
+from pyspark.sql import functions as F
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=60
+    ),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+@_settings
+def test_global_running_sum_matches_cumsum(spark, vals, nparts):
+    """Two-phase distributed prefix sum == sequential cumsum, exactly, for
+    any partition count (including 1 and more partitions than rows)."""
+    df = spark.createDataFrame(
+        [(i, Decimal(v)) for i, v in enumerate(vals)], "k long, v decimal(20,0)"
+    )
+    got = {
+        r["k"]: int(r["rs"])
+        for r in global_running_sum(
+            df, order_key="k", value_col=F.col("v"), out_col="rs", num_partitions=nparts
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+        want[i] = acc
+    assert got == want
+
+
+@given(
+    rights=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=50),  # ts
+            st.integers(min_value=-100, max_value=100),
+        ),
+        max_size=25,
+    ),
+    lefts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@_settings
+def test_asof_join_matches_bruteforce(spark, rights, lefts):
+    """asof_join == per-row brute force: latest right with ts <= left ts,
+    inclusive, per key; null when no right precedes. Right-side ties on
+    (key, ts) are resolved identically by making the payload the tiebreak
+    maximum (dedup to one right row per (key, ts))."""
+    dedup_r = {}
+    for k, ts, v in rights:
+        dedup_r[(k, ts)] = max(v, dedup_r.get((k, ts), -(10**9)))
+    r_rows = [(k, ts, v) for (k, ts), v in dedup_r.items()]
+
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lefts)], "rid long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        r_rows or [(None, None, None)], "k long, rts long, v long"
+    ).filter(F.col("k").isNotNull())
+
+    got = {
+        r["rid"]: r["v_asof"]
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="rts").collect()
+    }
+
+    for i, (k, ts) in enumerate(lefts):
+        cands = [(rts, v) for (kk, rts), v in dedup_r.items() if kk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, f"rid={i} key={k} ts={ts}: {got[i]} != {want}"
