@@ -125,6 +125,42 @@ class ParquetStore:
         df = self.spark.read.parquet(self.path(table))
         return df.drop(_BUCKET) if table in BLOCK_COLUMN else df
 
+    def max_block(self, table: str) -> int | None:
+        """Highest stored block, found without scanning the table: the
+        bucket partition directories bound the answer, so only the top
+        bucket's rows are aggregated — O(bucket) per call where a naive
+        ``agg(max)`` is O(table). This is what keeps per-micro-batch head
+        lookups flat as history grows."""
+        if not self.exists(table):
+            return None
+        top = max(self._bucket_values(table), default=None)
+        if top is None:
+            return None
+        col = BLOCK_COLUMN[table]
+        row = (
+            self.spark.read.parquet(self.path(table))
+            .filter(F.col(_BUCKET) == top)
+            .agg(F.max(col).alias("m"))
+            .collect()[0]
+        )
+        return row["m"]
+
+    def _bucket_values(self, table: str) -> list[int]:
+        root = self.path(table)
+        dirs = [root]
+        if table in EXTRA_PARTITIONS:
+            dirs = [
+                os.path.join(root, d)
+                for d in os.listdir(root)
+                if d.startswith(tuple(f"{c}=" for c in EXTRA_PARTITIONS[table]))
+            ]
+        out = []
+        for d in dirs:
+            for name in os.listdir(d):
+                if name.startswith(f"{_BUCKET}="):
+                    out.append(int(name.split("=", 1)[1]))
+        return out
+
     def read_range(self, table: str, lo: int | None = None, hi: int | None = None) -> DataFrame:
         """Range scan with explicit partition pruning: the bucket predicate
         is derived from [lo, hi] so the parquet source lists only

@@ -69,13 +69,7 @@ class BlockIngestor:
     # -- stored-chain state ---------------------------------------------------
 
     def _stored_recent(self) -> dict[int, dict]:
-        if not self.store.exists("block_headers"):
-            return {}
-        head = (
-            self.store.read("block_headers")
-            .agg(F.max("number").alias("n"))
-            .collect()[0]["n"]
-        )
+        head = self.store.max_block("block_headers")
         if head is None:
             return {}
         rows = (
