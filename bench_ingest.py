@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Ingest-throughput benchmark: drive a synthetic chain through the full
+EP1 lifecycle (source → reward/event/fee/balance/total pipeline → idempotent
+partitioned sink) in 50-block micro-batches and report blocks/second.
+
+The reference's implied throughput floor is head-following Ethereum mainnet:
+~1 block / 13 s (BASELINE.md). This measures the same end-to-end unit —
+block accepted, all derived tables committed — on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "ingest_blocks_per_sec", "value": N, "blocks": B, ...}
+
+Not part of the driver's bench.py contract — run manually:
+  python bench_ingest.py [n_blocks]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+from datetime import datetime, timezone
+
+import pandas as pd
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+N_BLOCKS = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+BATCH = 50
+N_ADDRS = 200          # address universe
+N_SUBS = 100           # subscribed addresses
+TXS_PER_BLOCK = 4
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def build_chain(n_blocks: int, seed: int = 7):
+    rng = random.Random(seed)
+    addrs = [f"{i:040x}" for i in range(1, N_ADDRS + 1)]
+    token = "ab" * 20
+    now = datetime(2024, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+    sig = "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+
+    headers, txs, receipts, logs = [], [], [], []
+    for n in range(1, n_blocks + 1):
+        h = f"{n:064x}"
+        headers.append({
+            "hash": h, "parent_hash": f"{n-1:064x}", "uncle_hash": "00" * 32,
+            "coinbase": rng.choice(addrs), "root": "11" * 32, "tx_hash": "22" * 32,
+            "receipt_hash": "33" * 32, "difficulty": 100 + n % 50, "number": n,
+            "gas_limit": 8_000_000, "gas_used": 21000 * TXS_PER_BLOCK,
+            "time": 1_700_000_000 + 13 * n, "extra_data": b"", "mix_digest": "44" * 32,
+            "nonce": f"{n:016x}",
+            "uncle1_hash": "", "uncle1_coinbase": "", "uncle1_number": None,
+            "uncle2_hash": "", "uncle2_coinbase": "", "uncle2_number": None,
+            "created_at": now,
+        })
+        cum = 0
+        for t in range(TXS_PER_BLOCK):
+            th = f"{n:032x}{t:032x}"
+            frm, to = rng.sample(addrs, 2)
+            txs.append({
+                "hash": th, "block_hash": h, "from": frm, "to": to, "nonce": t,
+                "gas_price": rng.randint(1, 100), "gas_limit": 42000,
+                "amount": str(rng.randint(0, 10**18)), "payload": b"", "block_number": n,
+            })
+            cum += 21000
+            receipts.append({
+                "root": "55" * 32, "status": 1, "cumulative_gas_used": cum,
+                "bloom": b"\x00" * 8, "tx_hash": th, "contract_address": None,
+                "gas_used": 21000, "block_number": n,
+            })
+            if t == 0:
+                f2, t2 = rng.sample(addrs, 2)
+                logs.append({
+                    "tx_hash": th, "block_number": n, "contract_address": token,
+                    "event_name": sig,
+                    "topic1": f2.rjust(64, "0"), "topic2": t2.rjust(64, "0"),
+                    "topic3": None, "data": rng.randint(1, 10**20).to_bytes(32, "big"),
+                })
+    subs = pd.DataFrame([
+        {"id": i, "block_number": 0, "group": i % 4, "address": a,
+         "created_at": now, "updated_at": now}
+        for i, a in enumerate(addrs[:N_SUBS])
+    ])
+    erc20 = pd.DataFrame([
+        {"address": token, "block_number": 0, "total_supply": str(10**27),
+         "decimals": 18, "name": "BenchToken"}
+    ])
+    return (
+        pd.DataFrame(headers), pd.DataFrame(txs), pd.DataFrame(receipts),
+        pd.DataFrame(logs), subs, erc20,
+    )
+
+
+def main() -> None:
+    from eth_indexer_spark.schema import RAW_SCHEMAS
+    from eth_indexer_spark.session import get_spark
+    from eth_indexer_spark.sinks.store import ParquetStore
+    from eth_indexer_spark.sources.blocks import PandasBlockSource
+    from eth_indexer_spark.streaming.ingest import BlockIngestor
+
+    spark = get_spark("bench_ingest", cpus=CPUS)
+    hdrs, txs, rec, logs, subs, erc20 = build_chain(N_BLOCKS)
+    workdir = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        store = ParquetStore(spark, os.path.join(workdir, "store"), bucket_size=1000)
+        source = PandasBlockSource(spark, hdrs, txs, rec, logs)
+        ing = BlockIngestor(
+            spark,
+            store,
+            source,
+            spark.createDataFrame(subs, RAW_SCHEMAS["subscriptions"]),
+            spark.createDataFrame(erc20, RAW_SCHEMAS["erc20"]),
+        )
+        header_dicts = [r.to_dict() for _, r in hdrs.iterrows()]
+
+        t0 = time.perf_counter()
+        for i in range(0, len(header_dicts), BATCH):
+            ing.process_headers(header_dicts[i : i + BATCH])
+        elapsed = time.perf_counter() - t0
+
+        n_rows = {
+            t: store.read(t).count()
+            for t in ("block_headers", "transfers", "balances", "total_balances")
+        }
+        assert n_rows["block_headers"] == N_BLOCKS
+        print(
+            json.dumps(
+                {
+                    "metric": "ingest_blocks_per_sec",
+                    "value": round(N_BLOCKS / elapsed, 2),
+                    "unit": "blocks/sec",
+                    "blocks": N_BLOCKS,
+                    "batch": BATCH,
+                    "elapsed_sec": round(elapsed, 2),
+                    "rows": n_rows,
+                    "cpus": CPUS,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
