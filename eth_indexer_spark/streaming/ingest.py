@@ -226,17 +226,24 @@ class BlockIngestor:
         )
         td = X.total_difficulty(headers, seed_td=str(self._td_at(first_n - 1)))
 
+        # WRITE ORDER IS THE CRASH-RECOVERY PROTOCOL: block_headers goes
+        # LAST as the commit marker. The stored head (max block_headers
+        # number) decides whether a resent batch is a duplicate — so a crash
+        # anywhere before the header write leaves the head unadvanced, the
+        # resend takes the append path, and overwrite-by-range repairs every
+        # partially-written table idempotently. Headers-first would instead
+        # classify the resend as a duplicate and leave holes.
         self.store.write_blocks(
             block_range=(int(first_n), int(branch[-1]["number"])),
             tables={
-                "block_headers": headers.select(*_HEADER_COLS),
                 "transactions": txs,
                 "transaction_receipts": receipts,
                 "receipt_logs": logs,
-                "total_difficulty": td,
                 "transfers": events,
                 "balances": snapshots,
                 "total_balances": totals,
+                "total_difficulty": td,
+                "block_headers": headers.select(*_HEADER_COLS),
             }
         )
 

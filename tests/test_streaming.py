@@ -193,6 +193,28 @@ def test_reorg_walk_traces_below_batch(spark):
     }
 
 
+def test_crash_replay_converges(spark, tmp_path):
+    """Crash-recovery protocol: block_headers is written LAST, so a crash
+    mid-batch (some derived tables written, headers not) leaves the head
+    unadvanced; resending the same batch takes the append path and
+    overwrite-by-range repairs every table. Simulated by retracting the
+    header rows of batch 2 — the state just before its commit marker."""
+    raw = build_raw()
+    store, _src, ing = _mk(spark, tmp_path, raw)
+    ing.process_headers(headers_of(raw, [100, 101, 102]))
+    ing.process_headers(headers_of(raw, [103, 104, 105]))
+
+    # crash just before the commit marker of batch 2
+    store.delete_block_range("block_headers", 103, 105)
+    assert store.max_block("block_headers") == 102
+
+    # resend: must append (not ignore_duplicate) and converge to golden
+    assert ing.process_headers(headers_of(raw, [103, 104, 105])) == "append"
+    assert_state_matches(store, expected_model())
+    assert store.read("block_headers").count() == 6
+    assert store.read("transactions").select("hash").distinct().count() == 5
+
+
 def test_register_token_backfill(spark, tmp_path):
     """EP2: registering a token upserts the registry and backfills per-group
     totals from stored balances as-of the registration block, preserving
