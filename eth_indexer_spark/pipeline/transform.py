@@ -196,11 +196,24 @@ def subscribed_events(events: DataFrame, subs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ledger_deltas(events: DataFrame, fees: DataFrame | None = None) -> DataFrame:
+def ledger_deltas(
+    events: DataFrame, fees: DataFrame | None = None, exact: bool | None = None
+) -> DataFrame:
     """Per-(token, address, block) balance delta implied by the ledger:
     Σ incoming − Σ outgoing − fees (ETH only). Reward sentinels never appear
-    as debit rows (they are not accounts). Exact path: values may exceed
-    1e38, so signed sums run in an Arrow-batched grouped pandas aggregation.
+    as debit rows (they are not accounts).
+
+    Arithmetic path is chosen per batch (uint256 policy, schema.py):
+
+    - **fast path** (the overwhelmingly common case): when no value in the
+      batch exceeds 30 digits, sums run as JVM DECIMAL(38,0) aggregation —
+      whole-stage codegen with map-side partial aggregation, no Python.
+      The 30-digit guard leaves 8 digits of headroom, so any group of up to
+      10^8 rows is provably overflow-free (real wei values are ≤ 27 digits).
+    - **exact path**: any larger value routes the whole batch through the
+      Arrow-batched grouped pandas aggregation on Python ints.
+
+    ``exact``: force a path (tests); None = detect (one cheap scan probe).
     """
     credit = events.select(
         "token", "block_number", F.col("to").alias("address"), F.col("value").alias("signed")
@@ -222,6 +235,16 @@ def ledger_deltas(events: DataFrame, fees: DataFrame | None = None) -> DataFrame
                 "address",
                 F.concat(F.lit("-"), F.col("fee").cast("string")).alias("signed"),
             )
+        )
+
+    if exact is None:
+        digits = F.length(F.regexp_replace("signed", "-", ""))
+        exact = parts.filter(digits > 30).limit(1).count() > 0
+
+    if not exact:
+        return (
+            parts.groupBy("token", "block_number", "address")
+            .agg(F.sum(F.col("signed").cast(_D)).cast("string").alias("delta"))
         )
 
     def _sum_group(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -201,7 +201,10 @@ class BlockIngestor:
             .unionByName(X.reward_events(headers))
         )
         fees = X.tx_fees(txs, receipts)
-        deltas = X.ledger_deltas(events, fees)
+        # deltas feed both the snapshot and rollup branches — materialize
+        # once (micro-batch sized) instead of recomputing the event→delta
+        # lineage (and its fast-path probe) per consumer
+        deltas = X.ledger_deltas(events, fees).localCheckpoint()
 
         seed_bal = (
             self.store.read_range("balances", None, first_n - 1)

@@ -127,6 +127,34 @@ def test_ledger_deltas(raw, events, model):
     assert got == dict(model["deltas"])
 
 
+def test_ledger_deltas_fast_path_matches_exact(raw, events):
+    """The DECIMAL(38,0) fast path and the exact pandas path must agree
+    wherever both are valid. Block 104 carries >1e38 values (forcing the
+    exact path on the full batch — covered by test_ledger_deltas); here the
+    small-value sub-batch is computed via both forced paths."""
+    fees = tr.tx_fees(raw["transactions"], raw["transaction_receipts"])
+    small_events = events.filter(F.col("block_number") != 104)
+    small_fees = fees.filter(F.col("block_number") != 104)
+
+    def collect(df):
+        return {
+            (r["token"], r["block_number"], r["address"]): int(r["delta"])
+            for r in df.collect()
+        }
+
+    fast = collect(tr.ledger_deltas(small_events, small_fees, exact=False))
+    slow = collect(tr.ledger_deltas(small_events, small_fees, exact=True))
+    assert fast == slow and fast
+
+    # auto-detect: small batch takes the fast path (same result), big batch
+    # must not overflow-null anything
+    auto = collect(tr.ledger_deltas(small_events, small_fees))
+    assert auto == fast
+    full_auto = collect(tr.ledger_deltas(events, fees))
+    assert all(v is not None for v in full_auto.values())
+    assert any(abs(v) >= 10**39 for v in full_auto.values())
+
+
 def test_balance_snapshots(raw, events, model):
     fees = tr.tx_fees(raw["transactions"], raw["transaction_receipts"])
     deltas = tr.ledger_deltas(events, fees)
