@@ -81,6 +81,7 @@ def build_chain(n_blocks: int, seed: int = 7):
                     "event_name": sig,
                     "topic1": f2.rjust(64, "0"), "topic2": t2.rjust(64, "0"),
                     "topic3": None, "data": rng.randint(1, 10**20).to_bytes(32, "big"),
+                    "log_index": 0,
                 })
     subs = pd.DataFrame([
         {"id": i, "block_number": 0, "group": i % 4, "address": a,

@@ -43,10 +43,29 @@ _D = "decimal(38,0)"
 # ---------------------------------------------------------------------------
 
 
+def eth_transfer_events(transfer_logs: DataFrame) -> DataFrame:
+    """ETH transfer events from the node's state-diff transfer logs
+    (debug_getTransferLogs, client/client.go:150-154, consumed at
+    service/indexer/indexer.go:443-467 and store/store.go:240-245 via
+    common.EthTransferEvent, utils.go:198-208). This is the reference's ONLY
+    source of ether events: it covers both top-level tx value AND ether moved
+    inside contract execution, which ``tx.amount`` alone never sees."""
+    return transfer_logs.select(
+        F.lit(ETH_TOKEN).alias("token"),
+        "block_number",
+        "tx_hash",
+        "from",
+        "to",
+        "value",
+    )
+
+
 def extract_eth_transfers(txs: DataFrame) -> DataFrame:
-    """ETH transfer events from value-bearing transactions
-    (store/store.go:242-245 via common.EthTransferEvent; zero-value calls
-    carry no event but still pay fees — transfer_processor.go:95-97).
+    """Fallback ETH transfer events from value-bearing transactions, for
+    sources without state-diff support (a non-archive node has no
+    debug_getTransferLogs). Misses internal transfers — prefer
+    :func:`eth_transfer_events`. Zero-value calls carry no event but still
+    pay fees (transfer_processor.go:95-97).
 
     The zero test is on the canonical string, not a decimal cast: amounts may
     exceed DECIMAL(38,0) (uint256 policy) and a cast would null them out."""

@@ -97,6 +97,12 @@ RECEIPT_LOGS = T.StructType([
     _s("event_name"),  # topic0 hex; literal "NA" when no topics (utils.go:33-35)
     _s("topic1"), _s("topic2"), _s("topic3"),
     _s("data", BIN),
+    # position of the log within its transaction (geth types.Log.Index).
+    # The reference model omits it (model/types.go:153-164) because MySQL
+    # rows are naturally distinct; a columnar store needs an explicit
+    # discriminator so two otherwise-identical logs (e.g. two ERC721
+    # Transfers in one tx differing only by tokenId) are distinct rows.
+    _s("log_index", LONG),
 ])
 
 TOTAL_DIFFICULTY = T.StructType([
@@ -167,7 +173,15 @@ RAW_SCHEMAS: dict[str, str] = {
     ),
     "receipt_logs": (
         "tx_hash string, block_number long, contract_address string, "
-        "event_name string, topic1 string, topic2 string, topic3 string, data binary"
+        "event_name string, topic1 string, topic2 string, topic3 string, "
+        "data binary, log_index long"
+    ),
+    # debug_getTransferLogs state-diff rows (client/client.go:150-154;
+    # vendored types.TransferLog: from/to/value/txHash) — every ether
+    # movement incl. transfers executed INSIDE contract calls, which never
+    # appear as tx.value. Consumed by pipeline.eth_transfer_events.
+    "transfer_logs": (
+        "block_number long, tx_hash string, `from` string, `to` string, value string"
     ),
     "subscriptions": (
         "id long, block_number long, group long, address string, "

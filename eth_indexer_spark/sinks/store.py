@@ -55,14 +55,20 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Unique keys per table (SURVEY §1.4) — dedup-on-key before every write (M5).
+# Unique keys per table — mirrors the reference DDL's UNIQUE indexes exactly
+# (migration/db/migrate/*.rb, SURVEY §1.4); dedup-on-key before write (M5).
+# Tables the reference indexes NON-uniquely (receipt_logs before log_index,
+# eth_transfer/erc20_transfer_<hex>) must NOT be deduped: two legitimate rows
+# may agree on every indexed column (e.g. two identical-value ERC20 transfers
+# in one tx). Idempotency for them comes from overwrite-by-block-range, not
+# from keys. ``receipt_logs`` gains a real unique key only because the engine
+# carries the per-tx log_index the reference model drops.
 UNIQUE_KEYS: dict[str, list[str]] = {
     "block_headers": ["number"],
     "transactions": ["hash"],
     "transaction_receipts": ["tx_hash"],
-    "receipt_logs": ["tx_hash", "contract_address", "event_name", "topic1", "topic2", "data"],
+    "receipt_logs": ["tx_hash", "log_index"],
     "total_difficulty": ["hash"],
-    "transfers": ["token", "block_number", "tx_hash", "from", "to"],
     "balances": ["token", "block_number", "address"],
     "total_balances": ["token", "block_number", "group"],
     "erc20": ["address"],

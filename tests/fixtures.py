@@ -150,6 +150,7 @@ def build_raw(
                 "tx_hash": thash(tag), "contract_address": None,
                 "gas_used": gu, "block_number": number,
             })
+        log_idx: dict[str, int] = {}
         for tag, contract, topic0, f_, t_, value in block_logs:
             logs.append({
                 "tx_hash": thash(tag), "block_number": number,
@@ -158,7 +159,9 @@ def build_raw(
                 "topic2": topic_addr(t_) if t_ else None,
                 "topic3": None,
                 "data": u256_bytes(value) if value is not None else b"",
+                "log_index": log_idx.setdefault(tag, 0),
             })
+            log_idx[tag] += 1
     subs = pd.DataFrame(
         [{"id": i, "block_number": bn, "group": g, "address": a,
           "created_at": NOW, "updated_at": NOW}
