@@ -24,8 +24,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(analytics.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Order matters to external runners that bound how many entries they
+    check: every oracle-backed query comes first (strongest check — rows +
+    schema + value hash), then the genuinely non-SQL-expressible rows-only
+    entries, weakest-last, so a truncated run drops the weakest checks
+    rather than oracle-verified ones."""
+    qs = dict(analytics.QUERIES)
+    oracle = analytics.ORACLE
+    ordered = {k: v for k, v in qs.items() if k in oracle}
+    rows_only_tail = [
+        "x_text_winnow",       # guarantee pinned by pytest property test
+        "x_dedup_minhash_lsh", # recall/verify pytest vs exact Jaccard
+        "x_ann_ivf",           # recall pytest vs cosine_topk
+        "x_ann_rhp_lsh",       # recall pytest vs cosine_topk
+        "x_dedup_simhash",     # Hamming-pair pytest
+    ]
+    for k in rows_only_tail:
+        if k in qs:
+            ordered[k] = qs[k]
+    for k, v in qs.items():  # safety: anything not listed still registers
+        if k not in ordered:
+            ordered[k] = v
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -201,11 +201,22 @@ def changed_addresses(txs: DataFrame, events: DataFrame) -> DataFrame:
 def subscribed_events(events: DataFrame, subs: DataFrame) -> DataFrame:
     """J5 (transfer_processor.go:163-177): keep events where from OR to is a
     subscribed address; the subscription set is broadcast (it is the
-    reference's in-memory map probe)."""
-    s = F.broadcast(subs.select(F.col("address").alias("__sub_addr")))
-    keep_from = events.join(s, events["from"] == F.col("__sub_addr"), "left_semi")
-    keep_to = events.join(s, events["to"] == F.col("__sub_addr"), "left_semi")
-    return keep_from.unionByName(keep_to).distinct()
+    reference's in-memory map probe).
+
+    Single pass, no dedup: two broadcast hash left-joins attach from/to
+    membership markers and one filter keeps the OR. Genuine duplicate events
+    (two identical-value transfers in one tx) survive — a union+distinct
+    would collapse them, and a semi-join with an OR condition would plan as
+    a nested-loop join instead of two hash probes."""
+    addrs = subs.select("address").distinct()
+    sf = F.broadcast(addrs.select(F.col("address").alias("__from_sub")))
+    st = F.broadcast(addrs.select(F.col("address").alias("__to_sub")))
+    return (
+        events.join(sf, events["from"] == F.col("__from_sub"), "left")
+        .join(st, events["to"] == F.col("__to_sub"), "left")
+        .filter(F.col("__from_sub").isNotNull() | F.col("__to_sub").isNotNull())
+        .drop("__from_sub", "__to_sub")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -308,6 +308,12 @@ def j8_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J5/J6 — broadcast hash join of facts with a small dimension (the reference
 # probes an in-memory map[addr]*Subscription: store/transfer_processor.go:
 # 163-177; Spark-first = explicit broadcast hint).
+#
+# Broadcast policy: hint ONLY fixed-cardinality dims (nation=25, region=5 —
+# constant at every scale factor). Tables that scale with SF (customer,
+# supplier, orders) are left to AQE's size-based choice: an explicit hint
+# overrides Spark's size check, so at 100× data it becomes a driver OOM,
+# not just a slow plan.
 # ---------------------------------------------------------------------------
 
 
@@ -326,7 +332,7 @@ def j5_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -685,7 +691,7 @@ def p5_hydration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey")
         .agg(
             F.concat_ws(",", F.sort_array(F.collect_list("l_linenumber"))).alias("line_numbers"),
@@ -785,7 +791,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -819,9 +825,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

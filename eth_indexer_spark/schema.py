@@ -97,11 +97,17 @@ RECEIPT_LOGS = T.StructType([
     _s("event_name"),  # topic0 hex; literal "NA" when no topics (utils.go:33-35)
     _s("topic1"), _s("topic2"), _s("topic3"),
     _s("data", BIN),
-    # position of the log within its transaction (geth types.Log.Index).
-    # The reference model omits it (model/types.go:153-164) because MySQL
-    # rows are naturally distinct; a columnar store needs an explicit
-    # discriminator so two otherwise-identical logs (e.g. two ERC721
-    # Transfers in one tx differing only by tokenId) are distinct rows.
+    # REQUIRED log discriminator, unique per (tx_hash, log_index). The
+    # canonical scoping is PER TRANSACTION (0,1,2,... within each tx, the
+    # numbering fixtures generate); geth's types.Log.Index is BLOCK-scoped,
+    # which a real fetcher may pass through verbatim — it is also unique per
+    # (tx_hash, log_index), so both scopings satisfy the engine's only
+    # invariant. The reference model omits the column (model/types.go:
+    # 153-164) because MySQL rows are naturally distinct; a columnar store
+    # needs the explicit discriminator so two otherwise-identical logs (two
+    # ERC721 Transfers in one tx differing only by tokenId) stay distinct.
+    # NULL is rejected by the sink (ParquetStore._require_non_null) — a null
+    # would make the dedup key collapse all of a transaction's logs.
     _s("log_index", LONG),
 ])
 

@@ -96,6 +96,14 @@ EXTRA_PARTITIONS: dict[str, list[str]] = {
 
 DIMENSION_TABLES = ("erc20", "subscriptions", "reorgs")
 
+# Columns that must never be NULL on write: dropDuplicates treats NULLs as
+# equal, so a null in a dedup-key column would silently collapse distinct
+# rows (e.g. a fetcher omitting log_index would merge all of a transaction's
+# logs into one). Fail loudly instead.
+REQUIRED_NON_NULL: dict[str, list[str]] = {
+    "receipt_logs": ["log_index"],
+}
+
 _BUCKET = "block_bucket"
 
 
@@ -181,6 +189,20 @@ class ParquetStore:
 
     # -- writes --------------------------------------------------------------
 
+    def _require_non_null(self, table: str, df: DataFrame) -> None:
+        cols = REQUIRED_NON_NULL.get(table)
+        if not cols:
+            return
+        cond = None
+        for c in cols:
+            n = F.col(c).isNull()
+            cond = n if cond is None else (cond | n)
+        if df.filter(cond).limit(1).count() > 0:
+            raise ValueError(
+                f"{table}: NULL in required column(s) {cols} — a null dedup "
+                "key would silently collapse distinct rows; fix the fetcher"
+            )
+
     def _with_bucket(self, table: str, df: DataFrame) -> DataFrame:
         col = BLOCK_COLUMN[table]
         return df.withColumn(_BUCKET, (F.col(col) / self.bucket_size).cast("long"))
@@ -206,6 +228,7 @@ class ParquetStore:
         each table's own min/max block (one tiny agg job per table).
         """
         for table, df in tables.items():
+            self._require_non_null(table, df)
             key = UNIQUE_KEYS.get(table)
             if key:
                 df = df.dropDuplicates(key)
@@ -242,6 +265,7 @@ class ParquetStore:
         skips the overwrite listing. Dedup-on-key still applies within the
         batch; cross-batch idempotency needs `write_blocks`."""
         for table, df in tables.items():
+            self._require_non_null(table, df)
             key = UNIQUE_KEYS.get(table)
             if key:
                 df = df.dropDuplicates(key)

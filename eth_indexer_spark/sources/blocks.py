@@ -33,6 +33,7 @@ class PandasBlockSource:
         transactions: pd.DataFrame,
         receipts: pd.DataFrame,
         logs: pd.DataFrame,
+        transfer_logs: pd.DataFrame | None = None,
         schemas: dict[str, str] | None = None,
     ):
         self.spark = spark
@@ -41,8 +42,16 @@ class PandasBlockSource:
         self.transactions = transactions.reset_index(drop=True)
         self.receipts = receipts.reset_index(drop=True)
         self.logs = logs.reset_index(drop=True)
+        # None = the node has no state-diff support (no debug_getTransferLogs);
+        # the ingestor then falls back to tx.value-derived ether events
+        self.transfer_logs = (
+            None if transfer_logs is None else transfer_logs.reset_index(drop=True)
+        )
 
-    def extend(self, headers=None, transactions=None, receipts=None, logs=None) -> None:
+    def extend(
+        self, headers=None, transactions=None, receipts=None, logs=None,
+        transfer_logs=None,
+    ) -> None:
         """Register additional blocks (e.g. a fork branch)."""
         if headers is not None and len(headers):
             self.headers = pd.concat([self.headers, headers], ignore_index=True)
@@ -52,6 +61,13 @@ class PandasBlockSource:
             self.receipts = pd.concat([self.receipts, receipts], ignore_index=True)
         if logs is not None and len(logs):
             self.logs = pd.concat([self.logs, logs], ignore_index=True)
+        if transfer_logs is not None and len(transfer_logs):
+            if self.transfer_logs is None:
+                self.transfer_logs = transfer_logs.reset_index(drop=True)
+            else:
+                self.transfer_logs = pd.concat(
+                    [self.transfer_logs, transfer_logs], ignore_index=True
+                )
 
     # -- point / range header lookups (driver-side, O(1)-ish rows) ----------
 
@@ -81,9 +97,15 @@ class PandasBlockSource:
         def _df(pdf: pd.DataFrame, schema_key: str) -> DataFrame:
             return self.spark.createDataFrame(pdf, schema=self.schemas[schema_key])
 
-        return {
+        out = {
             "block_headers_raw": _df(hdr, "block_headers_raw"),
             "transactions": _df(txs, "transactions"),
             "transaction_receipts": _df(rec, "transaction_receipts"),
             "receipt_logs": _df(lgs, "receipt_logs"),
         }
+        if self.transfer_logs is not None:
+            # state diffs are keyed by tx hash; tx hashes are branch-unique,
+            # so the same filter that fences receipts/logs fences these
+            tl = self.transfer_logs[self.transfer_logs["tx_hash"].isin(tx_hashes)]
+            out["transfer_logs"] = _df(tl, "transfer_logs")
+        return out

@@ -195,8 +195,16 @@ class BlockIngestor:
         )
         headers = X.compute_header_rewards(raw["block_headers_raw"], txs, receipts)
 
+        # ether events: the node's state-diff transfer logs are authoritative
+        # (they see ether moved INSIDE contract execution, indexer.go:443-467);
+        # only a source without debug_getTransferLogs support falls back to
+        # tx.value, which misses internal transfers
+        if "transfer_logs" in raw:
+            eth_events = X.eth_transfer_events(raw["transfer_logs"])
+        else:
+            eth_events = X.extract_eth_transfers(txs)
         events = (
-            X.extract_eth_transfers(txs)
+            eth_events
             .unionByName(X.extract_erc20_transfers(logs, self.erc20))
             .unionByName(X.reward_events(headers))
         )

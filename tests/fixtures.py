@@ -60,20 +60,34 @@ TX = addr(0xBBBB)          # unregistered token (logs ignored)
 
 NOW = datetime(2024, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
 
+CONTRACT = addr(0xCCCC)  # a contract that moves ether internally (unsubscribed)
+
 # (number, coinbase, difficulty, [(tx_tag, from, to, amount, gas_price, gas_used)],
-#  [(tx_tag, contract, topic0, from, to, value)], [(uncle_hash_tag, uncle_coinbase, uncle_number)])
+#  [(tx_tag, contract, topic0, from, to, value)], [(uncle_hash_tag, uncle_coinbase, uncle_number)],
+#  optional [(tx_tag, from, to, value)] INTERNAL ether transfers — state-diff
+#  movements executed inside contract calls, invisible to tx.amount
+#  (debug_getTransferLogs, client/client.go:150-154))
 BLOCKS = [
     (100, A9, 100, [("100a", A1, A2, 1000, 5, 4)], [], []),
     (101, A9, 101, [("101a", A9, A1, 7, 3, 2)],
      [("101a", T1, TRANSFER_SIG, A2, A3, 500), ("101a", TX, TRANSFER_SIG, A1, A3, 777)], []),
     (102, A9, 102, [("102a", A1, A2, 0, 7, 3)],
-     [("102a", T1, "NA", None, None, None)], []),
+     [("102a", T1, "NA", None, None, None)], [],
+     [("102a", CONTRACT, A3, 55)]),  # zero-value call pays out ether internally
     (103, A1, 103, [], [], []),
     (104, A9, 104, [("104a", A9, A2, 2 * 10**39, 4, 5)],
      [("104a", T1, TRANSFER_SIG, A1, A2, 10**39)],
      [("u104a", A3, 103), ("u104b", A9, 102)]),
     (105, A9, 105, [("105a", A2, A1, 300, 2, 10)], [], []),
 ]
+
+
+def _norm(block: tuple) -> tuple:
+    """Normalize a block tuple to 7 fields (internal transfers optional)."""
+    if len(block) == 7:
+        return block
+    number, coinbase, diff, txs, logs, uncles = block
+    return number, coinbase, diff, txs, logs, uncles, []
 
 SUBSCRIPTIONS = [  # (id, block_number, group, address)
     (1, 90, 1, A1),
@@ -108,8 +122,9 @@ def build_raw(
     def bh(n: int) -> str:
         return f"{prefix}{n}".encode().hex().rjust(64, "0")
 
-    headers, txs, receipts, logs = [], [], [], []
-    for number, coinbase, diff, block_txs, block_logs, uncles in blocks:
+    headers, txs, receipts, logs, tlogs = [], [], [], [], []
+    for block in blocks:
+        number, coinbase, diff, block_txs, block_logs, uncles, internals = _norm(block)
         u = list(uncles) + [None, None]
         parent = (
             fork_parent[1]
@@ -150,6 +165,18 @@ def build_raw(
                 "tx_hash": thash(tag), "contract_address": None,
                 "gas_used": gu, "block_number": number,
             })
+            # state-diff log: every top-level value transfer is also a
+            # debug_getTransferLogs row (the state diff sees all ether moves)
+            if amount != 0:
+                tlogs.append({
+                    "block_number": number, "tx_hash": thash(tag),
+                    "from": f_, "to": t_, "value": str(amount),
+                })
+        for tag, f_, t_, value in internals:
+            tlogs.append({
+                "block_number": number, "tx_hash": thash(tag),
+                "from": f_, "to": t_, "value": str(value),
+            })
         log_idx: dict[str, int] = {}
         for tag, contract, topic0, f_, t_, value in block_logs:
             logs.append({
@@ -180,6 +207,9 @@ def build_raw(
         "transactions": pd.DataFrame(txs),
         "transaction_receipts": pd.DataFrame(receipts),
         "receipt_logs": pd.DataFrame(logs),
+        "transfer_logs": pd.DataFrame(
+            tlogs, columns=["block_number", "tx_hash", "from", "to", "value"]
+        ),
         "subscriptions": subs,
         "seed_balances": seed,
         "erc20": erc20,
@@ -199,7 +229,8 @@ def expected_model(blocks=BLOCKS) -> dict[str, object]:
     events = []                                     # (token, block, tx_hash, from, to, value)
     header_rewards: dict[int, dict[str, int]] = {}  # block -> reward cols
 
-    for number, coinbase, diff, block_txs, block_logs, uncles in blocks:
+    for block in blocks:
+        number, coinbase, diff, block_txs, block_logs, uncles, internals = _norm(block)
         txs_fee = 0
         for tag, f_, t_, amount, gp, gu in block_txs:
             fee = gp * gu
@@ -207,6 +238,9 @@ def expected_model(blocks=BLOCKS) -> dict[str, object]:
             fees[(number, f_)] = fees.get((number, f_), 0) + fee
             if amount != 0:
                 events.append((ETH, number, thash(tag), f_, t_, amount))
+        # internal (state-diff) ether moves: real events, no extra fee
+        for tag, f_, t_, value in internals:
+            events.append((ETH, number, thash(tag), f_, t_, value))
         for tag, contract, topic0, f_, t_, value in block_logs:
             if contract in registered and topic0 == TRANSFER_SIG:
                 events.append((contract, number, thash(tag), f_, t_, value))

@@ -35,10 +35,29 @@ def headers(raw):
 
 @pytest.fixture(scope="module")
 def events(raw, headers):
-    eth = tr.extract_eth_transfers(raw["transactions"])
+    # the state-diff path: covers top-level value transfers AND internal
+    # (contract-executed) ether moves the fixtures include at block 102
+    eth = tr.eth_transfer_events(raw["transfer_logs"])
     erc = tr.extract_erc20_transfers(raw["receipt_logs"], raw["erc20"])
     rew = tr.reward_events(headers)
     return eth.unionByName(erc).unionByName(rew)
+
+
+def test_internal_transfer_visible_only_to_state_diff(raw):
+    """The block-102 internal transfer (tx.amount == 0) appears in the
+    state-diff events and NOT in the tx.value fallback — the exact gap the
+    reference closes with debug_getTransferLogs (indexer.go:443-467)."""
+    from tests.fixtures import CONTRACT
+
+    diff_ev = tr.eth_transfer_events(raw["transfer_logs"]).filter(
+        (F.col("block_number") == 102) & (F.col("from") == CONTRACT)
+    )
+    assert diff_ev.count() == 1
+    assert diff_ev.collect()[0]["value"] == "55"
+    fallback = tr.extract_eth_transfers(raw["transactions"]).filter(
+        F.col("block_number") == 102
+    )
+    assert fallback.count() == 0
 
 
 def test_header_rewards(headers, model):
@@ -115,6 +134,17 @@ def test_subscribed_events_filter(raw, events):
     # miner reward of block 104 goes to unsubscribed A9 → excluded
     b104 = [r for r in rows if r["block_number"] == 104 and r["from"] == tr.MINER_REWARD_FROM]
     assert not b104
+
+
+def test_subscribed_events_keeps_genuine_duplicates(spark, raw):
+    """Two identical-value transfers to a subscribed address in one tx are
+    BOTH kept — the filter must be a membership test, not a dedup."""
+    ev = spark.createDataFrame(
+        [("tok", 100, "tx1", A9, A1, "5"), ("tok", 100, "tx1", A9, A1, "5")],
+        "token string, block_number long, tx_hash string, "
+        "`from` string, `to` string, value string",
+    )
+    assert tr.subscribed_events(ev, raw["subscriptions"]).count() == 2
 
 
 def test_ledger_deltas(raw, events, model):

@@ -153,3 +153,37 @@ def test_dimension_update_and_append(spark, store):
         ),
     )
     assert store.read("subscriptions").count() == 3
+
+
+def test_duplicate_transfers_and_log_index_rows_survive(spark, store):
+    """Regression pins for the round-2 key fix: (a) genuinely identical
+    duplicate transfer rows are legitimate (the reference's eth_transfer
+    table has NO unique key) and must survive write_blocks; (b) two logs
+    agreeing on every column except log_index are distinct rows."""
+    dup = transfers_df(
+        spark,
+        [("tok", 100, "tx1", "a", "b", "5"), ("tok", 100, "tx1", "a", "b", "5")],
+    )
+    logs = spark.createDataFrame(
+        [("tx1", 100, "c", "sig", "t1", "t2", None, b"", 0),
+         ("tx1", 100, "c", "sig", "t1", "t2", None, b"", 1)],
+        "tx_hash string, block_number long, contract_address string, "
+        "event_name string, topic1 string, topic2 string, topic3 string, "
+        "data binary, log_index long",
+    )
+    store.write_blocks({"transfers": dup, "receipt_logs": logs}, block_range=(100, 100))
+    assert store.read("transfers").count() == 2
+    assert store.read("receipt_logs").count() == 2
+
+
+def test_null_log_index_rejected(spark, store):
+    """A fetcher that omits log_index must fail loudly, not silently
+    collapse all of a transaction's logs through the NULL-equal dedup."""
+    logs = spark.createDataFrame(
+        [("tx1", 100, "c", "sig", "t1", "t2", None, b"", None)],
+        "tx_hash string, block_number long, contract_address string, "
+        "event_name string, topic1 string, topic2 string, topic3 string, "
+        "data binary, log_index long",
+    )
+    with pytest.raises(ValueError, match="log_index"):
+        store.write_blocks({"receipt_logs": logs}, block_range=(100, 100))

@@ -38,6 +38,7 @@ def _mk(spark, tmp_path, raw_pdfs):
         raw_pdfs["transactions"],
         raw_pdfs["transaction_receipts"],
         raw_pdfs["receipt_logs"],
+        transfer_logs=raw_pdfs.get("transfer_logs"),
     )
     subs = spark.createDataFrame(raw_pdfs["subscriptions"], RAW_SCHEMAS["subscriptions"])
     erc20 = spark.createDataFrame(raw_pdfs["erc20"], RAW_SCHEMAS["erc20"])
@@ -121,6 +122,7 @@ def test_reorg_winning_fork(spark, tmp_path):
     source.extend(
         fork["block_headers_raw"], fork["transactions"],
         fork["transaction_receipts"], fork["receipt_logs"],
+        transfer_logs=fork["transfer_logs"],
     )
 
     assert ing.process_headers(headers_of(fork, [104, 105])) == "reorg"
@@ -213,6 +215,33 @@ def test_crash_replay_converges(spark, tmp_path):
     assert_state_matches(store, expected_model())
     assert store.read("block_headers").count() == 6
     assert store.read("transactions").select("hash").distinct().count() == 5
+
+
+def test_ingest_without_state_diff_falls_back_to_tx_value(spark, tmp_path):
+    """A source with no debug_getTransferLogs support (non-archive node)
+    still ingests — ether events derive from tx.value, so internal transfers
+    are invisible (the documented fallback semantic)."""
+    raw = build_raw()
+    store = ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
+    source = PandasBlockSource(
+        spark,
+        raw["block_headers_raw"],
+        raw["transactions"],
+        raw["transaction_receipts"],
+        raw["receipt_logs"],
+        # no transfer_logs
+    )
+    subs = spark.createDataFrame(raw["subscriptions"], RAW_SCHEMAS["subscriptions"])
+    erc20 = spark.createDataFrame(raw["erc20"], RAW_SCHEMAS["erc20"])
+    ing = BlockIngestor(spark, store, source, subs, erc20)
+    store.write_blocks(
+        {"balances": spark.createDataFrame(raw["seed_balances"], RAW_SCHEMAS["seed_balances"])}
+    )
+    ing.process_headers(headers_of(raw, [100, 101, 102, 103, 104, 105]))
+
+    # model without the internal transfer: strip the 7th tuple element
+    no_internals = [b[:6] for b in BLOCKS]
+    assert_state_matches(store, expected_model(blocks=no_internals))
 
 
 def test_register_token_backfill(spark, tmp_path):
