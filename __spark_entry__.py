@@ -37,7 +37,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows_only_tail = [
         "x_text_winnow",       # guarantee pinned by pytest property test
         "x_dedup_minhash_lsh", # recall/verify pytest vs exact Jaccard
-        "x_ann_ivf",           # recall pytest vs cosine_topk
         "x_ann_rhp_lsh",       # recall pytest vs cosine_topk
         "x_dedup_simhash",     # Hamming-pair pytest
     ]

@@ -23,7 +23,6 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -62,21 +61,87 @@ def cosine_topk(
 def cosine_pairs(
     emb: DataFrame, threshold: float,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
     """Exact embedding near-dup pairs: cosine ≥ threshold, i < j.
-    Pre-normalizes once so the join condition is a plain dot product.
-    Zero-norm vectors are dropped — cosine is undefined for them (and ANSI
-    mode would otherwise raise on the division)."""
+
+    Distributed block-pair form: ids hash into ``n_blocks`` blocks; each
+    unordered block pair (bi ≤ bj) is one unit of work, reached through TWO
+    equi-joins (a broadcast of the tiny block-pair list, then a hash join on
+    the right block) — never a nested-loop cross join and never a broadcast
+    of the vector table. Exactness inherently costs O(N²/2) similarity
+    evaluations; this shape spreads them evenly over B(B+1)/2 hash
+    partitions with O(N·(B+1)/2) shuffled rows, so wall-clock scales with
+    cluster width. (The sub-quadratic path is :func:`rhp_banded_pairs` —
+    recall < 1, candidates exact-verified.) Pre-normalizes once so the pair
+    predicate is a plain dot product; zero-norm vectors are dropped (cosine
+    undefined)."""
+    unit = emb.filter(norm(_vec(vec_col)) > 0).select(
+        F.col(id_col).alias("id"),
+        F.transform(_vec(vec_col), lambda x: x / norm(_vec(vec_col))).alias("u"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    block_pairs = emb.sparkSession.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    a = unit.select(
+        F.col("id").alias("a_id"), F.col("u").alias("a_u"), F.col("blk").alias("a_blk")
+    ).join(F.broadcast(block_pairs), F.col("a_blk") == F.col("bi"))
+    b = unit.select(
+        F.col("id").alias("b_id"), F.col("u").alias("b_u"), F.col("blk").alias("b_blk")
+    )
+    sim = dot(F.col("a_u"), F.col("b_u"))
+    return (
+        a.join(b, F.col("bj") == F.col("b_blk"))
+        # same-block pairs appear in both orders → keep one; cross-block
+        # pairs appear once in arbitrary order → emit (min, max)
+        .filter((F.col("a_blk") < F.col("b_blk")) | (F.col("a_id") < F.col("b_id")))
+        .filter(sim >= threshold)
+        .select(
+            F.least("a_id", "b_id").alias("i"),
+            F.greatest("a_id", "b_id").alias("j"),
+        )
+    )
+
+
+def rhp_banded_pairs(
+    emb: DataFrame, dim: int, threshold: float,
+    r: int = 8, L: int = 12, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs: banded random-hyperplane LSH →
+    exact-verify. ``L`` independent bucketings of ``r`` planes each;
+    candidate pairs share a bucket in ANY bucketing (OR-construction, the
+    MinHash-band pattern); every candidate is then exactly verified with a
+    full cosine, so precision is 1 and only recall is probabilistic:
+    1 − (1 − p^r)^L with p = 1 − θ/π. Designed for DUPLICATE-grade
+    thresholds (≥ ~0.8, p ≥ 0.85 → recall ≈ 1); at low thresholds (0.4)
+    no LSH family prunes, use :func:`cosine_pairs`.
+
+    Scale shape: per bucketing, pairs come from bucket-local self-joins
+    (shuffle on bucket id, never all-pairs); candidates dedup once; one
+    verify join. At 100 TB the bucket id is a partition column."""
     unit = emb.filter(norm(_vec(vec_col)) > 0).select(
         F.col(id_col).alias("id"),
         F.transform(_vec(vec_col), lambda x: x / norm(_vec(vec_col))).alias("u"),
     )
-    a, b = unit.alias("a"), unit.alias("b")
-    sim = dot(F.col("a.u"), F.col("b.u"))
+    cand = None
+    for t in range(L):
+        bk = rhp_lsh_buckets(unit, dim, n_planes=r, seed=seed + 1000 * t,
+                             id_col="id", vec_col="u")
+        lhs = bk.select(F.col("id").alias("i"), F.col("bucket"))
+        rhs = bk.select(F.col("id").alias("j"), F.col("bucket"))
+        pairs = lhs.join(rhs, "bucket").filter(F.col("i") < F.col("j")).select("i", "j")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    ua = unit.select(F.col("id").alias("i"), F.col("u").alias("ua"))
+    ub = unit.select(F.col("id").alias("j"), F.col("u").alias("ub"))
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .filter(sim >= threshold)
-        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        cand.join(ua, "i")
+        .join(ub, "j")
+        .filter(dot(F.col("ua"), F.col("ub")) >= threshold)
+        .select("i", "j")
     )
 
 
@@ -137,35 +202,58 @@ def ivf_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10,
     nlist: int = 16, nprobe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    exclude_id: int | None = None,
 ) -> DataFrame:
-    """IVF coarse search: centroids = a deterministic 1/nlist sample of the
-    vectors themselves (id-hash modulo — cheap stand-in for k-means, same
-    plumbing); every vector joins its nearest centroid list; the query scans
-    the nprobe nearest lists."""
-    cents = (
-        emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(997)) < F.lit(997 // nlist))
+    """IVF coarse search with exactly ``nlist`` centroids.
+
+    Centroids = the ``nlist`` lowest-id vectors (a deterministic, constant-
+    size stand-in for one k-means pass — and expressible in ANSI SQL, so the
+    whole operator is oracle-checkable). They are collected to the driver
+    (nlist rows, CONSTANT in table size) and inlined as literals, so
+    assignment is a single narrow scan evaluating nlist dot products per
+    row — O(N·nlist), no join, no shuffle, no growing broadcast. Ties pick
+    the smallest centroid id (matching ``ROW_NUMBER ... ORDER BY cs DESC,
+    cid`` semantics). The query probes the ``nprobe`` nearest centroid
+    lists, then an exact top-k runs over the probed lists only."""
+    cent_rows = (
+        emb.orderBy(F.col(id_col))
+        .limit(nlist)
         .select(F.col(id_col).alias("cid"), _vec(vec_col).alias("cvec"))
+        .collect()
+    )
+    cents = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows]
+
+    def _py_cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na > 0 and nb > 0 else float("-inf")
+
+    probe_ids = [
+        cid
+        for cid, _ in sorted(
+            cents, key=lambda c: (-_py_cos(c[1], query_vec), c[0])
+        )[:nprobe]
+    ]
+
+    v = _vec(vec_col)
+    # argmax over literal centroids: greatest() on (cs, -cid) structs picks
+    # max cosine, ties → smallest cid; whole-stage-codegen, no shuffle
+    best = F.greatest(
+        *[
+            F.struct(
+                cosine(v, F.array(*[F.lit(x) for x in cv])).alias("cs"),
+                F.lit(-cid).cast("long").alias("neg_cid"),
+            )
+            for cid, cv in cents
+        ]
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    probe_ids = [
-        r["cid"]
-        for r in cents.select("cid", cosine(F.col("cvec"), q).alias("cs"))
-        .orderBy(F.desc("cs"), "cid")
-        .limit(nprobe)
-        .collect()
-    ]
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("cs", cosine(_vec(vec_col), F.col("cvec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy(id_col).orderBy(F.desc("cs"), "cid")),
-        )
-        .filter(F.col("rn") == 1)
+    out = (
+        emb.withColumn("__cid", -best["neg_cid"])
+        .filter(F.col("__cid").isin(probe_ids))
+        .select(F.col(id_col), cosine(v, q).alias("sim"))
     )
-    return (
-        assigned.filter(F.col("cid").isin(probe_ids))
-        .select(F.col(id_col), cosine(_vec(vec_col), q).alias("sim"))
-        .orderBy(F.desc("sim"), id_col)
-        .limit(k)
-    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("sim"), id_col).limit(k)

@@ -107,6 +107,41 @@ def x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@register(
+    "x_embed_near_dup_lsh",
+    """
+    WITH all_e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01 + 0.001)
+        FROM embeddings
+    )
+    SELECT a.vec_id AS i, b.vec_id AS j
+    FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+    """,
+)
+def x_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sub-quadratic near-dup path: banded RHP-LSH candidates +
+    exact verification, over a corpus with PLANTED duplicates (each vector
+    ∪ a perturbed copy — the near-dup analog of `_doubled_docs`). At
+    duplicate-grade similarity (here ≈0.9999) banded recall is ≈1 − 1e-17,
+    so the output equals the exact all-pairs result and the operator is
+    oracle-checked despite being an LSH path."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(as_double, lambda x: x * 1.01 + 0.001).alias("embedding"),
+    )
+    corpus = e.select("vec_id", as_double.alias("embedding")).unionByName(pert)
+    dim = len(_query_vec(spark, sf_dir, 0))
+    return similarity.rhp_banded_pairs(
+        corpus, dim=dim, threshold=0.9, r=8, L=12
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -145,11 +180,38 @@ def x_ann_rhp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
-@register("x_ann_ivf")  # approximate → rows-only check
+@register(
+    "x_ann_ivf",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+        SELECT cid FROM c, q
+        ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4
+    ),
+    assign AS (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid
+               ) AS rn
+        FROM e, c
+    )
+    SELECT a.vec_id
+    FROM assign a JOIN e ON a.vec_id = e.vec_id, q
+    WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0
+    ORDER BY list_cosine_similarity(e.v, qv) DESC, a.vec_id
+    LIMIT 10
+    """,
+)
 def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with deterministic lowest-id centroids — fully oracle-checkable
+    (centroid choice, assignment argmax, probe list, and final top-k all
+    have exact ANSI-SQL equivalents)."""
     q = _query_vec(spark, sf_dir, 0)
     return similarity.ivf_topk(
-        _t(spark, sf_dir, "embeddings"), q, k=10, nlist=16, nprobe=4
+        _t(spark, sf_dir, "embeddings"), q, k=10, nlist=16, nprobe=4, exclude_id=0
     ).select("vec_id")
 
 

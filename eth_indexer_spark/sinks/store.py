@@ -49,6 +49,7 @@ partition economics.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -74,6 +75,11 @@ UNIQUE_KEYS: dict[str, list[str]] = {
     "erc20": ["address"],
     "subscriptions": ["address"],
     "reorgs": ["from_hash", "to_hash"],
+    # maintained latest-state dimensions (streaming/ingest.py): one row per
+    # key, updated per batch — the O(batch) replacement for re-scanning full
+    # balance history every micro-batch
+    "latest_balances": ["token", "address"],
+    "latest_totals": ["token", "group"],
 }
 
 # Column the block bucket derives from, per block-keyed table.
@@ -107,6 +113,32 @@ REQUIRED_NON_NULL: dict[str, list[str]] = {
 _BUCKET = "block_bucket"
 
 
+def _bucket_of(rel_dir: str) -> int:
+    """Bucket number from a partition dir rel path ('block_bucket=7' or
+    'token=ab/block_bucket=7')."""
+    return int(rel_dir.rsplit(f"{_BUCKET}=", 1)[1])
+
+
+def _partition_rel_dirs(root: str, extra_partitions: list[str]) -> list[str]:
+    """Partition dirs under a partitioned-parquet root, as rel paths."""
+    prefixes = [""]
+    if extra_partitions:
+        prefixes = [
+            d + os.sep
+            for d in os.listdir(root)
+            if d.startswith(tuple(f"{c}=" for c in extra_partitions))
+        ]
+    out = []
+    for p in prefixes:
+        base = os.path.join(root, p) if p else root
+        if not os.path.isdir(base):
+            continue
+        for name in os.listdir(base):
+            if name.startswith(f"{_BUCKET}="):
+                out.append(p + name)
+    return out
+
+
 class ParquetStore:
     """One directory per table under ``root``; block-keyed tables partitioned
     by (token?,) block_bucket."""
@@ -116,6 +148,82 @@ class ParquetStore:
         self.root = root
         self.bucket_size = bucket_size
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        self._recover()
+
+    # -- crash-safe mutation protocol ----------------------------------------
+    #
+    # Every destructive operation (retraction, compaction, dimension swap)
+    # follows write-ahead form: (1) materialize the new state under a
+    # deterministic ``__tmp_*`` dir, (2) atomically write a
+    # ``<tmp>.manifest.json`` — the COMMIT POINT, (3) apply by per-directory
+    # renames/drops, (4) remove manifest + tmp. ``_recover()`` (run on store
+    # open) re-applies any committed-but-unfinished manifest and aborts any
+    # uncommitted tmp, so a crash at ANY point either never happened or
+    # completes — the reference's DB-transaction guarantee for the reorg path
+    # (store/store.go:129-139) without a transaction log. Apply/recover use
+    # no Spark jobs: pure directory renames, idempotent under replay.
+    #
+    # The store is SINGLE-WRITER by construction (one ingestor owns the
+    # directory tree; the reference's multi-writer dup-key tolerance,
+    # common/errors.go:47-57, has no analog here — concurrent writers would
+    # race the manifest protocol). Readers are unaffected: Delta/Iceberg
+    # would supply snapshot isolation on a production deployment.
+
+    def _manifest_path(self, tmp_name: str) -> str:
+        return os.path.join(self.root, tmp_name + ".manifest.json")
+
+    def _write_manifest(self, manifest: dict) -> None:
+        path = self._manifest_path(manifest["tmp"])
+        staging = path + ".writing"
+        with open(staging, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(staging, path)
+
+    def _recover(self) -> None:
+        if not os.path.isdir(self.root):
+            return
+        names = sorted(os.listdir(self.root))
+        for n in names:  # half-written manifests: pre-commit, abort
+            if n.endswith(".manifest.json.writing"):
+                os.remove(os.path.join(self.root, n))
+        for n in names:  # committed ops: finish them
+            if n.endswith(".manifest.json") and os.path.exists(os.path.join(self.root, n)):
+                with open(os.path.join(self.root, n)) as f:
+                    self._apply_manifest(json.load(f))
+        for n in sorted(os.listdir(self.root)):  # uncommitted tmps: abort
+            if n.startswith("__tmp_"):
+                shutil.rmtree(os.path.join(self.root, n), ignore_errors=True)
+
+    def _apply_manifest(self, m: dict) -> None:
+        """Finish a committed mutation. Idempotent: every step checks state
+        before acting, so replaying after a crash mid-apply converges."""
+        tmp = os.path.join(self.root, m["tmp"])
+        final = self.path(m["table"])
+        if m["op"] == "swap":
+            # whole-directory replacement (compact / dimension update)
+            if os.path.isdir(tmp):
+                if os.path.isdir(final):
+                    shutil.rmtree(final)
+                os.rename(tmp, final)
+        elif m["op"] == "retract":
+            survivors = set(m["survivor_dirs"])
+            # 1. survivor partition dirs still in tmp move into place
+            for rel in sorted(survivors):
+                src = os.path.join(tmp, rel)
+                if os.path.isdir(src):
+                    dst = os.path.join(final, rel)
+                    if os.path.isdir(dst):
+                        shutil.rmtree(dst)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(src, dst)
+            # 2. in-range dirs that are NOT survivors hold only retracted rows
+            for rel in self._bucket_rel_dirs(m["table"]):
+                if m["lo_b"] <= _bucket_of(rel) <= m["hi_b"] and rel not in survivors:
+                    shutil.rmtree(os.path.join(final, rel), ignore_errors=True)
+        os.remove(self._manifest_path(m["tmp"]))
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # -- paths ---------------------------------------------------------------
 
@@ -159,21 +267,16 @@ class ParquetStore:
         )
         return row["m"]
 
-    def _bucket_values(self, table: str) -> list[int]:
+    def _bucket_rel_dirs(self, table: str) -> list[str]:
+        """Existing partition dirs of a block-keyed table, as rel paths
+        ('block_bucket=N' or 'token=V/block_bucket=N')."""
         root = self.path(table)
-        dirs = [root]
-        if table in EXTRA_PARTITIONS:
-            dirs = [
-                os.path.join(root, d)
-                for d in os.listdir(root)
-                if d.startswith(tuple(f"{c}=" for c in EXTRA_PARTITIONS[table]))
-            ]
-        out = []
-        for d in dirs:
-            for name in os.listdir(d):
-                if name.startswith(f"{_BUCKET}="):
-                    out.append(int(name.split("=", 1)[1]))
-        return out
+        if not os.path.isdir(root):
+            return []
+        return _partition_rel_dirs(root, EXTRA_PARTITIONS.get(table, []))
+
+    def _bucket_values(self, table: str) -> list[int]:
+        return [_bucket_of(rel) for rel in self._bucket_rel_dirs(table)]
 
     def read_range(self, table: str, lo: int | None = None, hi: int | None = None) -> DataFrame:
         """Range scan with explicit partition pruning: the bucket predicate
@@ -241,8 +344,9 @@ class ParquetStore:
             if lo is None:
                 continue  # empty batch for this table
 
+            lo_b, hi_b = lo // self.bucket_size, hi // self.bucket_size
+            pre_range_dirs: list[str] = []
             if self.exists(table):
-                lo_b, hi_b = lo // self.bucket_size, hi // self.bucket_size
                 survivors = (
                     self.spark.read.parquet(self.path(table))
                     .filter((F.col(_BUCKET) >= lo_b) & (F.col(_BUCKET) <= hi_b))
@@ -251,14 +355,38 @@ class ParquetStore:
                 )
                 # materialize before overwriting the path they were read from
                 df = df.unionByName(survivors.localCheckpoint())
+                pre_range_dirs = [
+                    rel for rel in self._bucket_rel_dirs(table)
+                    if lo_b <= _bucket_of(rel) <= hi_b
+                ]
 
             out = self._with_bucket(table, df)
             parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
+            if pre_range_dirs:
+                # Dynamic overwrite only rewrites partitions PRESENT in the
+                # output: an in-range bucket whose every stored row was
+                # replaced away (zero batch rows, zero survivors) would keep
+                # its stale files, violating the overwrite-by-range contract.
+                # Pin the union once (its lineage reads the files the
+                # overwrite is about to replace), probe the covered partition
+                # set from the pinned copy, write, then drop the uncovered
+                # in-range dirs. Replay-safe: a crash before the drop re-runs
+                # the whole batch (header commit marker) and reaches here.
+                out = out.localCheckpoint()
+                covered = set()
+                for r in out.select(*parts).distinct().collect():
+                    rel = f"{_BUCKET}={r[_BUCKET]}"
+                    for c in EXTRA_PARTITIONS.get(table, []):
+                        rel = f"{c}={r[c]}{os.sep}" + rel
+                    covered.add(rel)
             (
                 out.write.mode("overwrite")
                 .partitionBy(*parts)
                 .parquet(self.path(table))
             )
+            for rel in pre_range_dirs:
+                if rel not in covered:
+                    shutil.rmtree(os.path.join(self.path(table), rel), ignore_errors=True)
 
     def append_blocks(self, tables: dict[str, DataFrame]) -> None:
         """Append variant for batches known to touch new buckets only —
@@ -276,12 +404,17 @@ class ParquetStore:
     # -- mutations -----------------------------------------------------------
 
     def delete_block_range(self, table: str, lo: int, hi: int) -> None:
-        """M1/M2: retract all rows with block ∈ [lo, hi].
+        """M1/M2: retract all rows with block ∈ [lo, hi] — CRASH-SAFE.
 
         Physical plan: buckets strictly inside the range are deleted whole
         (pure metadata, no data read); the ≤2 boundary buckets are read,
-        filtered, and swapped. Cost is O(bucket_size), independent of table
-        size — the property the reference's chunked DELETE approximates.
+        filtered, and their survivors written to tmp IN THE FINAL PARTITION
+        LAYOUT. The manifest commit then makes the swap replayable: a crash
+        before the manifest aborts cleanly (live data untouched), a crash
+        after it is completed by `_recover()` on the next store open. Cost
+        is O(bucket_size), independent of table size — the property the
+        reference's chunked DELETE approximates, with the reference's
+        transactionality (store/store.go:129-139) restored.
         """
         if not self.exists(table):
             return
@@ -289,43 +422,42 @@ class ParquetStore:
         lo_b, hi_b = lo // self.bucket_size, hi // self.bucket_size
         root = self.path(table)
 
-        # survivors live only in the ≤2 boundary buckets; interior buckets
-        # are dropped whole without reading a byte. Materialize survivors to
-        # a temp dir (distributed write, never driver-resident) BEFORE
-        # dropping their source partitions, then swap back in.
         survivors = (
             self.spark.read.parquet(root)
             .filter((F.col(_BUCKET) >= lo_b) & (F.col(_BUCKET) <= hi_b))
             .filter((F.col(col) < lo) | (F.col(col) > hi))
         )
         if survivors.limit(1).count() == 0:
+            # pure drop: idempotent, safe to crash mid-way and re-run
             self._drop_bucket_dirs(table, lo_b, hi_b)
             return
-        tmp = os.path.join(self.root, f"__tmp_{table}_retract")
-        survivors.write.mode("overwrite").parquet(tmp)
 
-        self._drop_bucket_dirs(table, lo_b, hi_b)
-        back = self.spark.read.parquet(tmp)
-        out = self._with_bucket(table, back.drop(_BUCKET))
+        tmp_name = f"__tmp_{table}_retract"
+        tmp = os.path.join(self.root, tmp_name)
+        shutil.rmtree(tmp, ignore_errors=True)  # stale uncommitted attempt
         parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
-        out.write.mode("append").partitionBy(*parts).parquet(root)
-        shutil.rmtree(tmp, ignore_errors=True)
+        survivors.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+
+        # survivor partition dirs, rel to the table root (they mirror the
+        # live layout because tmp was written with the same partitionBy)
+        survivor_rels = _partition_rel_dirs(tmp, EXTRA_PARTITIONS.get(table, []))
+
+        manifest = {
+            "op": "retract",
+            "table": table,
+            "tmp": tmp_name,
+            "lo_b": lo_b,
+            "hi_b": hi_b,
+            "survivor_dirs": survivor_rels,
+        }
+        self._write_manifest(manifest)  # COMMIT POINT
+        self._apply_manifest(manifest)
 
     def _drop_bucket_dirs(self, table: str, lo_b: int, hi_b: int) -> None:
         root = self.path(table)
-        prefix_dirs = [root]
-        if table in EXTRA_PARTITIONS:  # token=<v>/block_bucket=<n>
-            prefix_dirs = [
-                os.path.join(root, d)
-                for d in os.listdir(root)
-                if d.startswith(tuple(f"{c}=" for c in EXTRA_PARTITIONS[table]))
-            ]
-        for pd_ in prefix_dirs:
-            for d in os.listdir(pd_):
-                if d.startswith(f"{_BUCKET}="):
-                    b = int(d.split("=", 1)[1])
-                    if lo_b <= b <= hi_b:
-                        shutil.rmtree(os.path.join(pd_, d), ignore_errors=True)
+        for rel in self._bucket_rel_dirs(table):
+            if lo_b <= _bucket_of(rel) <= hi_b:
+                shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
 
     def retract_blocks(self, lo: int, hi: int, tables: tuple[str, ...] | None = None) -> None:
         """The full reorg retraction (store/store.go:319-378): range-delete
@@ -341,28 +473,33 @@ class ParquetStore:
         listing and parquet footer overhead — the standard lakehouse
         compaction concern (Delta OPTIMIZE). Repartitioning by the partition
         columns routes each partition's rows to a single task → single file;
-        the rewrite lands in a temp dir and swaps in atomically."""
+        the rewrite lands in tmp and swaps in through the crash-safe
+        manifest protocol (a crash mid-swap is completed on recovery)."""
         parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
         df = self.spark.read.parquet(self.path(table)).repartition(*[F.col(c) for c in parts])
-        tmp = os.path.join(self.root, f"__tmp_{table}_compact")
+        tmp_name = f"__tmp_{table}_compact"
+        tmp = os.path.join(self.root, tmp_name)
+        shutil.rmtree(tmp, ignore_errors=True)
         df.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
-        final = self.path(table)
-        shutil.rmtree(final)
-        os.replace(tmp, final)
+        manifest = {"op": "swap", "table": table, "tmp": tmp_name}
+        self._write_manifest(manifest)  # COMMIT POINT
+        self._apply_manifest(manifest)
 
     def update_dimension(self, table: str, df: DataFrame) -> None:
         """M3/M4: replace a small dimension wholesale (subscriptions / erc20
-        / reorgs audit log). Write-temp-then-swap so a crash mid-write never
-        leaves a half dimension."""
+        / reorgs audit log). Write-tmp + manifest + swap: a crash mid-write
+        aborts (old dimension intact), a crash mid-swap completes on
+        recovery — never a half dimension."""
         key = UNIQUE_KEYS.get(table)
         if key:
             df = df.dropDuplicates(key)
-        tmp = os.path.join(self.root, f"__tmp_{table}")
+        tmp_name = f"__tmp_{table}"
+        tmp = os.path.join(self.root, tmp_name)
+        shutil.rmtree(tmp, ignore_errors=True)
         df.write.mode("overwrite").parquet(tmp)
-        final = self.path(table)
-        if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
+        manifest = {"op": "swap", "table": table, "tmp": tmp_name}
+        self._write_manifest(manifest)  # COMMIT POINT
+        self._apply_manifest(manifest)
 
     def append_dimension(self, table: str, df: DataFrame) -> None:
         """Append rows to a dimension (reorgs audit rows), dedup on key."""

@@ -149,29 +149,54 @@ class BlockIngestor:
             return
         backfill = X.new_token_backfill(
             self.store.read("balances"), self.subscriptions, address, at_block
-        )
+        ).localCheckpoint()
         # preserve other tokens' totals already written at this block: the
         # sink's overwrite unit is the whole block range, so fold them in
+        to_write = backfill
         if self.store.exists("total_balances"):
             others = (
                 self.store.read_range("total_balances", at_block, at_block)
                 .filter(F.col("token") != address)
                 .localCheckpoint()
             )
-            backfill = backfill.unionByName(others)
+            to_write = backfill.unionByName(others)
         self.store.write_blocks(
-            {"total_balances": backfill}, block_range=(at_block, at_block)
+            {"total_balances": to_write}, block_range=(at_block, at_block)
         )
+        # keep the latest-state dim consistent: the new token's backfill rows
+        # are its only totals, so they are by definition its latest
+        if self.store.exists("latest_totals"):
+            dim = self.store.read("latest_totals")
+            self.store.update_dimension(
+                "latest_totals",
+                dim.filter(F.col("token") != address).unionByName(backfill),
+            )
 
     # -- decision application ---------------------------------------------------
 
-    def _apply(self, d: ReorgDecision) -> None:
+    def _apply(self, d: ReorgDecision, _gap_retry: bool = False) -> None:
         if d.action.startswith("ignore"):
             return
-        replay = d.replay
         if d.action == "gap":
+            # The backfilled headers are NOT trusted blindly: the combined
+            # run (backfill + fresh) goes back through check_reorg, because
+            # a reorg below the stored head can happen exactly while a gap
+            # forms — the reference routes every synced block through
+            # addBlockMaybeReorg (indexer.go:218-246,331-440). On a clean
+            # extension this resolves to "append"; on a fork it retracts.
+            if _gap_retry:
+                raise RuntimeError(
+                    "gap backfill did not close the gap — source is missing "
+                    f"headers in {d.gap}"
+                )
             backfill = self.source.headers_range(*d.gap)
-            replay = backfill + replay
+            combined = backfill + d.replay
+            d2 = check_reorg(
+                self._stored_recent(), combined, self.source.header_by_hash, self._td_at
+            )
+            self._apply(d2, _gap_retry=True)
+            return
+        replay = d.replay
         if d.action == "reorg":
             self.store.retract_blocks(d.retract_from, d.retract_to)
             row = dict(d.reorg_row, created_at=datetime.now(timezone.utc).replace(tzinfo=None))
@@ -180,6 +205,72 @@ class BlockIngestor:
             )
         for i in range(0, len(replay), MAX_BLOCKS_PER_BATCH):
             self._ingest(replay[i : i + MAX_BLOCKS_PER_BATCH])
+
+    # -- latest-state dimensions (O(batch) seeding, not O(table)) --------------
+
+    def _latest_state(self, dim_table: str, source_table: str, keys: list[str], first_n: int):
+        """Seed frame for the carry-forward aggregates: one row per key with
+        the latest value strictly before ``first_n``.
+
+        Steady state reads the maintained dimension — O(#keys), independent
+        of chain length. Self-healing paths:
+
+        - dim behind the store (crash between batch commit and dim update):
+          top-up from a bucket-pruned source read of just the gap;
+        - dim ahead of the replay position (a retraction moved the store
+          below it — reorg): the dim holds retracted state, rebuild from the
+          source as-of ``first_n - 1`` (O(table), reorg-only);
+        - no dim yet: same full read (first batch only).
+
+        Result is reduced to latest-per-key and pinned (localCheckpoint) so
+        downstream writes can safely overwrite the files it was read from.
+        """
+        w = W.partitionBy(*keys).orderBy(F.desc("block_number"))
+
+        def _reduce(df):
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+
+        have_src = self.store.exists(source_table)
+        full = (
+            _reduce(self.store.read_range(source_table, None, first_n - 1))
+            if have_src
+            else None
+        )
+        if not self.store.exists(dim_table):
+            return full.localCheckpoint() if full is not None else None
+        dim = self.store.read(dim_table)
+        dim_max = dim.agg(F.max("block_number").alias("m")).collect()[0]["m"]
+        if dim_max is None:
+            return full.localCheckpoint() if full is not None else None
+        if dim_max > first_n - 1:  # retracted state in the dim → rebuild
+            return full.localCheckpoint() if full is not None else None
+        if have_src and dim_max < first_n - 1:  # stale dim → bounded top-up
+            topup = self.store.read_range(source_table, dim_max + 1, first_n - 1)
+            dim = _reduce(dim.unionByName(topup))
+        return dim.localCheckpoint()
+
+    def _write_latest_dim(self, dim_table: str, keys: list[str], seed, batch_df) -> None:
+        """Fold a batch's output into the latest-state dimension: batch keys
+        take their newest row, untouched keys keep the seed's row. ``seed``
+        is the pinned frame `_latest_state` returned — already consistent
+        as-of the batch start, so the merge is O(#keys + batch)."""
+        w = W.partitionBy(*keys).orderBy(F.desc("block_number"))
+        batch_latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if seed is not None:
+            merged = seed.join(
+                batch_latest.select(*keys).distinct(), keys, "left_anti"
+            ).unionByName(batch_latest)
+        else:
+            merged = batch_latest
+        self.store.update_dimension(dim_table, merged)
 
     # -- the distributed pipeline for one chunk ---------------------------------
 
@@ -214,27 +305,26 @@ class BlockIngestor:
         # lineage (and its fast-path probe) per consumer
         deltas = X.ledger_deltas(events, fees).localCheckpoint()
 
-        seed_bal = (
-            self.store.read_range("balances", None, first_n - 1)
-            if self.store.exists("balances")
-            else None
+        seed_bal = self._latest_state(
+            "latest_balances", "balances", ["token", "address"], first_n
         )
-        snapshots = X.balance_snapshots(deltas, self.subscriptions, seed_bal)
+        # pinned: the dim update after the write re-uses these rows, and the
+        # write invalidates the files their lineage read
+        snapshots = X.balance_snapshots(
+            deltas, self.subscriptions, seed_bal
+        ).localCheckpoint()
 
         subs_g = F.broadcast(self.subscriptions.select("address", "group"))
         snap_deltas = deltas.join(subs_g, "address")
-        prev_totals = None
-        if self.store.exists("total_balances"):
-            w = W.partitionBy("token", "group").orderBy(F.desc("block_number"))
-            prev_totals = (
-                self.store.read_range("total_balances", None, first_n - 1)
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .select("token", "group", "balance")
-            )
+        seed_tot = self._latest_state(
+            "latest_totals", "total_balances", ["token", "group"], first_n
+        )
+        prev_totals = (
+            seed_tot.select("token", "group", "balance") if seed_tot is not None else None
+        )
         totals = X.total_balance_rollup(
             snap_deltas, fees, events, self.subscriptions, prev_totals
-        )
+        ).localCheckpoint()
         td = X.total_difficulty(headers, seed_td=str(self._td_at(first_n - 1)))
 
         # WRITE ORDER IS THE CRASH-RECOVERY PROTOCOL: block_headers goes
@@ -257,6 +347,11 @@ class BlockIngestor:
                 "block_headers": headers.select(*_HEADER_COLS),
             }
         )
+        # maintain the latest-state dims AFTER the commit marker: a crash
+        # here leaves them one batch behind, which `_latest_state` heals with
+        # a bucket-pruned top-up on the next batch
+        self._write_latest_dim("latest_balances", ["token", "address"], seed_bal, snapshots)
+        self._write_latest_dim("latest_totals", ["token", "group"], seed_tot, totals)
 
 
 def start_stream(

@@ -93,6 +93,59 @@ def test_ivf_ann_runs_and_ranks(emb):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_ivf_recall_vs_exact(emb):
+    """Full probe (nprobe = nlist) scans every list → must EQUAL the exact
+    top-k; partial probe must beat chance overlap (random data is LSH/IVF's
+    worst regime, so the bound is deliberately modest)."""
+    row = emb.filter(F.col("vec_id") == 0).head()
+    q = [float(x) for x in row["embedding"]]
+    exact = [
+        r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10, exclude_id=0).collect()
+    ]
+    full = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(emb, q, k=10, nlist=8, nprobe=8, exclude_id=0).collect()
+    ]
+    assert full == exact
+    part = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(emb, q, k=10, nlist=8, nprobe=4, exclude_id=0).collect()
+    }
+    assert len(set(exact) & part) / 10 >= 0.2
+
+
+def test_banded_pairs_equal_exact_on_planted_dups(emb):
+    """rhp_banded_pairs at duplicate-grade similarity: candidates from L×r
+    banding + exact verify reproduce the exact all-pairs result on a corpus
+    with planted perturbed copies."""
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(as_double, lambda x: x * 1.01 + 0.001).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", as_double.alias("embedding")).unionByName(pert)
+    dim = len(emb.head()["embedding"])
+    exact = {
+        (r["i"], r["j"])
+        for r in similarity.cosine_pairs(corpus, threshold=0.9).collect()
+    }
+    banded = {
+        (r["i"], r["j"])
+        for r in similarity.rhp_banded_pairs(corpus, dim=dim, threshold=0.9).collect()
+    }
+    assert exact, "planted corpus produced no near-dup pairs"
+    assert banded == exact
+
+
+def test_cosine_pairs_plan_is_not_nested_loop(emb):
+    """The exact all-pairs operator must plan as hash-partitioned equi-joins
+    over block pairs — never BroadcastNestedLoopJoin / CartesianProduct of
+    the vector table against itself."""
+    plan = similarity.cosine_pairs(emb, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_cosine_topk_self_query(emb):
     """Querying with vector 0 without exclusion must rank vec 0 first with
     sim ≈ 1."""

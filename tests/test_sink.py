@@ -187,3 +187,152 @@ def test_null_log_index_rejected(spark, store):
     )
     with pytest.raises(ValueError, match="log_index"):
         store.write_blocks({"receipt_logs": logs}, block_range=(100, 100))
+
+
+# ---------------------------------------------------------------------------
+# Crash-safety: the manifest protocol (write tmp → commit manifest → apply)
+# must make every destructive op either never-happened or completed.
+# ---------------------------------------------------------------------------
+
+import json
+import os
+import shutil
+
+
+def _crash_before_apply(monkeypatch):
+    """Simulate dying between the manifest commit point and the apply."""
+    monkeypatch.setattr(ParquetStore, "_apply_manifest", lambda self, m: None)
+
+
+def test_retraction_recovers_after_crash(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "store")
+    store = ParquetStore(spark, root, bucket_size=10)
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 120))})
+
+    _crash_before_apply(monkeypatch)
+    store.delete_block_range("block_headers", 105, 114)
+    monkeypatch.undo()
+
+    # pre-fork rows must NOT be lost: reopening completes the retraction
+    store2 = ParquetStore(spark, root, bucket_size=10)
+    nums = sorted(r["number"] for r in store2.read("block_headers").collect())
+    assert nums == list(range(100, 105)) + list(range(115, 120))
+    assert not os.path.isdir(os.path.join(root, "__tmp_block_headers_retract"))
+
+
+def test_retraction_recovery_idempotent_after_partial_apply(spark, tmp_path, monkeypatch):
+    """Crash mid-apply: one survivor dir already moved, the rest pending.
+    Recovery must finish without destroying the already-moved survivors."""
+    root = str(tmp_path / "store")
+    store = ParquetStore(spark, root, bucket_size=10)
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 120))})
+
+    _crash_before_apply(monkeypatch)
+    store.delete_block_range("block_headers", 105, 114)
+    monkeypatch.undo()
+
+    mpath = os.path.join(root, "__tmp_block_headers_retract.manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    rel = sorted(manifest["survivor_dirs"])[0]
+    src = os.path.join(root, "__tmp_block_headers_retract", rel)
+    dst = os.path.join(root, "block_headers", rel)
+    shutil.rmtree(dst, ignore_errors=True)
+    os.rename(src, dst)  # the partial apply that "crashed"
+
+    store2 = ParquetStore(spark, root, bucket_size=10)
+    nums = sorted(r["number"] for r in store2.read("block_headers").collect())
+    assert nums == list(range(100, 105)) + list(range(115, 120))
+
+
+def test_uncommitted_tmp_aborted_on_recovery(spark, tmp_path):
+    """A tmp dir without a manifest is a pre-commit crash: recovery removes
+    it and the live table is untouched."""
+    root = str(tmp_path / "store")
+    store = ParquetStore(spark, root, bucket_size=10)
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 110))})
+    junk = os.path.join(root, "__tmp_block_headers_retract")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-junk"), "w") as f:
+        f.write("x")
+
+    store2 = ParquetStore(spark, root, bucket_size=10)
+    assert not os.path.isdir(junk)
+    assert store2.read("block_headers").count() == 10
+
+
+def test_compact_recovers_after_crash(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "store")
+    store = ParquetStore(spark, root, bucket_size=10)
+    for lo in (100, 103, 106):
+        store.write_blocks(
+            {"block_headers": headers_df(spark, range(lo, lo + 3))},
+            block_range=(lo, lo + 2),
+        )
+    before = sorted(r["number"] for r in store.read("block_headers").collect())
+
+    _crash_before_apply(monkeypatch)
+    store.compact("block_headers")
+    monkeypatch.undo()
+
+    store2 = ParquetStore(spark, root, bucket_size=10)
+    after = sorted(r["number"] for r in store2.read("block_headers").collect())
+    assert after == before
+    import glob
+    assert len(glob.glob(os.path.join(root, "block_headers", "block_bucket=10", "*.parquet"))) == 1
+
+
+def test_dimension_swap_recovers_after_crash(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "store")
+    store = ParquetStore(spark, root, bucket_size=10)
+    subs = spark.createDataFrame(
+        [(1, 0, 1, "aa")], "id long, block_number long, group long, address string"
+    )
+    store.update_dimension("subscriptions", subs)
+
+    _crash_before_apply(monkeypatch)
+    store.update_dimension(
+        "subscriptions",
+        spark.createDataFrame(
+            [(1, 7, 1, "aa"), (2, 0, 2, "bb")],
+            "id long, block_number long, group long, address string",
+        ),
+    )
+    monkeypatch.undo()
+
+    store2 = ParquetStore(spark, root, bucket_size=10)
+    got = {r["address"]: r["block_number"] for r in store2.read("subscriptions").collect()}
+    assert got == {"aa": 7, "bb": 0}
+
+
+def test_write_blocks_drops_stale_uncovered_buckets(spark, store):
+    """Overwrite-by-range contract: an in-range bucket with stale rows but
+    zero batch rows and zero survivors must be dropped, not silently kept."""
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 120))})
+    # replace the whole range with a batch that only covers 100-105: bucket 11
+    # (110-119) ends up with no rows at all and must disappear
+    store.write_blocks(
+        {"block_headers": headers_df(spark, range(100, 106))}, block_range=(100, 119)
+    )
+    nums = sorted(r["number"] for r in store.read("block_headers").collect())
+    assert nums == list(range(100, 106))
+
+
+def test_write_blocks_drops_stale_uncovered_token_buckets(spark, store):
+    """Token-partitioned variant: only the token with no replacement rows
+    loses its in-range bucket dir; the other token's new rows land."""
+    store.write_blocks(
+        {
+            "transfers": transfers_df(
+                spark,
+                [("ta", 100, "t1", "a", "b", "1"), ("tb", 101, "t2", "c", "d", "2")],
+            )
+        },
+        block_range=(100, 101),
+    )
+    store.write_blocks(
+        {"transfers": transfers_df(spark, [("ta", 100, "t3", "e", "f", "3")])},
+        block_range=(100, 101),
+    )
+    rows = {(r["token"], r["tx_hash"]) for r in store.read("transfers").collect()}
+    assert rows == {("ta", "t3")}

@@ -149,6 +149,45 @@ def test_reorg_winning_fork(spark, tmp_path):
     assert any(h.endswith("txf104".encode().hex()) for h in txs)
 
 
+def test_gap_backfill_detects_reorg_below_stored_head(spark, tmp_path):
+    """A reorg happens WHILE a gap forms: stored chain reaches 103, the
+    stream then delivers only fork block 105' (gap at 104), and the node's
+    canonical branch forked at 102. The backfilled headers must go back
+    through the reorg check — blind splicing would commit an inconsistent
+    chain (fork headers atop the stale 102-103) with no retraction."""
+    raw = build_raw()
+    store, source, ing = _mk(spark, tmp_path, raw)
+    ing.process_headers(headers_of(raw, [100, 101, 102, 103]))
+
+    # heavier fork branching off block 101, replacing 102-105
+    fork_blocks = [
+        (102, A9, 900, [("g102", A3, A9, 11, 2, 3)], [], []),
+        (103, A3, 900, [], [], []),
+        (104, A9, 900, [], [], []),
+        (105, A9, 900, [], [], []),
+    ]
+    b101_hash = headers_of(raw, [101])[0]["hash"]
+    fork = build_raw(blocks=fork_blocks, prefix="g", fork_parent=(102, b101_hash))
+    source.extend(
+        fork["block_headers_raw"], fork["transactions"],
+        fork["transaction_receipts"], fork["receipt_logs"],
+        transfer_logs=fork["transfer_logs"],
+    )
+
+    # the stream only ever shows the fork's head: a gap AND a fork at once
+    assert ing.process_headers(headers_of(fork, [105])) == "gap"
+
+    # the canonical chain is now main[100..101] + fork[102..105], with the
+    # old 102-103 retracted and an audit row recorded
+    stored_hashes = {
+        row["number"]: row["hash"] for row in store.read("block_headers").collect()
+    }
+    for n in (102, 103, 104, 105):
+        assert stored_hashes[n] == headers_of(fork, [n])[0]["hash"]
+    assert store.read("reorgs").count() == 1
+    assert_state_matches(store, expected_model(blocks=BLOCKS[:2] + fork_blocks))
+
+
 def test_reorg_losing_fork_ignored(spark, tmp_path):
     raw = build_raw()
     store, source, ing = _mk(spark, tmp_path, raw)
