@@ -294,13 +294,31 @@ def ledger_deltas(
     )
 
 
-def balance_snapshots(deltas: DataFrame, subs: DataFrame, seed_balances: DataFrame | None = None) -> DataFrame:
+def _any_over_30_digits(df: DataFrame, col: str) -> bool:
+    """The uint256 fast-path probe (shared with ledger_deltas): 30 digits
+    leaves 8 digits of headroom in DECIMAL(38,0), so any prefix sum of up to
+    10^8 such values is provably overflow-free."""
+    digits = F.length(F.regexp_replace(col, "-", ""))
+    return df.filter(digits > 30).limit(1).count() > 0
+
+
+def balance_snapshots(
+    deltas: DataFrame,
+    subs: DataFrame,
+    seed_balances: DataFrame | None = None,
+    exact: bool | None = None,
+) -> DataFrame:
     """Sparse per-(token, address, block) balance snapshots for SUBSCRIBED
     addresses: seed (latest stored balance before the batch) + running sum of
     deltas, one row per block where the balance changed — the shape of the
     reference's ``accounts`` / ``erc20_balance_<token>`` rows
-    (transfer_processor.go:258-313). Exact uint256 via grouped pandas cumsum.
-    """
+    (transfer_processor.go:258-313).
+
+    uint256 policy: when every delta and seed fits 30 digits (the
+    overwhelmingly common case) the running sum is a JVM window prefix sum
+    over DECIMAL(38,0) — whole-stage codegen, no Python; otherwise the exact
+    grouped-pandas path on Python ints. ``exact``: force a path (tests);
+    None = probe."""
     subs_b = F.broadcast(subs.select("address", "group"))
     d = deltas.join(subs_b, "address")  # inner: only subscribed addresses
 
@@ -316,6 +334,26 @@ def balance_snapshots(deltas: DataFrame, subs: DataFrame, seed_balances: DataFra
         d = d.join(seed, ["token", "address"], "left")
     else:
         d = d.withColumn("__seed", F.lit(None).cast("string"))
+
+    if exact is None:
+        exact = _any_over_30_digits(deltas, "delta") or (
+            seed_balances is not None and _any_over_30_digits(seed_balances, "balance")
+        )
+
+    if not exact:
+        cum = W.partitionBy("token", "address").orderBy("block_number").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        return d.select(
+            "token",
+            "block_number",
+            "address",
+            (
+                F.coalesce(F.col("__seed").cast(_D), F.lit(0).cast(_D))
+                + F.sum(F.col("delta").cast(_D)).over(cum)
+            ).cast("string").alias("balance"),
+            "group",
+        )
 
     def _cumsum(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("block_number")
@@ -352,6 +390,7 @@ def total_balance_rollup(
     events: DataFrame,
     subs: DataFrame,
     prev_totals: DataFrame | None = None,
+    exact: bool | None = None,
 ) -> DataFrame:
     """A7 (transfer_processor.go:322-416): per (token, group, block) total =
     previous total + Σ member deltas, carried forward cumulatively; ETH rows
@@ -361,23 +400,39 @@ def total_balance_rollup(
 
     ``snapshots_deltas`` = ledger_deltas joined to subscribed addresses
     (token, block_number, address, delta, group).
+
+    uint256 policy: the group-delta aggregation and the carry-forward prefix
+    sum run as JVM DECIMAL(38,0) (map-side partial agg + window sum) unless
+    a delta or seed exceeds 30 digits — then the exact pandas path.
+    ``exact``: force a path (tests); None = probe.
     """
     subs_b = F.broadcast(subs.select("address", "group"))
 
-    gdelta = (
-        snapshots_deltas.groupBy("token", "group", "block_number")
-        .applyInPandas(
-            lambda pdf: pd.DataFrame(
-                {
-                    "token": [pdf.iloc[0]["token"]],
-                    "group": [pdf.iloc[0]["group"]],
-                    "block_number": [pdf.iloc[0]["block_number"]],
-                    "gdelta": [str(sum(int(v) for v in pdf["delta"]))],
-                }
-            ),
-            "token string, group long, block_number long, gdelta string",
+    if exact is None:
+        exact = _any_over_30_digits(snapshots_deltas, "delta") or (
+            prev_totals is not None and _any_over_30_digits(prev_totals, "balance")
         )
-    )
+
+    if not exact:
+        gdelta = (
+            snapshots_deltas.groupBy("token", "group", "block_number")
+            .agg(F.sum(F.col("delta").cast(_D)).cast("string").alias("gdelta"))
+        )
+    else:
+        gdelta = (
+            snapshots_deltas.groupBy("token", "group", "block_number")
+            .applyInPandas(
+                lambda pdf: pd.DataFrame(
+                    {
+                        "token": [pdf.iloc[0]["token"]],
+                        "group": [pdf.iloc[0]["group"]],
+                        "block_number": [pdf.iloc[0]["block_number"]],
+                        "gdelta": [str(sum(int(v) for v in pdf["delta"]))],
+                    }
+                ),
+                "token string, group long, block_number long, gdelta string",
+            )
+        )
 
     group_fees = (
         fees.join(subs_b, "address")
@@ -403,26 +458,40 @@ def total_balance_rollup(
     else:
         gdelta = gdelta.withColumn("__seed", F.lit(None).cast("string"))
 
-    def _carry(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("block_number")
-        seed_vals = pdf["__seed"].dropna()
-        running = int(seed_vals.iloc[0]) if len(seed_vals) else 0
-        out = []
-        for _, row in pdf.iterrows():
-            running += int(row["gdelta"])
-            out.append(str(running))
-        return pd.DataFrame(
-            {
-                "token": pdf["token"],
-                "block_number": pdf["block_number"],
-                "group": pdf["group"],
-                "balance": out,
-            }
+    if not exact:
+        cum = W.partitionBy("token", "group").orderBy("block_number").rowsBetween(
+            W.unboundedPreceding, W.currentRow
         )
+        totals = gdelta.select(
+            "token",
+            "block_number",
+            "group",
+            (
+                F.coalesce(F.col("__seed").cast(_D), F.lit(0).cast(_D))
+                + F.sum(F.col("gdelta").cast(_D)).over(cum)
+            ).cast("string").alias("balance"),
+        )
+    else:
+        def _carry(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("block_number")
+            seed_vals = pdf["__seed"].dropna()
+            running = int(seed_vals.iloc[0]) if len(seed_vals) else 0
+            out = []
+            for _, row in pdf.iterrows():
+                running += int(row["gdelta"])
+                out.append(str(running))
+            return pd.DataFrame(
+                {
+                    "token": pdf["token"],
+                    "block_number": pdf["block_number"],
+                    "group": pdf["group"],
+                    "balance": out,
+                }
+            )
 
-    totals = gdelta.groupBy("token", "group").applyInPandas(
-        _carry, "token string, block_number long, group long, balance string"
-    )
+        totals = gdelta.groupBy("token", "group").applyInPandas(
+            _carry, "token string, block_number long, group long, balance string"
+        )
 
     is_eth = F.col("token") == ETH_TOKEN
     return (

@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from eth_indexer_spark.pipeline import transform as X
-from eth_indexer_spark.schema import BLOCK_HEADERS, ERC20, RAW_SCHEMAS, REORGS
+from eth_indexer_spark.schema import (
+    BLOCK_HEADERS,
+    ERC20,
+    ETH_TOKEN,
+    RAW_SCHEMAS,
+    REORGS,
+)
 from eth_indexer_spark.sinks.store import ParquetStore
 from eth_indexer_spark.streaming.reorg import ReorgDecision, check_reorg
 
@@ -59,12 +65,17 @@ class BlockIngestor:
         source,
         subscriptions: DataFrame,
         erc20: DataFrame,
+        balancer=None,
     ):
         self.spark = spark
         self.store = store
         self.source = source
         self.subscriptions = subscriptions
         self.erc20 = erc20
+        # optional chain-state lookup seam (sources/chain.py LookupFn) for
+        # new-subscription opening balances; None = derive from the engine's
+        # own ledger (the repo's documented balancer stand-in)
+        self.balancer = balancer
 
     # -- stored-chain state ---------------------------------------------------
 
@@ -150,6 +161,49 @@ class BlockIngestor:
         backfill = X.new_token_backfill(
             self.store.read("balances"), self.subscriptions, address, at_block
         ).localCheckpoint()
+
+        # per-address opening rows for the token — the reference's
+        # new_erc20.go inserts a balance row for every subscription page
+        # (new_erc20.go:41-175, balancer-fetched); ledger-derived here:
+        # latest stored token balance as-of the registration block, 0 for
+        # non-holders. Keeps the old-sub missing-prev guard satisfiable for
+        # post-registration activity.
+        w = W.partitionBy("address").orderBy(F.desc("block_number"))
+        latest_tok = (
+            self.store.read("balances")
+            .filter((F.col("token") == address) & (F.col("block_number") <= at_block))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("address", F.col("balance").alias("__b"))
+        )
+        init_bal = (
+            self.subscriptions.filter(F.col("block_number") > 0)
+            .select("address", "group")
+            .join(latest_tok, "address", "left")
+            .select(
+                F.lit(address).alias("token"),
+                F.lit(at_block).cast("long").alias("block_number"),
+                "address",
+                F.coalesce(F.col("__b"), F.lit("0")).alias("balance"),
+                "group",
+            )
+            .localCheckpoint()
+        )
+        others_bal = (
+            self.store.read_range("balances", at_block, at_block)
+            .filter(F.col("token") != address)
+            .localCheckpoint()
+        )
+        self.store.write_blocks(
+            {"balances": init_bal.unionByName(others_bal)},
+            block_range=(at_block, at_block),
+        )
+        if self.store.exists("latest_balances"):
+            dim = self.store.read("latest_balances")
+            self.store.update_dimension(
+                "latest_balances",
+                dim.filter(F.col("token") != address).unionByName(init_bal),
+            )
         # preserve other tokens' totals already written at this block: the
         # sink's overwrite unit is the whole block range, so fold them in
         to_write = backfill
@@ -199,12 +253,179 @@ class BlockIngestor:
         replay = d.replay
         if d.action == "reorg":
             self.store.retract_blocks(d.retract_from, d.retract_to)
+            # reset subscriptions stamped on the retracted range back to
+            # "new" so the replay re-initializes them on the winning branch;
+            # their totals were deleted by the retraction
+            # (store/subscription/subscription.go:62-63,131-146)
+            stamped_in_range = self.subscriptions.filter(
+                (F.col("block_number") >= d.retract_from)
+                & (F.col("block_number") <= d.retract_to)
+            )
+            if stamped_in_range.limit(1).count() > 0:
+                self._persist_subscriptions(
+                    self.subscriptions.withColumn(
+                        "block_number",
+                        F.when(
+                            (F.col("block_number") >= d.retract_from)
+                            & (F.col("block_number") <= d.retract_to),
+                            F.lit(0).cast("long"),
+                        ).otherwise(F.col("block_number")),
+                    )
+                )
             row = dict(d.reorg_row, created_at=datetime.now(timezone.utc).replace(tzinfo=None))
             self.store.append_dimension(
                 "reorgs", self.spark.createDataFrame([row], REORGS)
             )
         for i in range(0, len(replay), MAX_BLOCKS_PER_BATCH):
             self._ingest(replay[i : i + MAX_BLOCKS_PER_BATCH])
+
+    # -- subscription lifecycle (store/subscription/subscription.go:50,96-102;
+    # store/transfer_processor.go:258-313) -------------------------------------
+
+    def _persist_subscriptions(self, subs: DataFrame) -> None:
+        subs = subs.localCheckpoint()
+        self.store.update_dimension("subscriptions", subs)
+        self.subscriptions = subs
+
+    def _init_new_subscriptions(self, batch_deltas: DataFrame, last_n: int):
+        """Initialize NEW subscriptions (block_number == 0): write an opening
+        balance row per (token, address) at the batch head, stamp the
+        subscription with that block, and return the opening rows so the
+        caller folds them into snapshots and group totals — the reference's
+        per-block `insertNewSubscriptions` (transfer_processor.go:258-313)
+        at batch granularity.
+
+        Opening balance: the pluggable balancer seam (chain truth over RPC,
+        client/balancer.go) when provided; otherwise derived from the
+        engine's own ledger — stored transfer/fee history plus this batch's
+        deltas (O(history) scan, new-sub batches only; rare by construction).
+
+        Guard: a new subscription must have NO stored balance rows
+        (ErrHasPrevBalance, transfer_processor.go:295-301) — its address was
+        never tracked, so rows imply a corrupted lifecycle.
+
+        Returns ``None`` when there are no new subscriptions (the common
+        case; one tiny driver-side check per batch)."""
+        new_rows = self.subscriptions.filter(F.col("block_number") == 0).collect()
+        if not new_rows:
+            return None
+        addrs = [r["address"] for r in new_rows]
+        groups = {r["address"]: r["group"] for r in new_rows}
+
+        if self.store.exists("balances"):
+            prev = (
+                self.store.read("balances")
+                .filter(F.col("address").isin(addrs))
+                .limit(1)
+                .count()
+            )
+            if prev:
+                raise ValueError(
+                    "has-prev-balance: a NEW subscription (block_number=0) "
+                    "already has stored balance rows (reference "
+                    "ErrHasPrevBalance, store/transfer_processor.go:295-301)"
+                )
+
+        tokens = [ETH_TOKEN] + [
+            r["address"] for r in self.erc20.select("address").distinct().collect()
+        ]
+        addr_df = self.spark.createDataFrame([(a,) for a in addrs], "address string")
+        reqs = self.spark.createDataFrame(
+            [(t, a) for t in tokens for a in addrs], "token string, address string"
+        )
+        if self.balancer is not None:
+            from eth_indexer_spark.sources.chain import fetch_balances
+
+            opening = fetch_balances(reqs, self.balancer)
+        else:
+            # ledger-derived: Σ stored deltas + Σ batch deltas per key
+            parts = batch_deltas.select("token", "address", "delta")
+            if self.store.exists("transfers"):
+                stored_fees = (
+                    X.tx_fees(
+                        self.store.read("transactions"),
+                        self.store.read("transaction_receipts"),
+                    )
+                    if self.store.exists("transactions")
+                    else None
+                )
+                stored_d = X.ledger_deltas(
+                    self.store.read("transfers"), stored_fees
+                ).select("token", "address", "delta")
+                parts = parts.unionByName(stored_d)
+            parts = parts.join(F.broadcast(addr_df), "address", "left_semi")
+            # uint256 policy (schema.py): JVM DECIMAL(38,0) unless any value
+            # needs the exact Python-int path
+            digits = F.length(F.regexp_replace("delta", "-", ""))
+            if parts.filter(digits > 30).limit(1).count() == 0:
+                summed = parts.groupBy("token", "address").agg(
+                    F.sum(F.col("delta").cast("decimal(38,0)")).cast("string").alias("balance")
+                )
+            else:
+                import pandas as pd
+
+                def _sum_exact(pdf: pd.DataFrame) -> pd.DataFrame:
+                    head = pdf.iloc[0]
+                    return pd.DataFrame(
+                        {
+                            "token": [head["token"]],
+                            "address": [head["address"]],
+                            "balance": [str(sum(int(v) for v in pdf["delta"]))],
+                        }
+                    )
+
+                summed = parts.groupBy("token", "address").applyInPandas(
+                    _sum_exact, "token string, address string, balance string"
+                )
+            opening = (
+                reqs.join(summed, ["token", "address"], "left")
+                .withColumn("balance", F.coalesce(F.col("balance"), F.lit("0")))
+            )
+
+        group_map = F.create_map(
+            *[F.lit(x) for kv in groups.items() for x in kv]
+        )
+        init = opening.select(
+            "token",
+            F.lit(last_n).cast("long").alias("block_number"),
+            "address",
+            "balance",
+            group_map[F.col("address")].cast("long").alias("group"),
+        ).localCheckpoint()
+
+        stamped = self.subscriptions.withColumn(
+            "block_number",
+            F.when(F.col("block_number") == 0, F.lit(last_n).cast("long")).otherwise(
+                F.col("block_number")
+            ),
+        )
+        self._persist_subscriptions(stamped)
+        return init
+
+    def _guard_old_subscriptions(self, deltas: DataFrame, old_subs: DataFrame, seed_bal) -> None:
+        """ErrMissingPrevBalance (transfer_processor.go:303-310): an OLD
+        subscription (block_number > 0) whose (token, address) has activity
+        this batch must have a prior balance row — it was written at
+        initialization (new-sub path) or token backfill (register_token)."""
+        touched = (
+            deltas.select("token", "address")
+            .distinct()
+            .join(F.broadcast(old_subs.select("address")), "address", "left_semi")
+        )
+        if seed_bal is None:
+            missing = touched
+        else:
+            missing = touched.join(
+                seed_bal.select("token", "address"), ["token", "address"], "left_anti"
+            )
+        row = missing.limit(1).collect()
+        if row:
+            raise ValueError(
+                "missing-prev-balance: old subscription "
+                f"(token={row[0]['token']}, address={row[0]['address']}) has "
+                "activity but no prior balance row (reference "
+                "ErrMissingPrevBalance, store/transfer_processor.go:303-310)"
+            )
 
     # -- latest-state dimensions (O(batch) seeding, not O(table)) --------------
 
@@ -305,17 +526,44 @@ class BlockIngestor:
         # lineage (and its fast-path probe) per consumer
         deltas = X.ledger_deltas(events, fees).localCheckpoint()
 
+        last_n = int(branch[-1]["number"])
+        # subscription lifecycle: new subs get opening rows + a stamp, old
+        # subs must already be tracked (guards mirror the reference's
+        # has-prev/missing-prev errors); snapshots/rollups run over OLD subs
+        # only — a new sub's opening balance already prices in this batch
+        init_rows = self._init_new_subscriptions(deltas, last_n)
+        old_subs = self.subscriptions.filter(F.col("block_number") > 0)
+        if init_rows is not None:
+            # exclude the just-stamped subs from the old path this batch
+            old_subs = old_subs.join(
+                init_rows.select("address").distinct(), "address", "left_anti"
+            ).localCheckpoint()
+
         seed_bal = self._latest_state(
             "latest_balances", "balances", ["token", "address"], first_n
         )
+        self._guard_old_subscriptions(deltas, old_subs, seed_bal)
         # pinned: the dim update after the write re-uses these rows, and the
         # write invalidates the files their lineage read
-        snapshots = X.balance_snapshots(
-            deltas, self.subscriptions, seed_bal
-        ).localCheckpoint()
+        snapshots = X.balance_snapshots(deltas, old_subs, seed_bal)
+        if init_rows is not None:
+            snapshots = snapshots.unionByName(init_rows)
+        snapshots = snapshots.localCheckpoint()
 
-        subs_g = F.broadcast(self.subscriptions.select("address", "group"))
+        subs_g = F.broadcast(old_subs.select("address", "group"))
         snap_deltas = deltas.join(subs_g, "address")
+        if init_rows is not None:
+            # a new member's opening wealth enters its group's total at the
+            # stamp block (the reference's balance-diff-from-nothing)
+            snap_deltas = snap_deltas.unionByName(
+                init_rows.filter(F.col("balance") != "0").select(
+                    "token",
+                    "block_number",
+                    "address",
+                    F.col("balance").alias("delta"),
+                    "group",
+                )
+            )
         seed_tot = self._latest_state(
             "latest_totals", "total_balances", ["token", "group"], first_n
         )

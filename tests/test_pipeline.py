@@ -197,6 +197,45 @@ def test_balance_snapshots(raw, events, model):
     assert got == want
 
 
+def test_snapshots_and_rollup_fast_path_matches_exact(raw, events):
+    """The JVM DECIMAL(38,0) window prefix sums must agree with the exact
+    pandas paths wherever both are valid (no >30-digit values) — the
+    extension of the ledger_deltas fast path to the remaining carry-forward
+    stages."""
+    fees = tr.tx_fees(raw["transactions"], raw["transaction_receipts"])
+    small_events = events.filter(F.col("block_number") != 104)
+    small_fees = fees.filter(F.col("block_number") != 104)
+    deltas = tr.ledger_deltas(small_events, small_fees, exact=False)
+    small_seed = raw["seed_balances"].filter(F.length("balance") <= 30)
+
+    def snap(exact):
+        return {
+            (r["token"], r["block_number"], r["address"]): (int(r["balance"]), r["group"])
+            for r in tr.balance_snapshots(
+                deltas, raw["subscriptions"], small_seed, exact=exact
+            ).collect()
+        }
+
+    assert snap(False) == snap(True) and snap(False)
+
+    subs = raw["subscriptions"]
+    sd = deltas.join(F.broadcast(subs.select("address", "group")), "address")
+
+    def roll(exact):
+        return {
+            (r["token"], r["block_number"], r["group"]): int(r["balance"])
+            for r in tr.total_balance_rollup(sd, small_fees, small_events, subs, exact=exact).collect()
+        }
+
+    assert roll(False) == roll(True) and roll(False)
+
+    # auto-probe: >1e38 values route the whole stage through the exact path
+    big_deltas = tr.ledger_deltas(events, fees)
+    auto = tr.balance_snapshots(big_deltas, subs, raw["seed_balances"]).collect()
+    assert all(r["balance"] is not None for r in auto)
+    assert any(abs(int(r["balance"])) >= 10**39 for r in auto)
+
+
 def test_total_balance_rollup(raw, events, model):
     fees = tr.tx_fees(raw["transactions"], raw["transaction_receipts"])
     deltas = tr.ledger_deltas(events, fees)

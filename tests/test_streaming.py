@@ -314,6 +314,17 @@ def test_register_token_backfill(spark, tmp_path):
     # groups seeded from SEED_BALANCES latest-as-of-100; ETH row preserved
     assert totals == {(T1, 1): 10**40 + 10000, (T1, 2): 50, (ETH, 1): 77}
 
+    # per-address opening rows (new_erc20.go:41-175): latest as-of for
+    # holders, 0 for non-holders — every old sub gets a row at at_block
+    per_addr = {
+        r["address"]: r["balance"]
+        for r in store.read("balances")
+        .filter((F.col("token") == T1) & (F.col("block_number") == 100))
+        .collect()
+    }
+    from tests.fixtures import A1, A2, A3
+    assert per_addr == {A1: str(10**40), A2: "10000", A3: "50"}
+
     # idempotent: re-registering converges to the same state
     ing.register_token(T1, name="TokenOne", at_block=100)
     totals2 = {
@@ -321,6 +332,144 @@ def test_register_token_backfill(spark, tmp_path):
         for r in store.read("total_balances").collect()
     }
     assert totals2 == totals
+
+
+# ---------------------------------------------------------------------------
+# Subscription lifecycle (store/subscription/subscription.go:50,96-102,
+# 131-146; store/transfer_processor.go:258-313): new-sub init + stamp,
+# has-prev / missing-prev guards, reorg reset.
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+
+from tests.fixtures import ETH, T1, NOW, addr
+
+
+def _with_extra_subs(raw, extra_rows):
+    raw = dict(raw)
+    raw["subscriptions"] = pd.concat(
+        [raw["subscriptions"], pd.DataFrame(extra_rows)], ignore_index=True
+    )
+    return raw
+
+
+A5 = addr(5)
+
+
+def test_new_subscription_lifecycle(spark, tmp_path):
+    """A new sub (block_number=0) with no history: opening rows of 0 are
+    written for ETH and every registered token at the batch head, the sub is
+    stamped, and (zero) openings do not perturb group totals."""
+    raw = _with_extra_subs(build_raw(), [
+        {"id": 4, "block_number": 0, "group": 3, "address": A5,
+         "created_at": NOW, "updated_at": NOW}
+    ])
+    store, _src, ing = _mk(spark, tmp_path, raw)
+    ing.process_headers(headers_of(raw, [100, 101, 102, 103, 104, 105]))
+
+    stamps = {r["address"]: r["block_number"] for r in store.read("subscriptions").collect()}
+    assert stamps[A5] == 105
+
+    a5_rows = {
+        (r["token"], r["block_number"]): r["balance"]
+        for r in store.read("balances").filter(F.col("address") == A5).collect()
+    }
+    assert a5_rows == {(ETH, 105): "0", (T1, 105): "0"}
+
+    # totals and non-A5 snapshots still match the golden model exactly
+    model = expected_model()
+    totals = {
+        (r["token"], r["block_number"], r["group"]): int(r["balance"])
+        for r in store.read("total_balances").collect()
+    }
+    assert totals == {(t, n, g): b for t, n, g, b, *_ in model["totals"]}
+
+
+def test_new_sub_with_history_gets_ledger_opening(spark, tmp_path):
+    """A new sub whose address HAS ledger history (A9: miner rewards, sends)
+    opens at its ledger-derived balance, and that opening wealth enters its
+    group's total at the stamp block — the reference's diff-from-nothing."""
+    raw = _with_extra_subs(build_raw(), [
+        {"id": 4, "block_number": 0, "group": 3, "address": A9,
+         "created_at": NOW, "updated_at": NOW}
+    ])
+    store, _src, ing = _mk(spark, tmp_path, raw)
+    ing.process_headers(headers_of(raw, [100, 101, 102, 103, 104, 105]))
+
+    model = expected_model()
+    want = sum(d for (t, n, a), d in model["deltas"].items() if t == ETH and a == A9)
+    got = {
+        (r["token"],): r["balance"]
+        for r in store.read("balances")
+        .filter((F.col("address") == A9) & (F.col("block_number") == 105))
+        .collect()
+    }
+    assert got[(ETH,)] == str(want)
+    assert got[(T1,)] == "0"
+
+    t_row = store.read("total_balances").filter(
+        (F.col("group") == 3) & (F.col("token") == ETH)
+    ).collect()
+    assert len(t_row) == 1
+    assert int(t_row[0]["balance"]) == want and t_row[0]["block_number"] == 105
+
+
+def test_new_sub_with_prev_balance_errors(spark, tmp_path):
+    """ErrHasPrevBalance: subscribing an address as NEW when the store
+    already tracks balance rows for it is a lifecycle corruption."""
+    raw = _with_extra_subs(build_raw(), [
+        {"id": 4, "block_number": 0, "group": 3, "address": A5,
+         "created_at": NOW, "updated_at": NOW}
+    ])
+    raw["seed_balances"] = pd.concat(
+        [raw["seed_balances"],
+         pd.DataFrame([{"token": ETH, "block_number": 95, "address": A5,
+                        "balance": "123", "group": 3}])],
+        ignore_index=True,
+    )
+    _store, _src, ing = _mk(spark, tmp_path, raw)
+    with pytest.raises(ValueError, match="has-prev-balance"):
+        ing.process_headers(headers_of(raw, [100, 101, 102]))
+
+
+def test_old_sub_missing_prev_errors(spark, tmp_path):
+    """ErrMissingPrevBalance: an OLD sub (block_number>0) with activity but
+    no prior balance row means its initialization never happened."""
+    raw = _with_extra_subs(build_raw(), [
+        {"id": 4, "block_number": 95, "group": 3, "address": A9,
+         "created_at": NOW, "updated_at": NOW}
+    ])
+    _store, _src, ing = _mk(spark, tmp_path, raw)
+    with pytest.raises(ValueError, match="missing-prev-balance"):
+        ing.process_headers(headers_of(raw, [100, 101, 102]))
+
+
+def test_reorg_resets_subscriptions(spark, tmp_path):
+    """Subs stamped on a retracted range are reset to 0 and re-initialized
+    on the winning branch (subscription.go:62-63,131-146)."""
+    raw = _with_extra_subs(build_raw(), [
+        {"id": 4, "block_number": 0, "group": 3, "address": A5,
+         "created_at": NOW, "updated_at": NOW}
+    ])
+    store, source, ing = _mk(spark, tmp_path, raw)
+    ing.process_headers(headers_of(raw, [100, 101, 102, 103]))
+    stamps = {r["address"]: r["block_number"] for r in store.read("subscriptions").collect()}
+    assert stamps[A5] == 103
+
+    # heavier fork replacing 103 and extending to 104
+    fork_blocks = [(103, A9, 900, [], [], []), (104, A9, 900, [], [], [])]
+    b102_hash = headers_of(raw, [102])[0]["hash"]
+    fork = build_raw(blocks=fork_blocks, prefix="h", fork_parent=(103, b102_hash))
+    source.extend(fork["block_headers_raw"], transfer_logs=fork["transfer_logs"])
+
+    assert ing.process_headers(headers_of(fork, [103, 104])) == "reorg"
+
+    stamps = {r["address"]: r["block_number"] for r in store.read("subscriptions").collect()}
+    assert stamps[A5] == 104  # re-initialized at the fork branch head
+    a5_rows = {
+        r["block_number"] for r in store.read("balances").filter(F.col("address") == A5).collect()
+    }
+    assert a5_rows == {104}  # the 103-stamped opening rows were retracted
 
 
 def test_structured_streaming_file_source(spark, tmp_path):
