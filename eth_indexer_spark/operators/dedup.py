@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -106,18 +107,83 @@ def ngram_jaccard_pairs(
     )
 
 
-def _copair_counts(inv: DataFrame, key: str) -> DataFrame:
+def ngram_jaccard_pairs_capped(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` with a document-frequency cap: shingles
+    occurring in more than ``max_df`` docs are dropped from each document's
+    representation BEFORE the Jaccard — both the intersection counts and the
+    set sizes are computed over surviving shingles, so the output is the
+    exact Jaccard of the capped representation (not a biased estimate of the
+    uncapped one). Documents whose shingles are all ubiquitous drop out.
+
+    This is the adversarial-corpus-safe form: a shingle present in every
+    document (boilerplate header, license banner) costs O(N) streamed rows
+    instead of O(N²) pairs. Use the uncapped form only when exact
+    co-occurrence over ALL shingles is the requirement."""
+    sh = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"))
+    )
+    inv = cap_hot_keys(sh.select("doc", F.explode("hsh").alias("s")), "s", max_df)
+    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+
+    inter = _copair_counts(inv, "s")
+    si = sizes.select(F.col("doc").alias("i"), F.col("n").alias("ni"))
+    sj = sizes.select(F.col("doc").alias("j"), F.col("n").alias("nj"))
+    jac = F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))
+    return (
+        inter.join(si, "i")
+        .join(sj, "j")
+        .filter(jac >= threshold)
+        .select("i", "j")
+    )
+
+
+def cap_hot_keys(inv: DataFrame, key: str, max_df: int) -> DataFrame:
+    """Drop inverted-index entries whose key occurs in more than ``max_df``
+    docs — the standard document-frequency cap that bounds the O(d²) pair
+    blow-up of ultra-frequent keys (boilerplate shingles, stop-phrase
+    n-grams, mega LSH buckets).
+
+    Implementation: a window COUNT partitioned by key, then filter. One
+    shuffle; the windowed partition spills to disk (unlike a collect_set of
+    a hot key's doc list, which is a single in-memory array), and the
+    downstream groupBy on the same key reuses the hash partitioning — no
+    second exchange. A key with d > max_df docs costs O(d) streamed rows
+    here instead of O(d²) pairs downstream."""
+    w = W.partitionBy(key)
+    return (
+        inv.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+
+
+def _copair_counts(inv: DataFrame, key: str, max_df: int | None = None) -> DataFrame:
     """(i, j, inter) = number of inverted-index keys shared by each doc pair,
     i < j. Groups docs per key, drops singleton keys (they cannot form a
     pair — typically the vast majority), emits in-group pairs by double
     explode, counts. Versus the classic index self-join this shuffles the
     big index ONCE instead of twice-plus-join — the property that matters
     when the index is the dominant volume; at local bench scale the two are
-    within noise of each other (stage overhead dominates there). A key
-    appearing in d docs still emits O(d²) pairs — the irreducible cost of
-    exact co-occurrence — and its doc list is materialized per group, so
-    pipelines facing ultra-frequent keys should drop them explicitly (a
-    semantic change, deliberately not done here)."""
+    within noise of each other (stage overhead dominates there).
+
+    A key appearing in d docs emits O(d²) pairs — the irreducible cost of
+    exact co-occurrence. ``max_df`` bounds that: keys above the cap are
+    dropped first (:func:`cap_hot_keys`), changing the semantics from
+    "all shared keys" to "all shared non-ubiquitous keys" — the trade every
+    production dedup pipeline makes. None = exact, uncapped."""
+    if max_df is not None:
+        inv = cap_hot_keys(inv, key, max_df)
     grp = (
         inv.groupBy(key)
         .agg(F.collect_set("doc").alias("docs"))
@@ -163,6 +229,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH with exact-Jaccard verification.
 
@@ -171,7 +238,13 @@ def minhash_lsh_pairs(
     equi-join on (band, band_hash) — shuffle is per-bucket, never all-pairs).
     Candidates are then verified against the true shingle Jaccard, so the
     output contains no false positives; recall follows the LSH S-curve.
-    """
+
+    ``max_bucket`` caps candidate generation per LSH bucket
+    (:func:`cap_hot_keys`): a degenerate corpus where one band collides for
+    every document would otherwise emit O(N²) candidates into verification.
+    Capped buckets lose their pairs (recall, not precision) — at 100 TB run
+    with a cap (e.g. 5000) and treat mega-buckets as their own exact-dup
+    cluster upstream. None = uncapped."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
@@ -204,7 +277,7 @@ def minhash_lsh_pairs(
         .select("doc", F.posexplode(band_hashes).alias("band", "bh"))
         .select("doc", F.xxhash64("band", "bh").alias("bucket"))
     )
-    candidates = _copair_counts(buckets, "bucket").select("i", "j")
+    candidates = _copair_counts(buckets, "bucket", max_df=max_bucket).select("i", "j")
 
     si = sh.select(F.col("doc").alias("i"), F.col("hsh").alias("sh_i"))
     sj = sh.select(F.col("doc").alias("j"), F.col("hsh").alias("sh_j"))
@@ -257,14 +330,17 @@ def winnow_fingerprints(
 
 
 def winnow_overlap_pairs(
-    fps: DataFrame, min_shared: int = 2
+    fps: DataFrame, min_shared: int = 2, max_df: int | None = None
 ) -> DataFrame:
     """Pairs of documents sharing ≥ ``min_shared`` winnowing fingerprints,
     via the inverted fingerprint index (grouped co-pair counting, never a
-    cross join) — the same scale shape as the shingle inverted index."""
+    cross join) — the same scale shape as the shingle inverted index.
+    ``max_df`` drops fingerprints common to more than that many docs
+    (:func:`cap_hot_keys`) — shared boilerplate otherwise pairs everything
+    containing it."""
     inv = fps.select("doc", F.explode("fingerprints").alias("fp"))
     return (
-        _copair_counts(inv, "fp")
+        _copair_counts(inv, "fp", max_df=max_df)
         .filter(F.col("inter") >= min_shared)
         .select("i", "j", F.col("inter").alias("shared"))
     )

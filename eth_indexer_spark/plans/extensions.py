@@ -80,6 +80,40 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_dedup_ngram_jaccard_capped",
+    """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM docs WHERE len(w) >= 3
+    ),
+    e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    keep AS (SELECT s FROM e0 GROUP BY s HAVING COUNT(*) <= 5),
+    e AS (SELECT e0.doc_id, e0.s FROM e0 JOIN keep USING (s)),
+    pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id)
+    SELECT i, j
+    FROM pairs JOIN sizes si ON i = si.doc_id JOIN sizes sj ON j = sj.doc_id
+    WHERE inter * 1.0 / (si.n + sj.n - inter) >= 0.5
+    """,
+)
+def x_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adversarial-corpus-safe near-dup form: shingles in more than
+    ``max_df`` docs are dropped before the Jaccard, bounding the hot-key
+    O(d²) pair blow-up (operators/dedup.py:cap_hot_keys). Exact semantics
+    over the capped representation → fully oracle-checked."""
+    return dedup.ngram_jaccard_pairs_capped(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.5, max_df=5
+    )
+
+
 @register("x_dedup_minhash_lsh")  # hash-family dependent → rows-only check
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(

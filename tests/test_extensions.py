@@ -263,3 +263,97 @@ def test_multimodal_resize_and_features(spark):
     )
     pairs = cosine_pairs(fdf, threshold=0.99)
     assert pairs.count() >= 0  # plan executes end-to-end on the derived vectors
+
+
+# ---------------------------------------------------------------------------
+# Frequency-capped co-pair counting (operators/dedup.py:cap_hot_keys): the
+# adversarial corpus — one shingle in EVERY document — must not generate
+# O(N²) pairs through the inverted index.
+# ---------------------------------------------------------------------------
+
+
+def _adversarial_corpus(spark, n=300):
+    """Every doc contains the same boilerplate 3-gram; besides that, each doc
+    has unique content, except docs (2k, 2k+1) for k < 10 which are true
+    near-duplicates of each other."""
+    rows = []
+    boiler = "common boilerplate header"
+    for i in range(n):
+        if i < 20:
+            base = f"shared body text number {i // 2} repeated words here"
+        else:
+            base = f"unique content {i} alpha beta gamma delta {i * 7} epsilon zeta"
+        rows.append((i, f"{boiler} {base}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_capped_jaccard_bounds_hot_key_blowup(spark):
+    corpus = _adversarial_corpus(spark)
+    pairs = {
+        (r["i"], r["j"])
+        for r in dedup.ngram_jaccard_pairs_capped(
+            corpus, "text", "doc_id", k=3, threshold=0.5, max_df=50
+        ).collect()
+    }
+    # the planted near-dup pairs survive (they share many rare shingles)...
+    assert {(2 * k, 2 * k + 1) for k in range(10)} <= pairs
+    # ...and the ubiquitous boilerplate shingles pair nothing by themselves
+    assert all(i < 20 and j < 20 for i, j in pairs)
+
+
+def test_capped_jaccard_plan_has_no_hot_key_pairs(spark):
+    """The capped plan's pair stage sees ≤ max_df docs per key: verified by
+    counting emitted candidate pairs — with the cap the candidate count is
+    bounded by planted-duplicate overlap, without it the boilerplate key
+    alone contributes N·(N−1)/2 pairs."""
+    corpus = _adversarial_corpus(spark)
+    sh = corpus.select(
+        F.col("doc_id").alias("doc"), dedup.word_shingles("text", 3).alias("sh")
+    ).select("doc", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s"))
+    uncapped = dedup._copair_counts(sh, "s").count()
+    capped = dedup._copair_counts(sh, "s", max_df=50).count()
+    assert uncapped >= 300 * 299 / 2  # boilerplate key pairs everything
+    assert capped < 1000  # bounded: only genuinely-overlapping docs pair
+
+
+def test_capped_matches_uncapped_when_no_hot_keys(docs):
+    """On a corpus with no shingle above the cap, capped ≡ uncapped."""
+    want = {
+        (r["i"], r["j"])
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5).collect()
+    }
+    got = {
+        (r["i"], r["j"])
+        for r in dedup.ngram_jaccard_pairs_capped(
+            docs, "text", "doc_id", k=3, threshold=0.5, max_df=10**6
+        ).collect()
+    }
+    assert got == want
+
+
+def test_minhash_bucket_cap_disables_mega_buckets(spark):
+    """With every doc identical, each LSH bucket holds all N docs; a bucket
+    cap suppresses candidate generation entirely (documented recall trade),
+    while the uncapped form pairs everything."""
+    n = 60
+    same = spark.createDataFrame(
+        [(i, "exactly the same words in every single document") for i in range(n)],
+        "doc_id long, text string",
+    )
+    uncapped = dedup.minhash_lsh_pairs(same, "text", "doc_id", threshold=0.5).count()
+    capped = dedup.minhash_lsh_pairs(
+        same, "text", "doc_id", threshold=0.5, max_bucket=10
+    ).count()
+    assert uncapped == n * (n - 1) / 2
+    assert capped == 0
+
+
+def test_winnow_overlap_max_df_drops_boilerplate(spark):
+    common = "a long shared passage that definitely exceeds the gram window"
+    rows = [(i, f"{common} unique tail {i} {'x' * (i % 5)}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df, "text", "doc_id")
+    uncapped = dedup.winnow_overlap_pairs(fps, min_shared=2).count()
+    capped = dedup.winnow_overlap_pairs(fps, min_shared=2, max_df=20).count()
+    assert uncapped >= 40 * 39 / 2  # the shared passage pairs everything
+    assert capped < uncapped
