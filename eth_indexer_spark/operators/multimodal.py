@@ -142,7 +142,14 @@ def sample_frames(
     """Frame-sampling plumbing: explode each payload into fixed-stride byte
     windows (stand-in for video frame extraction — the stride/window shape
     is exactly what a real ffmpeg-backed sampler produces). Output one row
-    per (item, frame_idx) with the frame bytes."""
+    per (item, frame_idx) with the frame bytes.
+
+    The explode is vectorized: id columns repeat via ``index.repeat`` and
+    frame indexes come from a concatenated arange — no ``iterrows``. Only
+    the byte slicing itself is a per-frame comprehension (bytes objects have
+    no vector form)."""
+    import numpy as np
+
     id_cols = [f.name for f in df.schema.fields if f.name != media_col]
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name != media_col]
@@ -151,17 +158,19 @@ def sample_frames(
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[media_col])
-                for idx, start in enumerate(range(0, max(len(payload), 1), every_n_bytes)):
-                    rows.append(
-                        {
-                            **{c: row[c] for c in id_cols},
-                            "frame_idx": idx,
-                            "frame": payload[start : start + frame_size],
-                        }
-                    )
-            yield pd.DataFrame(rows)
+            if len(pdf) == 0:
+                continue
+            payloads = [bytes(b) for b in pdf[media_col]]
+            # empty payloads still emit one (empty) frame, like the stride loop
+            n_frames = np.array([max(-(-len(p) // every_n_bytes), 1) for p in payloads])
+            rep = np.repeat(np.arange(len(payloads)), n_frames)
+            out = pdf[id_cols].iloc[rep].reset_index(drop=True)
+            idx = np.concatenate([np.arange(k) for k in n_frames])
+            out["frame_idx"] = idx.astype("int32")
+            starts = idx * every_n_bytes
+            out["frame"] = [
+                payloads[r][s : s + frame_size] for r, s in zip(rep, starts)
+            ]
+            yield out
 
     return df.mapInPandas(_sample, schema=out_schema)

@@ -52,6 +52,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -113,6 +114,18 @@ REQUIRED_NON_NULL: dict[str, list[str]] = {
 _BUCKET = "block_bucket"
 
 
+def _locked(fn):
+    """Run a ParquetStore mutation under the exclusive writer flock."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._writer_lock():
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 def _bucket_of(rel_dir: str) -> int:
     """Bucket number from a partition dir rel path ('block_bucket=7' or
     'token=ab/block_bucket=7')."""
@@ -147,8 +160,10 @@ class ParquetStore:
         self.spark = spark
         self.root = root
         self.bucket_size = bucket_size
+        self._lock_held = False
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        self._recover()
+        with self._writer_lock():
+            self._recover()
 
     # -- crash-safe mutation protocol ----------------------------------------
     #
@@ -168,6 +183,38 @@ class ParquetStore:
     # common/errors.go:47-57, has no analog here — concurrent writers would
     # race the manifest protocol). Readers are unaffected: Delta/Iceberg
     # would supply snapshot isolation on a production deployment.
+    #
+    # ASSERTED, not just documented: every mutation runs under an exclusive
+    # ``flock`` on ``<root>/.writer.lock`` (non-blocking — a concurrent
+    # mutation fails loudly instead of corrupting the manifest protocol).
+    # The lock is held per-mutation, not per-store-lifetime, so a restarted
+    # job takes over a crashed writer's store without stale-lock cleanup
+    # (flock dies with the process). Local-FS deployments only; on object
+    # storage the Delta/Iceberg commit protocol replaces this.
+
+    @contextmanager
+    def _writer_lock(self):
+        if self._lock_held:  # reentrant within the owning store
+            yield
+            return
+        import fcntl
+
+        os.makedirs(self.root, exist_ok=True)
+        fd = os.open(os.path.join(self.root, ".writer.lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                raise RuntimeError(
+                    f"concurrent writer on {self.root}: the store is "
+                    "single-writer by construction (see module docstring); "
+                    "another ParquetStore mutation holds the writer lock"
+                )
+            self._lock_held = True
+            yield
+        finally:
+            self._lock_held = False
+            os.close(fd)  # releases the flock
 
     def _manifest_path(self, tmp_name: str) -> str:
         return os.path.join(self.root, tmp_name + ".manifest.json")
@@ -310,6 +357,7 @@ class ParquetStore:
         col = BLOCK_COLUMN[table]
         return df.withColumn(_BUCKET, (F.col(col) / self.bucket_size).cast("long"))
 
+    @_locked
     def write_blocks(
         self, tables: dict[str, DataFrame], block_range: tuple[int, int] | None = None
     ) -> None:
@@ -388,6 +436,7 @@ class ParquetStore:
                 if rel not in covered:
                     shutil.rmtree(os.path.join(self.path(table), rel), ignore_errors=True)
 
+    @_locked
     def append_blocks(self, tables: dict[str, DataFrame]) -> None:
         """Append variant for batches known to touch new buckets only —
         skips the overwrite listing. Dedup-on-key still applies within the
@@ -403,6 +452,7 @@ class ParquetStore:
 
     # -- mutations -----------------------------------------------------------
 
+    @_locked
     def delete_block_range(self, table: str, lo: int, hi: int) -> None:
         """M1/M2: retract all rows with block ∈ [lo, hi] — CRASH-SAFE.
 
@@ -459,6 +509,7 @@ class ParquetStore:
             if lo_b <= _bucket_of(rel) <= hi_b:
                 shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
 
+    @_locked
     def retract_blocks(self, lo: int, hi: int, tables: tuple[str, ...] | None = None) -> None:
         """The full reorg retraction (store/store.go:319-378): range-delete
         every derived table. Per-token tables need no enumeration — the token
@@ -466,6 +517,7 @@ class ParquetStore:
         for t in tables or tuple(BLOCK_COLUMN):
             self.delete_block_range(t, lo, hi)
 
+    @_locked
     def compact(self, table: str) -> None:
         """Maintenance: rewrite a block-keyed table so each partition holds
         one file. Every micro-batch write adds a file per touched bucket, so
@@ -485,6 +537,7 @@ class ParquetStore:
         self._write_manifest(manifest)  # COMMIT POINT
         self._apply_manifest(manifest)
 
+    @_locked
     def update_dimension(self, table: str, df: DataFrame) -> None:
         """M3/M4: replace a small dimension wholesale (subscriptions / erc20
         / reorgs audit log). Write-tmp + manifest + swap: a crash mid-write

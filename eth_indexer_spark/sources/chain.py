@@ -60,3 +60,43 @@ def fetch_balances(
                 yield chunk
 
     return requests.mapInPandas(_lookup, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# ERC20 metadata (client/client.go:112-148): the reference reads name /
+# totalSupply / decimals from the contract at registration via three eth_call
+# round-trips. Same pluggable-seam shape as the balance fan-out: a
+# ``MetadataFn`` takes the token address and returns the three fields; the
+# default is a deterministic fake so registration works without a node.
+# Driver-side single call by design — registration is one token at a time in
+# the reference too (service/indexer/indexer.go:88-120), never a hot path.
+# ---------------------------------------------------------------------------
+
+MetadataFn = Callable[[str], dict]
+
+
+def deterministic_fake_metadata(address: str) -> dict:
+    """Deterministic stand-in for the contract reads: stable pseudo-metadata
+    per token address. Replace with a real RPC client in production."""
+    hex_part = address[2:] if address.startswith("0x") else address
+    seed = int(hex_part[:8] or "0", 16)
+    return {
+        "name": f"TOKEN-{hex_part[:8]}",
+        "total_supply": str(seed * 10**18),
+        "decimals": 18,
+    }
+
+
+def fetch_token_metadata(address: str, metadata_fn: MetadataFn | None = None) -> dict:
+    """Resolve a token's on-chain metadata through the pluggable seam,
+    validating the contract shape the reference assumes (an ERC20 with
+    name()/totalSupply()/decimals())."""
+    meta = (metadata_fn or deterministic_fake_metadata)(address)
+    missing = {"name", "total_supply", "decimals"} - set(meta)
+    if missing:
+        raise ValueError(f"token metadata for {address} missing fields: {sorted(missing)}")
+    return {
+        "name": str(meta["name"]),
+        "total_supply": str(meta["total_supply"]),
+        "decimals": int(meta["decimals"]),
+    }

@@ -66,6 +66,7 @@ class BlockIngestor:
         subscriptions: DataFrame,
         erc20: DataFrame,
         balancer=None,
+        metadata_fn=None,
     ):
         self.spark = spark
         self.store = store
@@ -76,6 +77,10 @@ class BlockIngestor:
         # new-subscription opening balances; None = derive from the engine's
         # own ledger (the repo's documented balancer stand-in)
         self.balancer = balancer
+        # optional token-metadata seam (sources/chain.py MetadataFn) backing
+        # register_token when the caller omits name/total_supply/decimals —
+        # the reference reads them from the contract (client/client.go:112-148)
+        self.metadata_fn = metadata_fn
 
     # -- stored-chain state ---------------------------------------------------
 
@@ -120,9 +125,9 @@ class BlockIngestor:
     def register_token(
         self,
         address: str,
-        name: str = "",
-        total_supply: str = "0",
-        decimals: int = 18,
+        name: str | None = None,
+        total_supply: str | None = None,
+        decimals: int | None = None,
         at_block: int | None = None,
     ) -> None:
         """EP2 (service/indexer/indexer.go:88-120, store/account/account.go:
@@ -131,7 +136,18 @@ class BlockIngestor:
         ``total_balances`` for every subscription group from the stored
         balances as-of that block. The reference additionally CREATEs two
         per-token tables; the token partition column makes that a no-op here
-        (SURVEY §1.1)."""
+        (SURVEY §1.1).
+
+        Metadata fields left as None are read from the contract through the
+        ``metadata_fn`` seam (client/client.go:112-148 — name/totalSupply/
+        decimals eth_calls; deterministic fake when no node is plugged in)."""
+        if name is None or total_supply is None or decimals is None:
+            from eth_indexer_spark.sources.chain import fetch_token_metadata
+
+            meta = fetch_token_metadata(address, self.metadata_fn)
+            name = meta["name"] if name is None else name
+            total_supply = meta["total_supply"] if total_supply is None else total_supply
+            decimals = meta["decimals"] if decimals is None else decimals
         if at_block is None:
             stored = self._stored_recent()
             at_block = max(stored) if stored else 0

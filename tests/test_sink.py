@@ -336,3 +336,29 @@ def test_write_blocks_drops_stale_uncovered_token_buckets(spark, store):
     )
     rows = {(r["token"], r["tx_hash"]) for r in store.read("transfers").collect()}
     assert rows == {("ta", "t3")}
+
+
+def test_single_writer_lock(spark, tmp_path):
+    """Mutations hold an exclusive flock: a concurrent mutation on the same
+    root fails loudly; a sequential second store (restart takeover) works."""
+    import fcntl
+    import os
+
+    root = str(tmp_path / "locked")
+    store = ParquetStore(spark, root, bucket_size=10)
+    store.write_blocks({"block_headers": headers_df(spark, [1])})
+
+    # simulate a concurrent writer holding the lock
+    fd = os.open(os.path.join(root, ".writer.lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(RuntimeError, match="concurrent writer"):
+            store.write_blocks({"block_headers": headers_df(spark, [2])})
+    finally:
+        os.close(fd)
+
+    # released → mutations proceed; a second store instance (restart) too
+    store.write_blocks({"block_headers": headers_df(spark, [2])})
+    store2 = ParquetStore(spark, root, bucket_size=10)
+    store2.write_blocks({"block_headers": headers_df(spark, [3])})
+    assert store2.max_block("block_headers") == 3

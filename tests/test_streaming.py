@@ -502,3 +502,31 @@ def test_structured_streaming_file_source(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert_state_matches(store, expected_model())
+
+
+def test_register_token_fetches_metadata_via_seam(spark, tmp_path):
+    """register_token with metadata omitted reads it through the MetadataFn
+    seam (the reference's contract eth_calls, client/client.go:112-148);
+    explicit caller values still win field-by-field."""
+    raw = build_raw()
+    store, source, ing = _mk(spark, tmp_path, raw)
+    ing.metadata_fn = lambda a: {"name": f"SEAM-{a[-4:]}", "total_supply": "777", "decimals": 9}
+
+    t_new = addr(77)
+    ing.register_token(t_new, at_block=100)
+    row = store.read("erc20").filter(F.col("address") == t_new).collect()[0]
+    assert (row["name"], row["total_supply"], row["decimals"]) == (
+        f"SEAM-{t_new[-4:]}", "777", 9,
+    )
+
+    # explicit values override the seam per field
+    ing.register_token(t_new, name="EXPLICIT", at_block=100)
+    row = store.read("erc20").filter(F.col("address") == t_new).collect()[0]
+    assert (row["name"], row["total_supply"], row["decimals"]) == ("EXPLICIT", "777", 9)
+
+    # no seam plugged in → deterministic fake, never a crash
+    ing.metadata_fn = None
+    t2 = addr(78)
+    ing.register_token(t2, at_block=100)
+    row = store.read("erc20").filter(F.col("address") == t2).collect()[0]
+    assert row["name"].startswith("TOKEN-") and row["decimals"] == 18
