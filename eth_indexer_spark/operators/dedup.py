@@ -403,3 +403,97 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (duplicate-cluster extraction)
+# ---------------------------------------------------------------------------
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star rounds (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14): every node's strictly-larger neighbors re-attach
+    to the minimum of its closed neighborhood."""
+    b = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        b.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        b.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: orient edges high→low, re-attach each node's ≤ neighbors
+    (and itself) to the minimum neighbor."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        d.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc, cluster) for every doc appearing in ``pairs`` (i, j): cluster =
+    the minimum doc id of its connected component — the canonical survivor
+    of a duplicate group.
+
+    Alternating large-star/small-star converges in O(log² n) rounds
+    regardless of component diameter (a 10⁶-long chain still finishes in
+    ~20 rounds), unlike naive min-label propagation whose round count is the
+    diameter. Each round is one groupBy + one join shuffle on the edge set;
+    ``localCheckpoint`` truncates the iterative lineage. Convergence is
+    detected by an edge-set checksum (count + hash sum), one tiny agg per
+    round. This is the scalable duplicate-clustering standard at 100 TB —
+    never a driver-side union-find."""
+    e = (
+        pairs.select(F.col("i").cast("long").alias("u"), F.col("j").cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        chk = e.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        cur = (chk["n"], chk["h"])
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # converged star graph: every non-root points at its component minimum
+    roots = e.select(F.col("v").alias("doc")).distinct().withColumn("cluster", F.col("doc"))
+    return (
+        e.select(F.col("u").alias("doc"), F.col("v").alias("cluster"))
+        .unionByName(roots)
+        .groupBy("doc")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Assign EVERY document a duplicate-cluster id: docs in no pair are
+    their own singleton cluster. The end of the dedup pipeline — keep one
+    doc per cluster (``cluster = doc id`` rows are the canonical
+    survivors)."""
+    cc = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc"))
+        .join(cc, "doc", "left")
+        .select("doc", F.coalesce("cluster", F.col("doc")).alias("cluster"))
+    )
