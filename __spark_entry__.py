@@ -33,8 +33,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rather than oracle-verified ones."""
     qs = dict(analytics.QUERIES)
     oracle = analytics.ORACLE
-    ordered = {k: v for k, v in qs.items() if k in oracle}
-    rows_only_tail = [
+    # x_dedup_ngram_jaccard (uncapped) is oracle-backed — pytest still runs
+    # its full hash check — but is ordered past the bound: its capped sibling
+    # is the scale-correct form and keeps a driver row, and the head slot
+    # goes to x_dedup_clusters (the clustering stage) instead.
+    demoted = ["x_dedup_ngram_jaccard"]
+    ordered = {k: v for k, v in qs.items() if k in oracle and k not in demoted}
+    rows_only_tail = demoted + [
         "x_text_winnow",       # guarantee pinned by pytest property test
         "x_dedup_minhash_lsh", # recall/verify pytest vs exact Jaccard
         "x_ann_rhp_lsh",       # recall pytest vs cosine_topk

@@ -4,8 +4,11 @@
 JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
 {name: sec}, "sf": ...}.
 
-Each query is executed once after a warm-up pass; timing covers plan +
-execution to a driver-side count/collect of the (small) result.
+Each query is measured as the MEDIAN of 3 runs after a warm-up pass; timing
+covers plan + execution to a driver-side count/collect of the (small)
+result. The cache is cleared between runs so every rep is a cold-cache,
+JIT-warm execution — the same condition earlier single-run rounds measured,
+minus their run-order sensitivity.
 
 Warm-up (JMH-style): every measured plan first runs once at the smallest
 scale factor (sf0.001) so whole-stage-codegen compilation and JVM JIT of
@@ -75,16 +78,29 @@ def main() -> None:
             registry[name](spark, warm_dir).count()
         except Exception:
             pass  # a query without sf0.001 support still benches cold
+    # Drop every relation the warm-up pass persisted (several dedup/ANN plans
+    # cache intermediates): leaving 19 plans' worth of sf0.001 blocks resident
+    # perturbs the measured run (observed as 2.5-3.8× jumps on unchanged
+    # queries in r03). Then settle the JVM before measuring.
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
     # plus one target-SF scan so parquet footers/listing are cached as before
     registry[names[0]](spark, SF_DIR).count()
+    spark.catalog.clearCache()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = registry[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = registry[name](spark, SF_DIR)
+            df.count()
+            samples.append(time.perf_counter() - t0)
+            # a plan's own persists must not warm its next rep
+            spark.catalog.clearCache()
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -468,7 +468,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         chk = e.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
+            F.count(F.lit(1)).alias("n"),
+            # widen to decimal(38,0): a sum of full-range int64 hashes
+            # overflows LONG under ANSI mode after a handful of edges
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         cur = (chk["n"], chk["h"])
         if cur == prev:

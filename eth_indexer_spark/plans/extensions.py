@@ -114,11 +114,68 @@ def x_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_dedup_clusters",
+    """
+    WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM docs WHERE len(w) >= 3
+    ),
+    e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    keep AS (SELECT s FROM e0 GROUP BY s HAVING COUNT(*) <= 5),
+    e AS (SELECT e0.doc_id, e0.s FROM e0 JOIN keep USING (s)),
+    co AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+    pairs AS (
+        SELECT i, j
+        FROM co JOIN sizes si ON i = si.doc_id JOIN sizes sj ON j = sj.doc_id
+        WHERE inter * 1.0 / (si.n + sj.n - inter) >= 0.5
+    ),
+    ed AS (SELECT i AS u, j AS v FROM pairs UNION ALL SELECT j AS u, i AS v FROM pairs),
+    reach(src, dst) AS (
+        SELECT u, v FROM ed
+        UNION
+        SELECT r.src, ed.v FROM reach r JOIN ed ON r.dst = ed.u
+    ),
+    cl AS (SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src)
+    SELECT d.doc_id AS doc, COALESCE(cl.cluster, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc
+    """,
+)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final stage of every dedup pipeline: assign EVERY document a
+    duplicate-cluster id = min doc id of its connected component over the
+    near-dup pair graph (operators/dedup.py:connected_components — the
+    O(log² n)-round large-star/small-star form, never driver-side
+    union-find). Pairs come from the capped exact ngram-Jaccard, so the
+    whole pipeline — pair generation AND clustering — is oracle-checked
+    (DuckDB mirrors the clustering with a recursive-CTE reachability
+    closure + min-label)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_capped(
+        d, "text", "doc_id", k=3, threshold=0.5, max_df=5
+    )
+    return dedup.dedup_clusters(d, pairs, "doc_id")
+
+
 @register("x_dedup_minhash_lsh")  # hash-family dependent → rows-only check
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered with the degenerate-corpus guard ON: ``max_bucket`` caps
+    candidate generation per LSH bucket, so a corpus where one band collides
+    for every document cannot flood verification with O(N²) candidates
+    through this entry point. On a normal corpus the cap is far above any
+    real bucket size and the output is unchanged (pinned by
+    tests/test_extensions.py)."""
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
-        k=3, num_hashes=32, bands=8, threshold=0.5,
+        k=3, num_hashes=32, bands=8, threshold=0.5, max_bucket=5000,
     )
 
 

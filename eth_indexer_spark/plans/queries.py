@@ -163,3 +163,56 @@ def find_total_balance(total_balances: DataFrame, block_number: int, token: str,
         .orderBy(F.desc("block_number"))
         .limit(1)
     )
+
+
+# -- store-aware EP3 surface --------------------------------------------------
+
+
+class StoreQueries:
+    """EP3 point/as-of reads that ride the store's partition layout.
+
+    The module-level functions above take caller-supplied DataFrames and
+    filter logically; over a ``ParquetStore`` that prunes on ``token`` (a
+    physical partition column) but NOT on ``block_bucket`` (dropped by
+    ``store.read``). This wrapper derives the bucket predicate from each
+    block-number filter before delegating — an equality lookup lists exactly
+    one partition directory and an as-of lookup lists only buckets ≤ N,
+    regardless of table size. The reference gets the same economics from the
+    UNIQUE index every point SELECT rides (store/account/account.go:63-64,
+    store/block_header/block_header.go:46-48); with 100 TB of history the
+    difference is a one-directory listing vs a full-table scan.
+    """
+
+    def __init__(self, store) -> None:
+        self.store = store
+
+    def header_by_number(self, number: int) -> DataFrame:
+        return header_by_number(self.store.read_eq("block_headers", number), number)
+
+    def latest_header(self) -> DataFrame:
+        """T1 in O(top bucket): the max partition directory bounds the
+        answer, so only its rows are ordered (cf. store.max_block)."""
+        top = max(self.store._bucket_values("block_headers"), default=None)
+        if top is None:
+            return self.store.read("block_headers").limit(0)
+        return latest_header(
+            self.store.read_range("block_headers", lo=top * self.store.bucket_size)
+        )
+
+    def find_account(
+        self, token: str, address: str, block_number: int | None = None
+    ) -> DataFrame:
+        balances = (
+            self.store.read_range("balances", hi=block_number)
+            if block_number is not None
+            else self.store.read("balances")
+        )
+        return find_account(balances, token, address, block_number)
+
+    def find_total_balance(self, block_number: int, token: str, group: int) -> DataFrame:
+        return find_total_balance(
+            self.store.read_range("total_balances", hi=block_number),
+            block_number,
+            token,
+            group,
+        )

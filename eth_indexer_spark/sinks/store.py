@@ -337,6 +337,23 @@ class ParquetStore:
             df = df.filter((F.col(_BUCKET) <= hi // self.bucket_size) & (F.col(col) <= hi))
         return df.drop(_BUCKET)
 
+    def read_eq(self, table: str, number: int) -> DataFrame:
+        """EP3 point read: equality on the block column prunes to exactly ONE
+        bucket partition (the bucket is a pure function of the block number),
+        so a point SELECT lists one directory regardless of table size — the
+        partition-layout analog of the reference riding its UNIQUE index on
+        every point read (store/block_header/block_header.go:46,
+        store/account/account.go:63-64)."""
+        col = BLOCK_COLUMN[table]
+        return (
+            self.spark.read.parquet(self.path(table))
+            .filter(
+                (F.col(_BUCKET) == number // self.bucket_size)
+                & (F.col(col) == number)
+            )
+            .drop(_BUCKET)
+        )
+
     # -- writes --------------------------------------------------------------
 
     def _require_non_null(self, table: str, df: DataFrame) -> None:
@@ -518,6 +535,23 @@ class ParquetStore:
             self.delete_block_range(t, lo, hi)
 
     @_locked
+    def buckets_needing_compaction(self, table: str, max_files: int = 8) -> list[str]:
+        """Scheduling guidance for :meth:`compact`: partition dirs whose
+        parquet file count exceeds ``max_files``. Every micro-batch write
+        adds ~1 file per touched bucket, so the active head bucket crosses
+        the threshold after ~``max_files`` batches — run ``compact(table)``
+        when this returns non-empty (per N batches, or from a maintenance
+        schedule). Pure directory listing; no data is read, so the check is
+        safe to run every batch even on a 100 TB table (it lists only
+        partition dirs, whose count is bounded by history/bucket_size)."""
+        out = []
+        for rel in self._bucket_rel_dirs(table):
+            d = os.path.join(self.path(table), rel)
+            n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            if n > max_files:
+                out.append(rel)
+        return out
+
     def compact(self, table: str) -> None:
         """Maintenance: rewrite a block-keyed table so each partition holds
         one file. Every micro-batch write adds a file per touched bucket, so

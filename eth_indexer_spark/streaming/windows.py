@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import TimestampNTZType
 
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
@@ -57,7 +58,18 @@ def windowed_event_aggregate(
         if slide
         else F.window(F.col(ts_col), window)
     )
-    df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    if events.isStreaming:
+        # Engine-wide TIMESTAMP_NTZ policy: parquet written by modern Spark
+        # infers TIMESTAMP_NTZ, but withWatermark requires TimestampType
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session TZ is pinned to
+        # UTC (session.py), so the cast is a lossless reinterpretation. Batch
+        # inputs are left untouched — window() handles NTZ natively and the
+        # oracle compare depends on the batch output type staying put.
+        if isinstance(events.schema[ts_col].dataType, TimestampNTZType):
+            events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        df = events.withWatermark(ts_col, watermark)
+    else:
+        df = events
     return (
         df.groupBy(win.alias("win"), *keys)
         .agg(
@@ -151,10 +163,14 @@ def sessionize_batch(
     from pyspark.sql import Window as W
 
     w = W.partitionBy(user_col).orderBy(ts_col)
+    # Timestamp subtraction yields a DayTimeInterval for BOTH TIMESTAMP and
+    # TIMESTAMP_NTZ inputs, so the gap test is type-agnostic (casting NTZ to
+    # DOUBLE is illegal) and stays pure codegen. Fractional-second gaps are
+    # preserved via the interval literal's SECOND precision.
+    gap_interval = F.expr(f"INTERVAL '{gap_minutes * 60.0}' SECOND")
     gap_break = (
         F.when(
-            F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
-            >= gap_minutes * 60.0,
+            F.col(ts_col) - F.lag(F.col(ts_col)).over(w) >= gap_interval,
             1,
         )
         .otherwise(0)

@@ -357,3 +357,24 @@ def test_winnow_overlap_max_df_drops_boilerplate(spark):
     capped = dedup.winnow_overlap_pairs(fps, min_shared=2, max_df=20).count()
     assert uncapped >= 40 * 39 / 2  # the shared passage pairs everything
     assert capped < uncapped
+
+
+def test_registered_minhash_cap_is_invisible_on_normal_corpus(spark, docs):
+    """The REGISTERED x_dedup_minhash_lsh entry runs with max_bucket=5000 (the
+    degenerate-corpus guard); on a normal corpus every LSH bucket is far below
+    the cap, so its output must be IDENTICAL to the uncapped operator call.
+    The adversarial bound itself is pinned by
+    test_minhash_max_bucket_caps_degenerate_corpus through the same operator
+    + cap parameter the registered entry uses."""
+    from eth_indexer_spark.plans import extensions as ext
+
+    registered = {
+        (r["i"], r["j"]) for r in ext.x_dedup_minhash_lsh(spark, SF).collect()
+    }
+    uncapped = {
+        (r["i"], r["j"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", k=3, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert registered == uncapped

@@ -126,3 +126,51 @@ def test_find_total_balance_asof(spark, raw, headers):
     assert r["block_number"] == 102
     r_future = q.find_total_balance(totals, 10_000, ETH, 2).collect()[0]
     assert r_future["block_number"] == 104  # A3's last ETH activity (uncle reward)
+
+
+def test_store_point_reads_prune_partitions(spark, tmp_path):
+    """EP3 economics: the store-aware wrapper must push the derived
+    block_bucket predicate into the parquet source (PartitionFilters in the
+    physical plan), so a point lookup lists ONE partition directory and an
+    as-of lookup only buckets <= N — the layout analog of the reference's
+    indexed point SELECTs (store/block_header/block_header.go:46,
+    store/account/account.go:63-64)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from eth_indexer_spark.sinks.store import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
+    store.write_blocks(
+        {
+            "block_headers": spark.createDataFrame(
+                [(f"h{n}", f"h{n-1}", n, 100 + n) for n in range(0, 40)],
+                "hash string, parent_hash string, number long, difficulty long",
+            ),
+            "total_balances": spark.createDataFrame(
+                [("0xeth", n, 1, str(n * 10)) for n in range(0, 40)],
+                "token string, block_number long, `group` long, balance string",
+            ),
+        }
+    )
+    sq = q.StoreQueries(store)
+
+    def partition_filters(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan, plan
+        return plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+
+    point = sq.header_by_number(25)
+    assert "block_bucket" in partition_filters(point)
+    assert point.collect()[0]["number"] == 25
+
+    latest = sq.latest_header()
+    assert "block_bucket" in partition_filters(latest)
+    assert latest.collect()[0]["number"] == 39
+
+    asof = sq.find_total_balance(17, "0xeth", 1)
+    assert "block_bucket" in partition_filters(asof)
+    assert asof.collect()[0]["block_number"] == 17

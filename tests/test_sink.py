@@ -130,6 +130,27 @@ def test_compact_merges_small_files(spark, store):
     assert after == before
 
 
+def test_buckets_needing_compaction_schedule(spark, store):
+    """The scheduling helper: reports exactly the buckets whose file count
+    exceeds the threshold, and reports nothing after compact() — the
+    run-compaction-when-non-empty maintenance loop."""
+    for lo in (100, 103, 106):  # three files into bucket 10
+        store.write_blocks(
+            {"block_headers": headers_df(spark, range(lo, lo + 3))},
+            block_range=(lo, lo + 2),
+        )
+    store.write_blocks(
+        {"block_headers": headers_df(spark, range(200, 203))},
+        block_range=(200, 202),
+    )  # bucket 20: one file
+    assert store.buckets_needing_compaction("block_headers", max_files=2) == [
+        "block_bucket=10"
+    ]
+    assert store.buckets_needing_compaction("block_headers", max_files=8) == []
+    store.compact("block_headers")
+    assert store.buckets_needing_compaction("block_headers", max_files=2) == []
+
+
 def test_dimension_update_and_append(spark, store):
     subs = spark.createDataFrame(
         [(1, 0, 1, "aa")], "id long, block_number long, group long, address string"

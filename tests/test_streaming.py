@@ -432,6 +432,29 @@ def test_new_sub_with_prev_balance_errors(spark, tmp_path):
         ing.process_headers(headers_of(raw, [100, 101, 102]))
 
 
+def test_resubscribe_after_unsubscribe_hits_has_prev_guard(spark, tmp_path):
+    """The tracked-then-unsubscribed-then-re-subscribed-as-NEW lifecycle is
+    impossible by construction: the re-added subscription (block_number=0)
+    trips ErrHasPrevBalance on the next batch because the address's balance
+    history is still stored. This is WHY _init_new_subscriptions needs no
+    latest_balances fast path for "re-tracked" addresses — the guard forbids
+    that state ever reaching initialization (reference semantics:
+    store/transfer_processor.go:295-301)."""
+    raw = build_raw()
+    store, _src, ing = _mk(spark, tmp_path, raw)
+    ing.process_headers(headers_of(raw, [100, 101, 102, 103]))
+
+    subs = ing.subscriptions
+    resub = subs.filter(F.col("address") != A3).unionByName(
+        subs.filter(F.col("address") == A3).withColumn(
+            "block_number", F.lit(0).cast("long")
+        )
+    )
+    ing._persist_subscriptions(resub)
+    with pytest.raises(ValueError, match="has-prev-balance"):
+        ing.process_headers(headers_of(raw, [104, 105]))
+
+
 def test_old_sub_missing_prev_errors(spark, tmp_path):
     """ErrMissingPrevBalance: an OLD sub (block_number>0) with activity but
     no prior balance row means its initialization never happened."""

@@ -154,3 +154,54 @@ def test_sessionize_stream_closes_across_batches(spark, tmp_path):
         for r in spark.table("sessions2").collect()
     ]
     assert got == [(2, 3, 30.0)]
+
+
+def test_sessionize_stream_and_batch_gap_semantics_lockstep(spark, tmp_path):
+    """Property test pinning the two sessionize implementations to ONE gap
+    semantic (close when inter-event gap >= gap): on a seeded random event
+    set, the streaming operator's emitted (closed) sessions must be EXACTLY
+    the batch form's sessions minus each user's final (still-open) session —
+    including boundary events landing exactly ON the gap. If either path's
+    comparison drifts (> vs >=, seconds vs interval), this fails."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for user in range(1, 9):
+        minute = 0
+        for _ in range(rng.randint(3, 25)):
+            # gaps draw from a set straddling the 30-min boundary, including
+            # exactly 30 (must CLOSE: semantics are >= gap)
+            minute += rng.choice([1, 5, 29, 30, 31, 90])
+            rows.append((user, minute, float(rng.randint(1, 9))))
+    events = _mk_events(spark, rows)
+
+    batch = sessionize_batch(events, gap_minutes=30.0)
+    key = lambda r: (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+                     r["n_events"], r["total_value"])
+    batch_rows = sorted(batch.collect(), key=key)
+    # drop each user's last session (stays open in streaming state)
+    open_tails = {}
+    for r in batch_rows:
+        u = r["user_id"]
+        if u not in open_tails or str(r["session_start"]) > str(open_tails[u]["session_start"]):
+            open_tails[u] = r
+    want = sorted(
+        (key(r) for r in batch_rows if key(r) != key(open_tails[r["user_id"]])),
+    )
+
+    src = str(tmp_path / "lockstep")
+    events.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        sessionize(stream, gap_minutes=30.0)
+        .writeStream.format("memory")
+        .queryName("lockstep_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lockstep"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(key(r) for r in spark.table("lockstep_sessions").collect())
+    assert got == want and len(want) > 10
