@@ -136,7 +136,9 @@ def ngram_jaccard_pairs_capped(
     inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
 
-    inter = _copair_counts(inv, "s")
+    # the index is already capped → per-key sets are bounded by max_df, so
+    # the single-shuffle grouped form is safe and cheapest
+    inter = _copair_counts(inv, "s", bounded=True)
     si = sizes.select(F.col("doc").alias("i"), F.col("n").alias("ni"))
     sj = sizes.select(F.col("doc").alias("j"), F.col("n").alias("nj"))
     jac = F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))
@@ -168,30 +170,54 @@ def cap_hot_keys(inv: DataFrame, key: str, max_df: int) -> DataFrame:
     )
 
 
-def _copair_counts(inv: DataFrame, key: str, max_df: int | None = None) -> DataFrame:
+def _copair_counts(
+    inv: DataFrame, key: str, max_df: int | None = None, bounded: bool = False
+) -> DataFrame:
     """(i, j, inter) = number of inverted-index keys shared by each doc pair,
-    i < j. Groups docs per key, drops singleton keys (they cannot form a
-    pair — typically the vast majority), emits in-group pairs by double
-    explode, counts. Versus the classic index self-join this shuffles the
-    big index ONCE instead of twice-plus-join — the property that matters
-    when the index is the dominant volume; at local bench scale the two are
-    within noise of each other (stage overhead dominates there).
+    i < j.
 
     A key appearing in d docs emits O(d²) pairs — the irreducible cost of
     exact co-occurrence. ``max_df`` bounds that: keys above the cap are
     dropped first (:func:`cap_hot_keys`), changing the semantics from
     "all shared keys" to "all shared non-ubiquitous keys" — the trade every
-    production dedup pipeline makes. None = exact, uncapped."""
+    production dedup pipeline makes. None = exact, uncapped.
+
+    Two physical forms, chosen by whether per-key doc counts are bounded:
+
+    - **bounded** (``max_df`` given, or ``bounded=True`` because the caller
+      pre-capped the index): group docs per key into a ``collect_set`` —
+      ≤ ``max_df`` elements by construction — drop singleton keys (they
+      cannot form a pair; typically the vast majority), emit in-group pairs
+      by double explode. Shuffles the big index ONCE, which matters when the
+      index is the dominant volume.
+    - **unbounded** (exact, uncapped): the classic index self-join. Two
+      shuffles of the index instead of one, but NO per-key in-memory array —
+      a hot key streams through the join and spills like any other skewed
+      key (AQE skew handling applies), instead of materializing a d-element
+      driver-of-doom array inside one aggregation buffer. At 100 TB the
+      uncapped form is only safe with this shape; the O(d²) emitted pairs
+      remain inherent to its semantics.
+    """
     if max_df is not None:
         inv = cap_hot_keys(inv, key, max_df)
-    grp = (
-        inv.groupBy(key)
-        .agg(F.collect_set("doc").alias("docs"))
-        .filter(F.size("docs") >= 2)
-    )
+        bounded = True
+    if bounded:
+        grp = (
+            inv.groupBy(key)
+            .agg(F.collect_set("doc").alias("docs"))
+            .filter(F.size("docs") >= 2)
+        )
+        return (
+            grp.select(F.explode("docs").alias("i"), "docs")
+            .select("i", F.explode("docs").alias("j"))
+            .filter(F.col("i") < F.col("j"))
+            .groupBy("i", "j")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    a = inv.select(F.col(key).alias("__k"), F.col("doc").alias("i"))
+    b = inv.select(F.col(key).alias("__k"), F.col("doc").alias("j"))
     return (
-        grp.select(F.explode("docs").alias("i"), "docs")
-        .select("i", F.explode("docs").alias("j"))
+        a.join(b, "__k")
         .filter(F.col("i") < F.col("j"))
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("inter"))

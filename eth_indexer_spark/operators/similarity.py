@@ -58,6 +58,58 @@ def cosine_topk(
     return df.orderBy(F.desc("sim"), id_col).limit(k)
 
 
+def cosine_topk_batch(
+    emb: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+    exclude_self: bool = True, n_blocks: int = 32,
+) -> DataFrame:
+    """Exact top-k neighbors for EVERY query vector in ONE corpus scan —
+    the batch-retrieval shape (dedup-against-reference-set, eval-set
+    retrieval) where per-query :func:`cosine_topk` calls would re-scan the
+    corpus Q times.
+
+    ``queries`` is a small (query_id, query_vec) DataFrame, broadcast to
+    every task; similarities use the same deterministic fold-order
+    ``cosine`` expression as the rest of this module (JVM, no UDF), so
+    rankings match an ANSI-SQL oracle bit-for-bit. Top-k is two-staged so
+    no task ever sorts more than its block: stage 1 keeps k per
+    (query, id-hash block) — the map-side partial reduction built-in aggs
+    can't express for top-k — leaving ≤ k·n_blocks·Q tiny rows for the
+    stage-2 global window. The corpus itself is never shuffled; only skinny
+    (query_id, id, sim) rows move, proportional to the N·Q similarity
+    evaluations that exactness inherently costs.
+
+    Returns (query_id, id, rnk) with rnk in [1, k].
+    """
+    from pyspark.sql import Window as W
+
+    skinny = (
+        emb.crossJoin(F.broadcast(queries))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine(_vec(vec_col), _vec(query_vec_col)).alias("sim"),
+        )
+    )
+    if exclude_self:
+        skinny = skinny.filter(F.col(id_col) != F.col(query_id_col))
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    order = (F.desc("sim"), F.col(id_col))
+    w1 = W.partitionBy(F.col(query_id_col), blk).orderBy(*order)
+    local = (
+        skinny.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    w2 = W.partitionBy(query_id_col).orderBy(*order)
+    return (
+        local.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "rnk")
+    )
+
+
 def cosine_pairs(
     emb: DataFrame, threshold: float,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -263,6 +263,38 @@ def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+@register(
+    "x_ann_batch_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    r AS (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                            DESC, e.vec_id
+               ) AS rnk
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, rnk FROM r WHERE rnk <= 10
+    """,
+)
+def x_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: exact top-10 for a query SET in one corpus scan
+    (operators/similarity.py:cosine_topk_batch — two-stage blocked top-k,
+    deterministic fold-order cosine, so even the ranks hash-match the
+    oracle)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.cosine_topk_batch(e, qs, k=10)
+
+
 @register("x_ann_rhp_lsh")  # approximate → rows-only check
 def x_ann_rhp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir, 0)
@@ -520,6 +552,107 @@ def x_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
     return sessionize_batch(e, gap_minutes=30.0)
+
+
+@register(
+    "x_curation_pipeline",
+    """
+    WITH m AS (
+        SELECT doc_id, text,
+               len(regexp_split_to_array(text, '\\s+')) AS t,
+               len(regexp_extract_all(text, '[a-zA-Z]')) * 1.0 / length(text) AS alpha,
+               len(list_filter(string_split(lower(text), ' '),
+                               w -> w IN ('the','a','and','of','to','in','is','it','that','for'))) * 1.0
+               / len(string_split(lower(text), ' ')) AS stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, text,
+               ROUND(0.4 * LEAST(t / 64.0, 1.0)
+                     + 0.4 * ROUND(alpha, 4)
+                     + 0.2 * LEAST(ROUND(stop, 4) * 5, 1.0), 5) AS quality
+        FROM m
+    ),
+    kept AS (
+        SELECT doc_id, text FROM scored WHERE quality >= 0.5
+        UNION ALL
+        SELECT doc_id + 100000, text FROM scored WHERE quality >= 0.5
+    )
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM kept GROUP BY md5(text)
+    """,
+)
+def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition — the everyday shape of a
+    training-data pipeline: score quality → filter → exact-dedup the
+    survivors (keep the min-id canonical copy). Stage order matters at
+    scale: the cheap pure-expression quality filter runs BEFORE the
+    shuffle-bearing dedup, so the one shuffle moves only surviving docs.
+    Duplicates are planted by doubling the kept set (id+100000), mirroring
+    `_doubled_docs`."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", tx.quality_score("text").alias("quality")
+    )
+    kept = d.filter(F.col("quality") >= 0.5).select("doc_id", "text")
+    doubled = kept.unionByName(
+        kept.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return dedup.exact_dedup(doubled, "text", "doc_id")
+
+
+@register(
+    "x_corpus_stats",
+    """
+    WITH c AS (
+        SELECT doc_id, text,
+               string_split(lower(text), ' ') AS w,
+               len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, text, cjk,
+               len(list_filter(w, x -> x IN ('the','and','of','is','to')))   AS c_en,
+               len(list_filter(w, x -> x IN ('le','la','et','les','des')))   AS c_fr,
+               len(list_filter(w, x -> x IN ('el','la','los','que','de')))   AS c_es,
+               len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS c_de
+        FROM c
+    ),
+    langed AS (
+        SELECT doc_id, text,
+               CASE WHEN cjk > 0 THEN 'zh'
+                    WHEN GREATEST(c_en, c_fr, c_es, c_de) = 0 THEN 'und'
+                    WHEN c_en = GREATEST(c_en, c_fr, c_es, c_de) THEN 'en'
+                    WHEN c_fr = GREATEST(c_en, c_fr, c_es, c_de) THEN 'fr'
+                    WHEN c_es = GREATEST(c_en, c_fr, c_es, c_de) THEN 'es'
+                    WHEN c_de = GREATEST(c_en, c_fr, c_es, c_de) THEN 'de'
+                    ELSE 'und' END AS lang_pred
+        FROM m
+    )
+    SELECT lang_pred,
+           COUNT(*)                                                  AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(regexp_split_to_array(text, '\\s+'))), 2)   AS avg_tokens
+    FROM langed GROUP BY lang_pred
+    """,
+)
+def x_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report: per-language document counts and token totals — the
+    dataset-card aggregation every corpus release runs. Pure expressions +
+    one partial-aggregated groupBy on a low-cardinality key; at 100 TB this
+    is a single map-side-combined pass."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            tx.lang_id("text").alias("lang_pred"),
+            tx.token_count("text").alias("n_tok"),
+        )
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+        )
+    )
 
 
 @register("x_text_winnow")  # hash-family dependent → rows-only check

@@ -86,27 +86,85 @@ def windowed_event_aggregate(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact-dedup: drop duplicate rows by ``keys`` within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — the operator
+    that turns an at-least-once upstream (retried fetches, replayed
+    micro-batches) into effectively-once delivery with BOUNDED state: one
+    entry per key lives only until the watermark passes it, unlike plain
+    streaming ``dropDuplicates`` whose state never evicts. On a batch input
+    the same call degrades to ordinary ``dropDuplicates`` (identical
+    semantics once data is complete), which is how tests pin the streaming
+    output to batch ground truth.
+
+    Event-time type policy per catalog.py: NTZ casts to TIMESTAMP at the
+    watermark boundary (lossless, session TZ is UTC)."""
+    if events.isStreaming:
+        if isinstance(events.schema[ts_col].dataType, TimestampNTZType):
+            events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: float = 30.0,
     ts_col: str = "ts",
     user_col: str = "user_id",
     value_col: str = "value",
+    idle_timeout_minutes: float | None = None,
 ) -> DataFrame:
     """Custom stateful session windows over a STREAMING DataFrame.
 
     A session is a maximal run of a user's events with inter-event gaps
     < ``gap_minutes``. Completed sessions are emitted as soon as a later
-    event (or batch) proves the gap; the open tail session stays in state
-    until a future batch closes it. Arrow-batched per-key processing; state
-    is 4 scalars per user.
+    event (or batch) proves the gap. The open tail session stays in state
+    until a future batch closes it — or, with ``idle_timeout_minutes`` set,
+    until no event for that key arrives for that long in PROCESSING time,
+    at which point the open session is flushed and its state removed (so
+    state size tracks the ACTIVE key set, not every key ever seen — the
+    property that keeps an unbounded-key stream bounded). Arrow-batched
+    per-key processing; state is 4 scalars per user.
     """
     gap_s = gap_minutes * 60.0
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
 
     def _process(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
+
+        def _emit(rows: list[tuple[float, float, int, float]]) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [user] * len(rows),
+                    "session_start": pd.to_datetime([c[0] for c in rows], unit="s"),
+                    "session_end": pd.to_datetime([c[1] for c in rows], unit="s"),
+                    "n_events": [c[2] for c in rows],
+                    "total_value": [round(c[3], 2) for c in rows],
+                }
+            )
+
+        if idle_timeout_minutes is not None and state.hasTimedOut:
+            # idle key: flush the open session, drop the state entry
+            if state.exists:
+                start, last, n, total = state.get
+                state.remove()
+                if start is not None:
+                    yield _emit([(start, last, n, total)])
+            return
+
         if state.exists:
             start, last, n, total = state.get
         else:
@@ -129,23 +187,17 @@ def sessionize(
                 total += v
 
         state.update((start, last, n, total))
+        if idle_timeout_minutes is not None:
+            state.setTimeoutDuration(int(idle_timeout_minutes * 60_000))
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user] * len(closed),
-                    "session_start": pd.to_datetime([c[0] for c in closed], unit="s"),
-                    "session_end": pd.to_datetime([c[1] for c in closed], unit="s"),
-                    "n_events": [c[2] for c in closed],
-                    "total_value": [round(c[3], 2) for c in closed],
-                }
-            )
+            yield _emit(closed)
 
     return events.groupBy(user_col).applyInPandasWithState(
         _process,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
 
 
