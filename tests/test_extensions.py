@@ -378,3 +378,51 @@ def test_registered_minhash_cap_is_invisible_on_normal_corpus(spark, docs):
         ).collect()
     }
     assert registered == uncapped
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property test: the alternating large-star/small-star algorithm must
+    label every node with its component's MIN id, exactly matching an
+    independent union-find, on shapes that stress it — a 40-edge chain
+    (convergence depth), a star (hot node), a cycle, and random clumps."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(100, 140)]      # long chain
+    edges += [(500, x) for x in range(501, 521)]       # star
+    edges += [(600, 601), (601, 602), (602, 600)]      # cycle
+    for _ in range(60):                                # random clumps
+        a, b = rng.randrange(0, 80), rng.randrange(0, 80)
+        if a != b:
+            edges.append((a, b))
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # union-by-min → root = min id
+    want = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "i long, j long")
+    got = {r["doc"]: r["cluster"] for r in dedup.connected_components(pairs).collect()}
+    assert got == want
+
+
+def test_dedup_clusters_assigns_singletons(spark):
+    """Docs in no pair are their own cluster; paired docs get the component
+    min id."""
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 5)], "i long, j long")
+    got = {
+        r["doc"]: r["cluster"]
+        for r in dedup.dedup_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4, 5: 1, 6: 6, 7: 7}

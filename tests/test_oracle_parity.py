@@ -25,9 +25,12 @@ def test_query_matches_oracle(spark, duck, name):
     df = QUERIES[name](spark, SF_CORRECTNESS)
     if name in ORACLES:
         assert_matches_oracle(df, duck, ORACLES[name], name)
+        # degeneracy guard: a 0-row result trivially "matches" its oracle;
+        # every registered query must exercise real rows at sf0.01
+        assert df.count() > 0, f"{name}: degenerate 0-row result"
     else:
         # rows-only check (driver's weaker path for non-SQL-expressible ops)
-        assert df.count() >= 0
+        assert df.count() > 0, f"{name}: degenerate 0-row result"
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -1,0 +1,92 @@
+"""Physical-plan audits: the properties that make queries scale are
+ASSERTED, not assumed — filters reach the parquet scan (PushedFilters),
+projections prune the read schema (ReadSchema), top-k compiles to
+TakeOrderedAndProject / WindowGroupLimit partial limits, intentional
+broadcasts plan as BroadcastHashJoin, and nothing plans a cartesian product.
+A regression in any of these is a silent 100×-at-scale bug that correctness
+tests cannot catch."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from eth_indexer_spark.plans import analytics, extensions
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_point_lookup_pushes_filter_to_scan(spark):
+    plan = plan_of(analytics.QUERIES["p1_point_lookup"](spark, SF))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "IsNotNull" in pushed or "EqualTo" in pushed, pushed
+
+
+def test_range_scan_pushes_range_predicates(spark):
+    plan = plan_of(analytics.QUERIES["p2_range_scan"](spark, SF))
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "GreaterThan" in pushed and "LessThan" in pushed, pushed
+
+
+def test_q1_prunes_read_schema(spark):
+    """The pricing summary touches 7 lineitem columns; the scan must not
+    read the rest (l_comment is the canary — it is the widest column)."""
+    plan = plan_of(analytics.QUERIES["q1_pricing_summary"](spark, SF))
+    schema_line = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_comment" not in schema_line
+    assert "l_quantity" in schema_line
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    plan = plan_of(analytics.QUERIES["t3_topk_scan"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_topk_compiles_to_take_ordered(spark):
+    plan = plan_of(extensions.x_ann_cosine_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_batch_topk_has_partial_window_limits(spark):
+    """The batch retrieval op must keep per-task partial top-k
+    (WindowGroupLimit) BEFORE each exchange — without it every (query, sim)
+    row shuffles unbounded."""
+    plan = plan_of(extensions.x_ann_batch_topk(spark, SF))
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "BroadcastExchange" in plan  # the query set ships, not the corpus
+
+
+def test_dim_join_broadcasts(spark):
+    plan = plan_of(analytics.QUERIES["j5_broadcast_dim_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_cartesian_products_in_join_queries(spark):
+    """CartesianProduct in a fact-fact join is the canonical scale-killer.
+    (BroadcastNestedLoopJoin appears ONLY where a tiny literal side is
+    intentionally shipped — the ANN query set — never between facts.)"""
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume",
+                 "j4_semi_join", "j6_fact_fact_join", "j8_anti_join"):
+        plan = plan_of(analytics.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_semi_join_plans_as_left_semi(spark):
+    plan = plan_of(analytics.QUERIES["j4_semi_join"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_plans_as_left_anti(spark):
+    plan = plan_of(analytics.QUERIES["j8_anti_join"](spark, SF))
+    assert "LeftAnti" in plan
