@@ -394,64 +394,92 @@ class ParquetStore:
 
         ``block_range``: inclusive block span this batch covers. Defaults to
         each table's own min/max block (one tiny agg job per table).
+
+        Tables are independent directories, so every table EXCEPT the commit
+        marker writes from a thread pool (concurrent Spark job submission —
+        local[32] and any real cluster schedule them in parallel; 8 serial
+        write jobs were the micro-batch latency floor). ``block_headers``,
+        when present, is written strictly AFTER all others complete: it is
+        the crash-recovery commit marker (streaming/ingest.py), and any
+        failed table write must withhold it so a replay repairs the batch.
         """
-        for table, df in tables.items():
-            self._require_non_null(table, df)
-            key = UNIQUE_KEYS.get(table)
-            if key:
-                df = df.dropDuplicates(key)
-            col = BLOCK_COLUMN[table]
-            if block_range is not None:
-                lo, hi = block_range
-            else:
-                row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
-                lo, hi = row["lo"], row["hi"]
-            if lo is None:
-                continue  # empty batch for this table
+        items = [(t, d) for t, d in tables.items() if t != "block_headers"]
+        marker = [(t, d) for t, d in tables.items() if t == "block_headers"]
+        if len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
 
-            lo_b, hi_b = lo // self.bucket_size, hi // self.bucket_size
-            pre_range_dirs: list[str] = []
-            if self.exists(table):
-                survivors = (
-                    self.spark.read.parquet(self.path(table))
-                    .filter((F.col(_BUCKET) >= lo_b) & (F.col(_BUCKET) <= hi_b))
-                    .filter((F.col(col) < lo) | (F.col(col) > hi))
-                    .drop(_BUCKET)
-                )
-                # materialize before overwriting the path they were read from
-                df = df.unionByName(survivors.localCheckpoint())
-                pre_range_dirs = [
-                    rel for rel in self._bucket_rel_dirs(table)
-                    if lo_b <= _bucket_of(rel) <= hi_b
+            with ThreadPoolExecutor(max_workers=min(4, len(items))) as ex:
+                futures = [
+                    ex.submit(self._write_one_table, t, d, block_range)
+                    for t, d in items
                 ]
+                for f in futures:
+                    f.result()  # re-raise the first failure BEFORE the marker
+        else:
+            for t, d in items:
+                self._write_one_table(t, d, block_range)
+        for t, d in marker:
+            self._write_one_table(t, d, block_range)
 
-            out = self._with_bucket(table, df)
-            parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
-            if pre_range_dirs:
-                # Dynamic overwrite only rewrites partitions PRESENT in the
-                # output: an in-range bucket whose every stored row was
-                # replaced away (zero batch rows, zero survivors) would keep
-                # its stale files, violating the overwrite-by-range contract.
-                # Pin the union once (its lineage reads the files the
-                # overwrite is about to replace), probe the covered partition
-                # set from the pinned copy, write, then drop the uncovered
-                # in-range dirs. Replay-safe: a crash before the drop re-runs
-                # the whole batch (header commit marker) and reaches here.
-                out = out.localCheckpoint()
-                covered = set()
-                for r in out.select(*parts).distinct().collect():
-                    rel = f"{_BUCKET}={r[_BUCKET]}"
-                    for c in EXTRA_PARTITIONS.get(table, []):
-                        rel = f"{c}={r[c]}{os.sep}" + rel
-                    covered.add(rel)
-            (
-                out.write.mode("overwrite")
-                .partitionBy(*parts)
-                .parquet(self.path(table))
+    def _write_one_table(
+        self, table: str, df: DataFrame, block_range: tuple[int, int] | None
+    ) -> None:
+        self._require_non_null(table, df)
+        key = UNIQUE_KEYS.get(table)
+        if key:
+            df = df.dropDuplicates(key)
+        col = BLOCK_COLUMN[table]
+        if block_range is not None:
+            lo, hi = block_range
+        else:
+            row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+            lo, hi = row["lo"], row["hi"]
+        if lo is None:
+            return  # empty batch for this table
+
+        lo_b, hi_b = lo // self.bucket_size, hi // self.bucket_size
+        pre_range_dirs: list[str] = []
+        if self.exists(table):
+            survivors = (
+                self.spark.read.parquet(self.path(table))
+                .filter((F.col(_BUCKET) >= lo_b) & (F.col(_BUCKET) <= hi_b))
+                .filter((F.col(col) < lo) | (F.col(col) > hi))
+                .drop(_BUCKET)
             )
-            for rel in pre_range_dirs:
-                if rel not in covered:
-                    shutil.rmtree(os.path.join(self.path(table), rel), ignore_errors=True)
+            # materialize before overwriting the path they were read from
+            df = df.unionByName(survivors.localCheckpoint())
+            pre_range_dirs = [
+                rel for rel in self._bucket_rel_dirs(table)
+                if lo_b <= _bucket_of(rel) <= hi_b
+            ]
+
+        out = self._with_bucket(table, df)
+        parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
+        covered: set[str] = set()
+        if pre_range_dirs:
+            # Dynamic overwrite only rewrites partitions PRESENT in the
+            # output: an in-range bucket whose every stored row was
+            # replaced away (zero batch rows, zero survivors) would keep
+            # its stale files, violating the overwrite-by-range contract.
+            # Pin the union once (its lineage reads the files the
+            # overwrite is about to replace), probe the covered partition
+            # set from the pinned copy, write, then drop the uncovered
+            # in-range dirs. Replay-safe: a crash before the drop re-runs
+            # the whole batch (header commit marker) and reaches here.
+            out = out.localCheckpoint()
+            for r in out.select(*parts).distinct().collect():
+                rel = f"{_BUCKET}={r[_BUCKET]}"
+                for c in EXTRA_PARTITIONS.get(table, []):
+                    rel = f"{c}={r[c]}{os.sep}" + rel
+                covered.add(rel)
+        (
+            out.write.mode("overwrite")
+            .partitionBy(*parts)
+            .parquet(self.path(table))
+        )
+        for rel in pre_range_dirs:
+            if rel not in covered:
+                shutil.rmtree(os.path.join(self.path(table), rel), ignore_errors=True)
 
     @_locked
     def append_blocks(self, tables: dict[str, DataFrame]) -> None:
