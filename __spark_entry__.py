@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ann_batch_topk",
         "x_curation_pipeline",
         "x_corpus_stats",
+        "x_corpus_split",
+        "x_vocab_topk",
     ]
     ordered = {k: v for k, v in qs.items() if k in oracle and k not in demoted}
     rows_only_tail = demoted + [

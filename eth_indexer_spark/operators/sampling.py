@@ -1,0 +1,58 @@
+"""Deterministic corpus splitting for training-data pipelines.
+
+The split every training run needs — train/val/test — must be (a) stable
+under re-runs and data re-shuffles, (b) portable across engines (the same
+document lands in the same split whether the pipeline runs on Spark, DuckDB,
+or a one-off script), and (c) free at 100 TB. Random sampling
+(``df.sample``/``sampleBy``) fails all three: it depends on partition layout
+and the engine's RNG stream. A pure hash of the stable document id fails
+none: ``split = f(md5(id))`` is a zero-shuffle projection, reproducible
+everywhere md5 exists.
+
+md5 (not xxhash64) is deliberate: every engine agrees on it byte-for-byte,
+so split assignment is auditable in plain SQL — which is also what makes
+the registered query (`x_corpus_split`) fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col, buckets: int = 100) -> Column:
+    """Engine-agnostic deterministic bucket in [0, buckets): the first 8 md5
+    hex digits of the stringified id, as an integer, mod ``buckets``. Pure
+    projection — no shuffle, no state, no RNG."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def split_corpus(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, int] | None = None,
+    buckets: int = 100,
+) -> DataFrame:
+    """Append a ``split`` label column assigning every row to a named split.
+
+    ``splits`` maps label → bucket share; shares must sum to ``buckets``
+    (default 98/1/1 percent). Assignment is by contiguous bucket ranges of
+    :func:`hash_bucket`, so it is deterministic per id, disjoint, and
+    exhaustive. Rows keep their original columns."""
+    splits = splits or {"train": 98, "val": 1, "test": 1}
+    if sum(splits.values()) != buckets:
+        raise ValueError(f"split shares {splits} must sum to {buckets}")
+    b = hash_bucket(id_col, buckets)
+    expr = None
+    upper = 0
+    *head, (last_label, _) = splits.items()
+    for label, share in head:
+        upper += share
+        cond = b < upper
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = F.lit(last_label) if expr is None else expr.otherwise(last_label)
+    return df.withColumn("split", expr)

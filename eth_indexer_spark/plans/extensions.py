@@ -655,6 +655,58 @@ def x_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_corpus_split",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 98 THEN 'train'
+                WHEN b < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+               % 100 AS b
+        FROM documents
+    )
+    """,
+)
+def x_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 id-bucket
+    (operators/sampling.py): stable under re-runs and engine-portable —
+    which is exactly why it hash-matches a plain-SQL oracle. Zero-shuffle
+    projection; the 100 TB cost is one column."""
+    from eth_indexer_spark.operators.sampling import split_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return split_corpus(d, "doc_id")
+
+
+@register(
+    "x_vocab_topk",
+    """
+    SELECT w AS word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    WHERE w <> ''
+    GROUP BY w ORDER BY n DESC, w LIMIT 50
+    """,
+)
+def x_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-50 tokens by frequency — the first pass of every
+    tokenizer/BPE build. explode → partially-aggregated groupBy →
+    TakeOrderedAndProject; the shuffle carries one row per DISTINCT word
+    (map-side combine), not one per token."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(50)
+    )
+
+
 @register("x_text_winnow")  # hash-family dependent → rows-only check
 def x_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints per document (operators/dedup.py:

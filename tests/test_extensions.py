@@ -426,3 +426,25 @@ def test_dedup_clusters_assigns_singletons(spark):
         for r in dedup.dedup_clusters(docs, pairs, "doc_id").collect()
     }
     assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4, 5: 1, 6: 6, 7: 7}
+
+
+def test_split_corpus_deterministic_disjoint_exhaustive(spark):
+    """The three split invariants: every id gets exactly one label, the
+    assignment is identical across calls (and engine-portable by
+    construction — see x_corpus_split's oracle), and shares land near their
+    targets."""
+    from eth_indexer_spark.operators.sampling import split_corpus
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in split_corpus(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in split_corpus(docs, "doc_id").collect()}
+    assert a == b and len(a) == 2000
+    from collections import Counter
+
+    shares = Counter(a.values())
+    assert set(shares) == {"train", "val", "test"}
+    assert shares["train"] > 1850   # ~98% of 2000, hash noise allowed
+    assert 0 < shares["val"] < 80 and 0 < shares["test"] < 80
+
+    with pytest.raises(ValueError, match="sum"):
+        split_corpus(docs, "doc_id", splits={"train": 50, "val": 1})
