@@ -490,7 +490,7 @@ class BlockIngestor:
             dim = _reduce(dim.unionByName(topup))
         return dim.localCheckpoint()
 
-    def _write_latest_dim(self, dim_table: str, keys: list[str], seed, batch_df) -> None:
+    def _merged_latest_dim(self, keys: list[str], seed, batch_df) -> DataFrame:
         """Fold a batch's output into the latest-state dimension: batch keys
         take their newest row, untouched keys keep the seed's row. ``seed``
         is the pinned frame `_latest_state` returned — already consistent
@@ -502,12 +502,15 @@ class BlockIngestor:
             .drop("__rn")
         )
         if seed is not None:
-            merged = seed.join(
+            return seed.join(
                 batch_latest.select(*keys).distinct(), keys, "left_anti"
             ).unionByName(batch_latest)
-        else:
-            merged = batch_latest
-        self.store.update_dimension(dim_table, merged)
+        return batch_latest
+
+    def _write_latest_dim(self, dim_table: str, keys: list[str], seed, batch_df) -> None:
+        self.store.update_dimension(
+            dim_table, self._merged_latest_dim(keys, seed, batch_df)
+        )
 
     # -- the distributed pipeline for one chunk ---------------------------------
 
@@ -613,9 +616,19 @@ class BlockIngestor:
         )
         # maintain the latest-state dims AFTER the commit marker: a crash
         # here leaves them one batch behind, which `_latest_state` heals with
-        # a bucket-pruned top-up on the next batch
-        self._write_latest_dim("latest_balances", ["token", "address"], seed_bal, snapshots)
-        self._write_latest_dim("latest_totals", ["token", "group"], seed_tot, totals)
+        # a bucket-pruned top-up on the next batch. One locked call, tmp
+        # writes overlapped (store.update_dimensions) — a full write-job
+        # latency off every micro-batch vs two sequential updates
+        self.store.update_dimensions(
+            {
+                "latest_balances": self._merged_latest_dim(
+                    ["token", "address"], seed_bal, snapshots
+                ),
+                "latest_totals": self._merged_latest_dim(
+                    ["token", "group"], seed_tot, totals
+                ),
+            }
+        )
 
 
 def start_stream(

@@ -383,3 +383,43 @@ def test_single_writer_lock(spark, tmp_path):
     store2 = ParquetStore(spark, root, bucket_size=10)
     store2.write_blocks({"block_headers": headers_df(spark, [3])})
     assert store2.max_block("block_headers") == 3
+
+
+def test_update_dimensions_crash_between_commits(spark, tmp_path, monkeypatch):
+    """Multi-dim update: a crash after the first dim's commit but before the
+    second's must leave each dim individually consistent — the first on its
+    new version, the second on its old one (staged tmp aborted on recovery)
+    — and a replay converges both."""
+    root = str(tmp_path / "store")
+    store = ParquetStore(spark, root, bucket_size=10)
+    subs_v1 = spark.createDataFrame([("a1", 1)], "address string, `group` long")
+    erc_v1 = spark.createDataFrame([("t1", "TOK")], "address string, name string")
+    store.update_dimension("subscriptions", subs_v1)
+    store.update_dimension("erc20", erc_v1)
+
+    subs_v2 = spark.createDataFrame([("a2", 2)], "address string, `group` long")
+    erc_v2 = spark.createDataFrame([("t2", "TOK2")], "address string, name string")
+
+    calls = []
+    orig = ParquetStore._commit_dimension
+
+    def failing(self, table):
+        calls.append(table)
+        if len(calls) == 2:
+            raise RuntimeError("injected crash before second commit")
+        return orig(self, table)
+
+    monkeypatch.setattr(ParquetStore, "_commit_dimension", failing)
+    with pytest.raises(RuntimeError, match="injected"):
+        store.update_dimensions({"subscriptions": subs_v2, "erc20": erc_v2})
+    monkeypatch.undo()
+
+    store2 = ParquetStore(spark, root, bucket_size=10)
+    assert [r["address"] for r in store2.read("subscriptions").collect()] == ["a2"]
+    assert [r["address"] for r in store2.read("erc20").collect()] == ["t1"]
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(root, "__tmp_erc20"))  # aborted
+
+    store2.update_dimensions({"subscriptions": subs_v2, "erc20": erc_v2})
+    assert [r["address"] for r in store2.read("erc20").collect()] == ["t2"]
