@@ -565,16 +565,17 @@ class ParquetStore:
         for t in tables or tuple(BLOCK_COLUMN):
             self.delete_block_range(t, lo, hi)
 
-    @_locked
     def buckets_needing_compaction(self, table: str, max_files: int = 8) -> list[str]:
         """Scheduling guidance for :meth:`compact`: partition dirs whose
         parquet file count exceeds ``max_files``. Every micro-batch write
         adds ~1 file per touched bucket, so the active head bucket crosses
         the threshold after ~``max_files`` batches — run ``compact(table)``
         when this returns non-empty (per N batches, or from a maintenance
-        schedule). Pure directory listing; no data is read, so the check is
-        safe to run every batch even on a 100 TB table (it lists only
-        partition dirs, whose count is bounded by history/bucket_size)."""
+        schedule). Pure directory listing; no data is read and nothing is
+        mutated (so no writer lock — it must not block, or be blocked by,
+        an in-flight batch), making the check safe to run every batch even
+        on a 100 TB table (it lists only partition dirs, whose count is
+        bounded by history/bucket_size)."""
         out = []
         for rel in self._bucket_rel_dirs(table):
             d = os.path.join(self.path(table), rel)
@@ -583,6 +584,7 @@ class ParquetStore:
                 out.append(rel)
         return out
 
+    @_locked
     def compact(self, table: str) -> None:
         """Maintenance: rewrite a block-keyed table so each partition holds
         one file. Every micro-batch write adds a file per touched bucket, so
@@ -591,7 +593,11 @@ class ParquetStore:
         compaction concern (Delta OPTIMIZE). Repartitioning by the partition
         columns routes each partition's rows to a single task → single file;
         the rewrite lands in tmp and swaps in through the crash-safe
-        manifest protocol (a crash mid-swap is completed on recovery)."""
+        manifest protocol (a crash mid-swap is completed on recovery).
+        Destructive (tmp rewrite + whole-directory swap), so it runs under
+        the exclusive writer flock like every other mutation — a
+        maintenance-scheduled compact racing a live ingest fails loudly
+        instead of corrupting the manifest protocol."""
         parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
         df = self.spark.read.parquet(self.path(table)).repartition(*[F.col(c) for c in parts])
         tmp_name = f"__tmp_{table}_compact"

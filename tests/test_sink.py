@@ -385,6 +385,34 @@ def test_single_writer_lock(spark, tmp_path):
     assert store2.max_block("block_headers") == 3
 
 
+def test_compact_requires_writer_lock(spark, tmp_path):
+    """compact() is a destructive mutation (tmp rewrite + directory swap):
+    with a concurrent writer holding the flock it must fail loudly, while
+    buckets_needing_compaction — a pure listing — must keep working (the
+    maintenance loop polls it every batch, concurrently with ingest)."""
+    import fcntl
+    import os
+
+    root = str(tmp_path / "locked_compact")
+    store = ParquetStore(spark, root, bucket_size=10)
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 103))})
+
+    fd = os.open(os.path.join(root, ".writer.lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(RuntimeError, match="concurrent writer"):
+            store.compact("block_headers")
+        # the read-only scheduler probe is NOT serialized behind the lock
+        assert store.buckets_needing_compaction("block_headers", max_files=0) == [
+            "block_bucket=10"
+        ]
+    finally:
+        os.close(fd)
+
+    store.compact("block_headers")  # released → proceeds
+    assert store.read("block_headers").count() == 3
+
+
 def test_update_dimensions_crash_between_commits(spark, tmp_path, monkeypatch):
     """Multi-dim update: a crash after the first dim's commit but before the
     second's must leave each dim individually consistent — the first on its
