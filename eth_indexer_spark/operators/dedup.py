@@ -399,23 +399,72 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     return df.select(F.col(id_col).alias("doc"), fp.alias("fingerprint"))
 
 
-def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs of fingerprints within ``max_hamming`` bits, via the byte-band
-    pigeonhole: hamming ≤ 7 ⇒ at least one of the 8 bytes is equal, so an
-    equi-join per byte-band finds every candidate without a cross join."""
+def _simhash_bands(fps: DataFrame, max_hamming: int) -> DataFrame:
+    """(doc, fingerprint, band, bh) rows: the fingerprint split into
+    ``max_hamming + 1`` disjoint bands of ``64 // (max_hamming + 1)`` bits
+    (the last band absorbs the remainder, so all 64 bits are covered — the
+    pigeonhole needs the bands to partition the fingerprint)."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    if width == 0:
+        raise ValueError(f"max_hamming={max_hamming} needs >64 1-bit bands")
     bands = []
-    for byte in range(8):
+    for i in range(n_bands):
+        lo = i * width
+        w = width if i < n_bands - 1 else 64 - lo
+        if w >= 64:  # single band (max_hamming=0): the whole fingerprint
+            bh = F.col("fingerprint")
+        else:
+            bh = F.shiftrightunsigned("fingerprint", lo).bitwiseAND(
+                F.lit((1 << w) - 1)
+            )
         bands.append(
             fps.select(
                 "doc",
                 "fingerprint",
-                F.lit(byte).alias("band"),
-                F.shiftright("fingerprint", byte * 8).bitwiseAND(F.lit(255)).alias("bh"),
+                F.lit(i).alias("band"),
+                bh.cast("long").alias("bh"),
             )
         )
     buckets = bands[0]
     for br in bands[1:]:
         buckets = buckets.unionByName(br)
+    return buckets
+
+
+def simhash_near_pairs(
+    fps: DataFrame, max_hamming: int = 3, max_bucket: int | None = 5000
+) -> DataFrame:
+    """Pairs of fingerprints within ``max_hamming`` bits, via the pigeonhole
+    band join: splitting the 64 bits into ``max_hamming + 1`` DISJOINT bands
+    guarantees two fingerprints with ≤ ``max_hamming`` differing bits agree
+    exactly on at least one whole band, so a per-band equi-join finds every
+    candidate without a cross join; exact ``bit_count`` verification on the
+    candidates keeps the output precise.
+
+    Band width is ``64 // (max_hamming + 1)`` (the last band absorbs the
+    remainder) — the WIDEST bands the pigeonhole allows, hence the fewest
+    spurious band collisions: the default ``max_hamming=3`` gives 4 bands of
+    16 bits = 65,536 buckets per band, so a uniform corpus yields
+    ~N²/65,536 candidates per band instead of the ~N²/256 that fixed 8-bit
+    byte bands produce — 256× fewer with the identical recall guarantee.
+
+    ``max_bucket`` drops (band, value) buckets holding more than that many
+    fingerprints (:func:`cap_hot_keys`) before the self-join, bounding the
+    O(d²) blow-up of degenerate buckets (boilerplate-dominated corpora where
+    thousands of docs share a band value). Pairs whose EVERY agreeing band
+    is capped are missed — the same bounded-recall trade as every other
+    capped candidate generator here; ``None`` = exact, uncapped.
+    """
+    buckets = _simhash_bands(fps, max_hamming)
+    if max_bucket is not None:
+        # composite (band, bh) key for the doc-frequency cap; bh < 2^40 for
+        # every multi-band split (width ≤ 32 + remainder), and the single-band
+        # case has band=0 so the key degenerates to bh itself — no overflow
+        buckets = buckets.withColumn(
+            "__bkey", F.col("band").cast("long") * F.lit(1 << 40) + F.col("bh")
+        )
+        buckets = cap_hot_keys(buckets, "__bkey", max_bucket).drop("__bkey")
     a, b = buckets.alias("a"), buckets.alias("b")
     hamming = F.bit_count(F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint")))
     return (

@@ -57,6 +57,80 @@ def test_simhash_identical_docs_collide(spark, docs):
     assert len(pairs) < total_possible / 10, "fingerprints collapsed the corpus"
 
 
+def _fps_df(spark, pairs):
+    """(doc, fingerprint) rows from python ints (unsigned 64 → signed)."""
+    rows = [
+        (d, v - (1 << 64) if v >= (1 << 63) else v) for d, v in pairs
+    ]
+    return spark.createDataFrame(rows, "doc long, fingerprint long")
+
+
+def test_simhash_band_join_matches_brute_force(spark):
+    """Recall guarantee of the pigeonhole banding: the uncapped banded join
+    finds EXACTLY the brute-force Hamming-distance-≤-3 pairs on a corpus of
+    random fingerprints with planted 0-5 bit-flip near-duplicates."""
+    import itertools
+    import random
+
+    rnd = random.Random(11)
+    fps_py = {i: rnd.getrandbits(64) for i in range(120)}
+    nid = 1000
+    for i in range(0, 120, 3):  # planted near-dups at varying distances
+        v = fps_py[i]
+        for b in rnd.sample(range(64), rnd.randint(0, 5)):
+            v ^= 1 << b
+        fps_py[nid] = v
+        nid += 1
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(fps_py), 2)
+        if bin(fps_py[a] ^ fps_py[b]).count("1") <= 3
+    }
+    got = {
+        (r["i"], r["j"])
+        for r in dedup.simhash_near_pairs(
+            _fps_df(spark, fps_py.items()), max_hamming=3, max_bucket=None
+        ).collect()
+    }
+    assert truth, "degenerate corpus: no planted pairs survived"
+    assert got == truth
+
+
+def test_simhash_banding_prunes_uniform_corpus(spark):
+    """Scale property (VERDICT r4 #2): 64//(max_hamming+1)-bit pigeonhole
+    bands keep candidate volume ~N²/2^16 per band on a uniform corpus —
+    ~256× below the ~N²/256 of fixed 8-bit byte bands. 4000 random
+    fingerprints → expected ≈ 4·C(4000,2)/65536 ≈ 490 candidate pairs;
+    byte bands would yield ≈ 8·C(4000,2)/256 ≈ 250,000."""
+    import random
+
+    rnd = random.Random(7)
+    fps = _fps_df(spark, ((i, rnd.getrandbits(64)) for i in range(4000)))
+    cand = (
+        dedup._simhash_bands(fps, max_hamming=3)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.expr("d * (d - 1) / 2")).alias("pairs"))
+        .collect()[0]["pairs"]
+    )
+    assert cand < 5000, f"banding does not prune: {cand} candidate pairs"
+
+
+def test_simhash_cap_bounds_degenerate_buckets(spark):
+    """max_bucket drops degenerate hot buckets (a boilerplate corpus where
+    hundreds of docs share a band value) instead of emitting O(d²) pairs;
+    near-pairs outside the hot buckets still surface."""
+    v = 0x1111222233334444  # every 16-bit band non-zero
+    pairs = [(i, 0) for i in range(500)] + [(1000, v), (1001, v ^ 1)]
+    got = {
+        (r["i"], r["j"])
+        for r in dedup.simhash_near_pairs(
+            _fps_df(spark, pairs), max_hamming=3, max_bucket=100
+        ).collect()
+    }
+    assert got == {(1000, 1001)}
+
+
 def test_exact_dedup_groups(spark, docs):
     doubled = docs.unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
