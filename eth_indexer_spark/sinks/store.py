@@ -19,11 +19,12 @@ Every block-keyed table is laid out as parquet partitioned by
 ``block_bucket = block_number // bucket_size``. That single choice buys the
 whole mutation surface without a transaction log:
 
-- **Insert = dynamic partition overwrite** of exactly the buckets present in
-  the batch (``partitionOverwriteMode=dynamic``). Re-running a failed batch
-  rewrites the same buckets with the same rows — idempotent, the M5 semantic
-  — and untouched history is never rewritten, so a 50-block micro-batch costs
-  O(batch), not O(table), at 100 TB.
+- **Insert = staged bucket replacement** of exactly the buckets the batch
+  touches: the batch (plus in-range survivors) is written to a ``__tmp``
+  dir and committed bucket-by-bucket via the manifest + rename protocol.
+  Re-running a failed batch rewrites the same buckets with the same rows —
+  idempotent, the M5 semantic — and untouched history is never rewritten,
+  so a 50-block micro-batch costs O(batch), not O(table), at 100 TB.
 - **Range delete = partition rewrite** of only the buckets intersecting
   [from, to]; interior buckets (fully covered by the range) are dropped
   whole with no data read, only the ≤2 boundary buckets are read+filtered.
@@ -41,10 +42,16 @@ Small dimensions (subscriptions, erc20, reorgs) are rewritten whole on
 update — they are KBs; the reference's batch UPDATE ... IN is row-level only
 because MySQL offers nothing cheaper.
 
-On a real deployment the same layout maps 1:1 onto Delta Lake
-(``replaceWhere`` / ``DELETE WHERE`` / MERGE) for snapshot isolation across
-readers; plain parquet keeps this repo dependency-free while preserving the
-partition economics.
+Reader isolation: every mutation — insert, retraction, compaction,
+dimension swap — materializes off to the side and lands via whole-directory
+renames (`_apply_manifest`), so a concurrent reader only ever observes a
+partition directory that is complete (old or new version), never one whose
+files are mid-write or mid-delete — the practical analog of the reference's
+MySQL statement isolation for readers (store/store.go:129-139). Full
+MVCC snapshot isolation across multi-directory reads is the Delta/Iceberg
+seam: the same layout maps 1:1 onto Delta Lake (``replaceWhere`` /
+``DELETE WHERE`` / MERGE); plain parquet keeps this repo dependency-free
+while preserving the partition economics.
 """
 
 from __future__ import annotations
@@ -161,7 +168,6 @@ class ParquetStore:
         self.root = root
         self.bucket_size = bucket_size
         self._lock_held = False
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         with self._writer_lock():
             self._recover()
 
@@ -245,14 +251,32 @@ class ParquetStore:
 
     def _apply_manifest(self, m: dict) -> None:
         """Finish a committed mutation. Idempotent: every step checks state
-        before acting, so replaying after a crash mid-apply converges."""
+        before acting, so replaying after a crash mid-apply converges.
+
+        Reader isolation: live directories are never rmtree'd in place —
+        each replaced/retired dir is first moved ASIDE with a single
+        ``os.rename`` into the trash dir, then the new dir renamed in. A
+        concurrent reader therefore only ever observes a partition dir
+        that is whole (old version or new version), or — for the one
+        rename-pair instant — absent; it can never list a dir whose files
+        are mid-deletion or mid-copy. The trash (``<tmp>.trash``, itself a
+        ``__tmp_``-prefixed name so `_recover` garbage-collects it after a
+        crash) is bulk-deleted only after every swap completed."""
         tmp = os.path.join(self.root, m["tmp"])
         final = self.path(m["table"])
+        trash = tmp + ".trash"
+
+        def _move_aside(live_dir: str, rel: str) -> None:
+            aside = os.path.join(trash, rel)
+            os.makedirs(os.path.dirname(aside), exist_ok=True)
+            shutil.rmtree(aside, ignore_errors=True)  # stale replay leftover
+            os.rename(live_dir, aside)
+
         if m["op"] == "swap":
             # whole-directory replacement (compact / dimension update)
             if os.path.isdir(tmp):
                 if os.path.isdir(final):
-                    shutil.rmtree(final)
+                    _move_aside(final, m["table"])
                 os.rename(tmp, final)
         elif m["op"] == "retract":
             survivors = set(m["survivor_dirs"])
@@ -261,16 +285,17 @@ class ParquetStore:
                 src = os.path.join(tmp, rel)
                 if os.path.isdir(src):
                     dst = os.path.join(final, rel)
-                    if os.path.isdir(dst):
-                        shutil.rmtree(dst)
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    if os.path.isdir(dst):
+                        _move_aside(dst, rel)
                     os.rename(src, dst)
             # 2. in-range dirs that are NOT survivors hold only retracted rows
             for rel in self._bucket_rel_dirs(m["table"]):
                 if m["lo_b"] <= _bucket_of(rel) <= m["hi_b"] and rel not in survivors:
-                    shutil.rmtree(os.path.join(final, rel), ignore_errors=True)
+                    _move_aside(os.path.join(final, rel), rel)
         os.remove(self._manifest_path(m["tmp"]))
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
 
     # -- paths ---------------------------------------------------------------
 
@@ -383,8 +408,11 @@ class ParquetStore:
         replaced by the batch's rows; rows outside the range are untouched.
 
         Physically: the batch's rows are unioned with the *surviving*
-        out-of-range rows of the touched buckets, and that union dynamically
-        overwrites exactly those buckets. One distributed pass per table,
+        out-of-range rows of the touched buckets, that union is staged to a
+        tmp dir, and the touched buckets swap in by directory rename through
+        the crash-safe manifest protocol — readers never observe a
+        partially-written bucket, and a crash either never happened or
+        completes on `_recover`. One distributed pass per table,
         O(batch + bucket_size) — never O(table). Re-running the same batch
         converges to the same state (the M5 idempotency semantic; the
         reference gets it from unique keys + swallowed duplicate-key errors,
@@ -441,48 +469,43 @@ class ParquetStore:
             return  # empty batch for this table
 
         lo_b, hi_b = lo // self.bucket_size, hi // self.bucket_size
-        pre_range_dirs: list[str] = []
         if self.exists(table):
+            # In-range stored rows OUTSIDE [lo, hi] survive the overwrite;
+            # their lineage reads the live files, which stay untouched until
+            # the post-write rename — no materialization needed.
             survivors = (
                 self.spark.read.parquet(self.path(table))
                 .filter((F.col(_BUCKET) >= lo_b) & (F.col(_BUCKET) <= hi_b))
                 .filter((F.col(col) < lo) | (F.col(col) > hi))
                 .drop(_BUCKET)
             )
-            # materialize before overwriting the path they were read from
-            df = df.unionByName(survivors.localCheckpoint())
-            pre_range_dirs = [
-                rel for rel in self._bucket_rel_dirs(table)
-                if lo_b <= _bucket_of(rel) <= hi_b
-            ]
+            df = df.unionByName(survivors)
 
+        # Stage the replacement buckets under tmp, then commit through the
+        # same manifest + rename protocol as retraction: readers never see a
+        # partially-written bucket (the write happens entirely off to the
+        # side; each bucket dir appears/changes via one rename pair), and a
+        # crash either aborts cleanly (pre-manifest) or completes on
+        # `_recover`. The tmp listing doubles as the covered-partition set:
+        # an in-range live bucket NOT present in tmp has zero batch rows and
+        # zero survivors, so the retract apply retires it — the
+        # overwrite-by-range contract with no extra probe job.
         out = self._with_bucket(table, df)
         parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
-        covered: set[str] = set()
-        if pre_range_dirs:
-            # Dynamic overwrite only rewrites partitions PRESENT in the
-            # output: an in-range bucket whose every stored row was
-            # replaced away (zero batch rows, zero survivors) would keep
-            # its stale files, violating the overwrite-by-range contract.
-            # Pin the union once (its lineage reads the files the
-            # overwrite is about to replace), probe the covered partition
-            # set from the pinned copy, write, then drop the uncovered
-            # in-range dirs. Replay-safe: a crash before the drop re-runs
-            # the whole batch (header commit marker) and reaches here.
-            out = out.localCheckpoint()
-            for r in out.select(*parts).distinct().collect():
-                rel = f"{_BUCKET}={r[_BUCKET]}"
-                for c in EXTRA_PARTITIONS.get(table, []):
-                    rel = f"{c}={r[c]}{os.sep}" + rel
-                covered.add(rel)
-        (
-            out.write.mode("overwrite")
-            .partitionBy(*parts)
-            .parquet(self.path(table))
-        )
-        for rel in pre_range_dirs:
-            if rel not in covered:
-                shutil.rmtree(os.path.join(self.path(table), rel), ignore_errors=True)
+        tmp_name = f"__tmp_{table}_write"
+        tmp = os.path.join(self.root, tmp_name)
+        shutil.rmtree(tmp, ignore_errors=True)  # stale uncommitted attempt
+        out.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+        manifest = {
+            "op": "retract",
+            "table": table,
+            "tmp": tmp_name,
+            "lo_b": lo_b,
+            "hi_b": hi_b,
+            "survivor_dirs": _partition_rel_dirs(tmp, EXTRA_PARTITIONS.get(table, [])),
+        }
+        self._write_manifest(manifest)  # COMMIT POINT
+        self._apply_manifest(manifest)
 
     @_locked
     def append_blocks(self, tables: dict[str, DataFrame]) -> None:

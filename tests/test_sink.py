@@ -451,3 +451,65 @@ def test_update_dimensions_crash_between_commits(spark, tmp_path, monkeypatch):
 
     store2.update_dimensions({"subscriptions": subs_v2, "erc20": erc_v2})
     assert [r["address"] for r in store2.read("erc20").collect()] == ["t2"]
+
+
+def test_concurrent_reader_never_sees_partial_bucket(spark, tmp_path):
+    """Reader snapshot-at-directory-level: while a write_blocks loop
+    repeatedly overwrites the same block range, a concurrent non-Spark
+    reader polling individual bucket dirs must only ever observe a WHOLE
+    bucket — every row carrying the same batch tag and the full row count —
+    or (for the one rename-pair instant) no dir / vanished files, never a
+    mix of two batches or a partial file set. This is the guarantee the
+    staged-write + rename protocol exists to provide (the reference gets it
+    from MySQL statement isolation, store/store.go:129-139)."""
+    import threading
+
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "store")
+    store = ParquetStore(spark, root, bucket_size=10)
+
+    def tagged_headers(tag):
+        # hash column doubles as the batch tag: h<tag> for every row
+        return spark.createDataFrame(
+            [(f"h{tag}", "p", n, 100 + n) for n in range(100, 120)],
+            "hash string, parent_hash string, number long, difficulty long",
+        )
+
+    store.write_blocks({"block_headers": tagged_headers(0)}, block_range=(100, 119))
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        try:
+            for i in range(1, 9):
+                store.write_blocks(
+                    {"block_headers": tagged_headers(i)}, block_range=(100, 119)
+                )
+        except Exception as e:  # surfaced in the main thread
+            errors.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    table_dir = os.path.join(root, "block_headers")
+    checks = 0
+    try:
+        while not stop.is_set():
+            for name in os.listdir(table_dir):
+                if not name.startswith("block_bucket="):
+                    continue
+                try:
+                    tbl = pq.read_table(os.path.join(table_dir, name))
+                except (FileNotFoundError, OSError):
+                    continue  # dir retired mid-read: whole-dir rename, fine
+                tags = set(tbl.column("hash").to_pylist())
+                # a torn bucket shows up as mixed tags or a short row count
+                assert len(tags) == 1, f"mixed batches in one bucket: {tags}"
+                assert tbl.num_rows == 10, f"partial bucket: {tbl.num_rows} rows"
+                checks += 1
+    finally:
+        t.join()
+    assert not errors, errors
+    assert checks > 10  # the reader actually raced the writer
