@@ -48,26 +48,35 @@ class PandasBlockSource:
             None if transfer_logs is None else transfer_logs.reset_index(drop=True)
         )
 
+    @staticmethod
+    def _concat(base: pd.DataFrame, extra: pd.DataFrame) -> pd.DataFrame:
+        """Concat that pins the incoming frame's all-NA columns (e.g. a fork
+        branch with no uncles) to the base frame's dtypes — pandas otherwise
+        warns that all-NA entries will stop influencing result dtypes."""
+        extra = extra.copy()
+        for c in extra.columns:
+            if c in base.columns and extra[c].isna().all():
+                extra[c] = extra[c].astype(base[c].dtype)
+        return pd.concat([base, extra], ignore_index=True)
+
     def extend(
         self, headers=None, transactions=None, receipts=None, logs=None,
         transfer_logs=None,
     ) -> None:
         """Register additional blocks (e.g. a fork branch)."""
         if headers is not None and len(headers):
-            self.headers = pd.concat([self.headers, headers], ignore_index=True)
+            self.headers = self._concat(self.headers, headers)
         if transactions is not None and len(transactions):
-            self.transactions = pd.concat([self.transactions, transactions], ignore_index=True)
+            self.transactions = self._concat(self.transactions, transactions)
         if receipts is not None and len(receipts):
-            self.receipts = pd.concat([self.receipts, receipts], ignore_index=True)
+            self.receipts = self._concat(self.receipts, receipts)
         if logs is not None and len(logs):
-            self.logs = pd.concat([self.logs, logs], ignore_index=True)
+            self.logs = self._concat(self.logs, logs)
         if transfer_logs is not None and len(transfer_logs):
             if self.transfer_logs is None:
                 self.transfer_logs = transfer_logs.reset_index(drop=True)
             else:
-                self.transfer_logs = pd.concat(
-                    [self.transfer_logs, transfer_logs], ignore_index=True
-                )
+                self.transfer_logs = self._concat(self.transfer_logs, transfer_logs)
 
     # -- point / range header lookups (driver-side, O(1)-ish rows) ----------
 

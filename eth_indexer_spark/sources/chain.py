@@ -42,10 +42,12 @@ def fetch_balances(
     """Fan out balance lookups across the cluster.
 
     ``requests``: DataFrame with ``token`` and ``address`` columns (plus any
-    passthrough columns). Each task slices its Arrow batches into
-    ``chunk_size`` request chunks — the reference's RPC batching — and calls
-    ``lookup_fn`` per chunk. Executor-side and parallel per partition, unlike
-    the reference's single-threaded client loop.
+    passthrough columns — the ingest path adds ``block_number`` so the
+    lookup has the reference's at-block semantics, client/balancer.go:43-116
+    querying balanceOf at a specific block hash). Each task slices its Arrow
+    batches into ``chunk_size`` request chunks — the reference's RPC
+    batching — and calls ``lookup_fn`` per chunk. Executor-side and parallel
+    per partition, unlike the reference's single-threaded client loop.
     """
     fn = lookup_fn or deterministic_fake_lookup
     from pyspark.sql import types as T

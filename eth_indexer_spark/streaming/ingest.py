@@ -73,9 +73,13 @@ class BlockIngestor:
         self.source = source
         self.subscriptions = subscriptions
         self.erc20 = erc20
-        # optional chain-state lookup seam (sources/chain.py LookupFn) for
-        # new-subscription opening balances; None = derive from the engine's
-        # own ledger (the repo's documented balancer stand-in)
+        # chain-state lookup seam (sources/chain.py LookupFn) for
+        # new-subscription opening balances — the DEFAULT deploy path, like
+        # the reference's batched balance RPC (client/balancer.go:43-116):
+        # O(new subs × tokens) per batch. Passing balancer=None explicitly
+        # falls back to deriving openings from the engine's own stored
+        # ledger — an O(stored history) scan per new-sub batch, acceptable
+        # only where no node RPC is reachable
         self.balancer = balancer
         # optional token-metadata seam (sources/chain.py MetadataFn) backing
         # register_token when the caller omits name/total_supply/decimals —
@@ -311,10 +315,14 @@ class BlockIngestor:
         per-block `insertNewSubscriptions` (transfer_processor.go:258-313)
         at batch granularity.
 
-        Opening balance: the pluggable balancer seam (chain truth over RPC,
-        client/balancer.go) when provided; otherwise derived from the
-        engine's own ledger — stored transfer/fee history plus this batch's
-        deltas (O(history) scan, new-sub batches only; rare by construction).
+        Opening balance: the balancer seam (chain truth over RPC at the
+        batch-head block, client/balancer.go:43-116) is the default path —
+        each request row carries ``block_number`` so the lookup has the
+        reference's at-block semantics, and the fan-out is O(new subs ×
+        tokens). Only an explicit ``balancer=None`` derives openings from
+        the engine's own ledger instead — stored transfer/fee history plus
+        this batch's deltas (O(stored history) scan; the documented
+        no-node-available fallback).
 
         Guard: a new subscription must have NO stored balance rows
         (ErrHasPrevBalance, transfer_processor.go:295-301) — its address was
@@ -347,7 +355,8 @@ class BlockIngestor:
         ]
         addr_df = self.spark.createDataFrame([(a,) for a in addrs], "address string")
         reqs = self.spark.createDataFrame(
-            [(t, a) for t in tokens for a in addrs], "token string, address string"
+            [(t, a, last_n) for t in tokens for a in addrs],
+            "token string, address string, block_number long",
         )
         if self.balancer is not None:
             from eth_indexer_spark.sources.chain import fetch_balances

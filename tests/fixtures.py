@@ -216,6 +216,29 @@ def build_raw(
     }
 
 
+def truth_balancer(blocks=BLOCKS):
+    """Chain-truth balance lookup — the node side of the balancer seam
+    (client/balancer.go:43-116): balance(token, address) as-of the request
+    row's ``block_number`` = Σ ledger deltas ≤ that block, from the golden
+    model. New subscriptions have no seed rows (the has-prev-balance guard
+    forbids it), so deltas alone are the full truth."""
+    deltas = expected_model(blocks)["deltas"]
+
+    def lookup(req: pd.DataFrame) -> pd.Series:
+        def bal(r):
+            return str(
+                sum(
+                    d
+                    for (t, bn, a), d in deltas.items()
+                    if t == r["token"] and a == r["address"] and bn <= r["block_number"]
+                )
+            )
+
+        return req.apply(bal, axis=1)
+
+    return lookup
+
+
 # ---------------------------------------------------------------------------
 # Independent golden model (plain Python ints/loops — no Spark)
 # ---------------------------------------------------------------------------

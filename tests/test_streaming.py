@@ -20,6 +20,7 @@ from tests.fixtures import (
     RAW_SCHEMAS,
     build_raw,
     expected_model,
+    truth_balancer,
 )
 
 # fork branch: replaces main-chain blocks 104-105 with heavier blocks carrying
@@ -30,7 +31,11 @@ FORK_BLOCKS = [
 ]
 
 
-def _mk(spark, tmp_path, raw_pdfs):
+def _mk(spark, tmp_path, raw_pdfs, balancer="truth"):
+    """Build an ingestor over fixture raw tables. The BALANCER path is the
+    default — opening balances come from the chain-truth lookup, matching
+    the reference's deploy shape (client/balancer.go:43-116); pass
+    ``balancer=None`` to exercise the explicit ledger-derived fallback."""
     store = ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
     source = PandasBlockSource(
         spark,
@@ -42,7 +47,9 @@ def _mk(spark, tmp_path, raw_pdfs):
     )
     subs = spark.createDataFrame(raw_pdfs["subscriptions"], RAW_SCHEMAS["subscriptions"])
     erc20 = spark.createDataFrame(raw_pdfs["erc20"], RAW_SCHEMAS["erc20"])
-    ing = BlockIngestor(spark, store, source, subs, erc20)
+    if balancer == "truth":
+        balancer = truth_balancer()
+    ing = BlockIngestor(spark, store, source, subs, erc20, balancer=balancer)
     # seed the store's balances with the fixture seed rows (the "state before
     # this indexer started"), matching the golden model's seeding
     store.write_blocks(
@@ -385,15 +392,21 @@ def test_new_subscription_lifecycle(spark, tmp_path):
     assert totals == {(t, n, g): b for t, n, g, b, *_ in model["totals"]}
 
 
-def test_new_sub_with_history_gets_ledger_opening(spark, tmp_path):
+@pytest.mark.parametrize("via", ["balancer", "ledger"])
+def test_new_sub_with_history_gets_opening(spark, tmp_path, via):
     """A new sub whose address HAS ledger history (A9: miner rewards, sends)
-    opens at its ledger-derived balance, and that opening wealth enters its
-    group's total at the stamp block — the reference's diff-from-nothing."""
+    opens at its chain balance, and that opening wealth enters its group's
+    total at the stamp block — the reference's diff-from-nothing. Both
+    opening paths must agree: the default balancer fan-out (chain truth,
+    client/balancer.go) and the explicit balancer=None ledger-derived
+    fallback (O(stored history), no-node deployments)."""
     raw = _with_extra_subs(build_raw(), [
         {"id": 4, "block_number": 0, "group": 3, "address": A9,
          "created_at": NOW, "updated_at": NOW}
     ])
-    store, _src, ing = _mk(spark, tmp_path, raw)
+    store, _src, ing = _mk(
+        spark, tmp_path, raw, balancer=None if via == "ledger" else "truth"
+    )
     ing.process_headers(headers_of(raw, [100, 101, 102, 103, 104, 105]))
 
     model = expected_model()
@@ -412,6 +425,33 @@ def test_new_sub_with_history_gets_ledger_opening(spark, tmp_path):
     ).collect()
     assert len(t_row) == 1
     assert int(t_row[0]["balance"]) == want and t_row[0]["block_number"] == 105
+
+
+def test_new_sub_opening_fetched_through_balancer_seam(spark, tmp_path):
+    """The default opening path consults the balancer fan-out — NOT the
+    stored ledger: the fetched value lands verbatim as the opening row, and
+    every request row carries the batch-head block_number (the reference
+    queries balanceOf at a block hash, client/balancer.go:43-116)."""
+    def sentinel_lookup(req: pd.DataFrame) -> pd.Series:
+        # executed on executors: a failed assert fails the Spark job
+        assert "block_number" in req.columns
+        assert (req["block_number"] == 105).all()
+        return pd.Series(["42777"] * len(req), index=req.index)
+
+    raw = _with_extra_subs(build_raw(), [
+        {"id": 4, "block_number": 0, "group": 3, "address": A5,
+         "created_at": NOW, "updated_at": NOW}
+    ])
+    store, _src, ing = _mk(spark, tmp_path, raw, balancer=sentinel_lookup)
+    ing.process_headers(headers_of(raw, [100, 101, 102, 103, 104, 105]))
+
+    a5_rows = {
+        (r["token"], r["block_number"]): r["balance"]
+        for r in store.read("balances").filter(F.col("address") == A5).collect()
+    }
+    assert a5_rows == {(ETH, 105): "42777", (T1, 105): "42777"}
+    stamps = {r["address"]: r["block_number"] for r in store.read("subscriptions").collect()}
+    assert stamps[A5] == 105
 
 
 def test_new_sub_with_prev_balance_errors(spark, tmp_path):
