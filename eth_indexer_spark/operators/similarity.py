@@ -80,6 +80,13 @@ def cosine_topk_batch(
     (query_id, id, sim) rows move, proportional to the N·Q similarity
     evaluations that exactness inherently costs.
 
+    ``exclude_self`` assumes query ids are drawn from the CORPUS id
+    namespace (the self-retrieval shape: every query row is also a corpus
+    row, and its trivial self-match must not consume a top-k slot). For an
+    external query set whose ids merely COLLIDE with corpus ids, the filter
+    would silently drop a legitimate neighbor — pass
+    ``exclude_self=False`` there (or re-key the queries first).
+
     Returns (query_id, id, rnk) with rnk in [1, k].
     """
     from pyspark.sql import Window as W

@@ -718,3 +718,24 @@ def x_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, "text", "doc_id", k=8, window=4)
     return fps.select("doc", F.size("fingerprints").alias("n_fingerprints"))
+
+
+@register("x_winnow_pairs")  # hash-family dependent → rows-only check
+def x_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-overlap pairs by shared winnowing fingerprints
+    (operators/dedup.py:winnow_overlap_pairs) — the plagiarism/boilerplate
+    detector over the inverted fingerprint index with a hot-fingerprint cap
+    (never a cross join). Pair membership depends on the xxhash64 family,
+    so the driver records a rows-only check; tests/test_extensions.py pins
+    the shared-substring guarantee on planted overlaps."""
+    from eth_indexer_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "text", "doc_id", k=8, window=4)
+    # min_shared=40: templated synthetic text shares many short substrings,
+    # so a low bar pairs most of the corpus; 40 shared fingerprints isolates
+    # the genuinely near-duplicate documents (≈ the planted-dup count)
+    return winnow_overlap_pairs(fps, min_shared=40, max_df=50).orderBy("i", "j")

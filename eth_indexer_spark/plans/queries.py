@@ -192,7 +192,7 @@ class StoreQueries:
     def latest_header(self) -> DataFrame:
         """T1 in O(top bucket): the max partition directory bounds the
         answer, so only its rows are ordered (cf. store.max_block)."""
-        top = max(self.store._bucket_values("block_headers"), default=None)
+        top = max(self.store.bucket_values("block_headers"), default=None)
         if top is None:
             return self.store.read("block_headers").limit(0)
         return latest_header(

@@ -327,7 +327,7 @@ class ParquetStore:
         lookups flat as history grows."""
         if not self.exists(table):
             return None
-        top = max(self._bucket_values(table), default=None)
+        top = max(self.bucket_values(table), default=None)
         if top is None:
             return None
         col = BLOCK_COLUMN[table]
@@ -347,7 +347,10 @@ class ParquetStore:
             return []
         return _partition_rel_dirs(root, EXTRA_PARTITIONS.get(table, []))
 
-    def _bucket_values(self, table: str) -> list[int]:
+    def bucket_values(self, table: str) -> list[int]:
+        """Bucket numbers with live partition dirs — the public probe layer
+        queries (plans/queries.py StoreQueries) use to bound point/top-k
+        reads to O(bucket) without scanning the table."""
         return [_bucket_of(rel) for rel in self._bucket_rel_dirs(table)]
 
     def read_range(self, table: str, lo: int | None = None, hi: int | None = None) -> DataFrame:
@@ -686,8 +689,12 @@ class ParquetStore:
         for t, _ in items:
             self._commit_dimension(t)
 
+    @_locked
     def append_dimension(self, table: str, df: DataFrame) -> None:
-        """Append rows to a dimension (reorgs audit rows), dedup on key."""
+        """Append rows to a dimension (reorgs audit rows), dedup on key.
+        The read-merge-swap runs under ONE lock acquisition (the flock is
+        reentrant within the owning store), so the live rows read here
+        cannot be swapped out between the read and the commit."""
         if self.exists(table):
             merged = self.read(table).unionByName(df)
         else:
