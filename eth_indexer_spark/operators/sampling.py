@@ -1,4 +1,4 @@
-"""Deterministic corpus splitting for training-data pipelines.
+"""Deterministic corpus splitting and mixing for training-data pipelines.
 
 The split every training run needs — train/val/test — must be (a) stable
 under re-runs and data re-shuffles, (b) portable across engines (the same
@@ -56,3 +56,44 @@ def split_corpus(
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     expr = F.lit(last_label) if expr is None else expr.otherwise(last_label)
     return df.withColumn("split", expr)
+
+
+def weighted_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    buckets: int = 10_000,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group downsampling — the corpus-mixing step that
+    rebalances training data across sources/languages/domains ("keep 100%
+    of the low-resource language, 30% of the web crawl").
+
+    A row survives iff ``hash_bucket(id) < rate(group) * buckets``: the
+    same id-hash machinery as :func:`split_corpus`, so the kept set is
+    stable under re-runs and engine-portable (no RNG), a pure filter with
+    zero shuffle at any scale, and NESTED — the kept set at rate 0.3 is a
+    subset of the kept set at 0.5, which is what makes mixing-ratio sweeps
+    comparable run-to-run. Groups absent from ``rates`` keep
+    ``default_rate`` (0 = drop, the explicit-allowlist posture).
+
+    Rates are quantized to ``1/buckets`` (default 10⁻⁴); exact expected
+    proportions, not exact counts — at training-corpus sizes the binomial
+    deviation is immaterial, and determinism is worth more than exactness.
+    """
+    for g, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    b = hash_bucket(id_col, buckets)
+    thresh = None
+    for g, r in rates.items():
+        cond = F.col(group_col) == g
+        t = F.lit(int(round(r * buckets)))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        F.lit(int(round(default_rate * buckets)))
+        if thresh is None
+        else thresh.otherwise(int(round(default_rate * buckets)))
+    )
+    return df.filter(b < thresh)

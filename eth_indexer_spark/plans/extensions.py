@@ -682,6 +682,80 @@ def x_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_corpus_mix",
+    """
+    SELECT doc_id, source
+    FROM (
+        SELECT doc_id, source,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+               % 10000 AS b
+        FROM documents
+    )
+    WHERE b < CASE source
+                  WHEN 'src0' THEN 10000
+                  WHEN 'src1' THEN 5000
+                  WHEN 'src2' THEN 2500
+                  ELSE 1000 END
+    """,
+)
+def x_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing (operators/sampling.py:weighted_mix):
+    per-source keep rates by md5 id-threshold — keep all of src0, half of
+    src1, a quarter of src2, 10% of everything else. Pure zero-shuffle
+    filter, RNG-free (re-runs and engines agree on the kept set, and lower
+    rates select nested subsets), hence fully oracle-checkable — the
+    properties RNG sampling can never give a 100 TB mixing sweep."""
+    from eth_indexer_spark.operators.sampling import weighted_mix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return weighted_mix(
+        d, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+
+
+@register(
+    "x_pack_sequences",
+    """
+    WITH t AS (
+        SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id) AS end_tok
+        FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id,
+           n_tokens,
+           CAST((end_tok - n_tokens) // 512 AS BIGINT) AS start_pack,
+           CAST((end_tok - n_tokens) % 512 AS BIGINT)  AS start_offset,
+           CAST((end_tok - 1) // 512 AS BIGINT)        AS end_pack,
+           CAST((end_tok - 1) // 512
+                - (end_tok - n_tokens) // 512 + 1 AS BIGINT) AS n_packs
+    FROM c
+    """,
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): concat-and-cut placement of
+    every document into fixed 512-token training sequences. The global
+    order is doc_id; the placement is pure arithmetic over the exclusive
+    prefix sum of token counts, computed with the two-phase distributed
+    prefix sum (operators/prefix_sum.py) — one range shuffle at any corpus
+    size, never a single-task global window."""
+    from eth_indexer_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        d.select("doc_id", tx.token_count("text").alias("n_tok")),
+        "doc_id",
+        "n_tok",
+        seq_len=512,
+    )
+
+
+@register(
     "x_vocab_topk",
     """
     SELECT w AS word, COUNT(*) AS n

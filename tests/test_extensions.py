@@ -522,3 +522,95 @@ def test_split_corpus_deterministic_disjoint_exhaustive(spark):
 
     with pytest.raises(ValueError, match="sum"):
         split_corpus(docs, "doc_id", splits={"train": 50, "val": 1})
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + weighted corpus mixing (operators/packing.py,
+# operators/sampling.py:weighted_mix)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_matches_python_model(spark):
+    """Placement equals the hand-computed concat-and-cut model, including a
+    document spanning multiple packs and one landing exactly on a boundary;
+    non-positive token counts are dropped."""
+    from eth_indexer_spark.operators.packing import pack_sequences
+
+    counts = [3, 5, 4, 12, 1, 9, 10, 2]
+    rows = [(i, n) for i, n in enumerate(counts)] + [(90, 0), (91, -1)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_pack"], r["start_offset"],
+            r["end_pack"], r["n_packs"],
+        )
+        for r in pack_sequences(df, "doc_id", "n", seq_len=10).collect()
+    }
+
+    want, start = {}, 0
+    for i, n in enumerate(counts):
+        end = start + n
+        sp, ep = start // 10, (end - 1) // 10
+        want[i] = (n, sp, start % 10, ep, ep - sp + 1)
+        start = end
+    assert got == want
+    # doc 3 (12 tokens from offset 12) spans packs 1-2; doc 6 ends exactly
+    # at a boundary and must NOT bleed into the next pack
+    assert got[3][1:] == (1, 2, 2, 2)
+    assert got[6] == (10, 3, 4, 4, 2)
+
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, "doc_id", "n", seq_len=0)
+
+
+def test_pack_sequences_full_packs_property(spark):
+    """Every pack except possibly the last is exactly full: total tokens
+    equal (max end_pack) * seq_len + tokens in the last pack, and pack
+    indices are gap-free."""
+    from eth_indexer_spark.operators.packing import pack_sequences
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n")
+    )
+    out = pack_sequences(df, "doc_id", "n", seq_len=64).cache()
+    total = out.agg(F.sum("n_tokens")).collect()[0][0]
+    last_pack = out.agg(F.max("end_pack")).collect()[0][0]
+    assert (total - 1) // 64 == last_pack  # conservation: no token lost
+    # gap-free: every pack index in [0, last] is covered by some document
+    covered = out.select(
+        F.explode(F.sequence("start_pack", "end_pack")).alias("p")
+    ).distinct().count()
+    assert covered == last_pack + 1
+
+
+def test_weighted_mix_nested_deterministic_proportions(spark):
+    """The kept set is stable across calls, nested across rates (0.25 ⊂ 0.5
+    ⊂ 1.0), proportional within binomial tolerance, and groups without a
+    rate take default_rate."""
+    from eth_indexer_spark.operators.sampling import weighted_mix
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("src"),
+    )
+
+    def kept(rates, default=0.0):
+        return {
+            r["doc_id"]
+            for r in weighted_mix(df, "doc_id", "src", rates, default_rate=default).collect()
+        }
+
+    full = kept({"s0": 1.0, "s1": 1.0})
+    half = kept({"s0": 0.5, "s1": 0.5})
+    quarter = kept({"s0": 0.25, "s1": 0.25})
+    assert full == set(range(4000))
+    assert quarter <= half <= full  # nested: sweeps are comparable
+    assert half == kept({"s0": 0.5, "s1": 0.5})  # deterministic re-run
+    assert abs(len(half) / 4000 - 0.5) < 0.05
+    assert abs(len(quarter) / 4000 - 0.25) < 0.05
+
+    only_s0 = kept({"s0": 1.0})  # s1 falls to default_rate=0 → dropped
+    assert len(only_s0) == 2000 and all(i % 2 == 0 for i in only_s0)
+
+    with pytest.raises(ValueError, match="rate"):
+        weighted_mix(df, "doc_id", "src", {"s0": 1.5})
