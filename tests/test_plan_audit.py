@@ -90,3 +90,14 @@ def test_semi_join_plans_as_left_semi(spark):
 def test_anti_join_plans_as_left_anti(spark):
     plan = plan_of(analytics.QUERIES["j8_anti_join"](spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_pack_sequences_distributes_prefix_sum(spark):
+    """The packing op's global cumulative sum must run as the two-phase
+    distributed form: a RANGE exchange partitions the order key (phase 1)
+    and the per-partition offsets join back as a BROADCAST — the naive
+    alternative (one Window.orderBy over everything) would funnel the whole
+    corpus through a single task."""
+    plan = plan_of(extensions.x_pack_sequences(spark, SF))
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan

@@ -513,3 +513,26 @@ def test_concurrent_reader_never_sees_partial_bucket(spark, tmp_path):
         t.join()
     assert not errors, errors
     assert checks > 10  # the reader actually raced the writer
+
+
+def test_trash_dirs_cleaned_on_recovery(spark, tmp_path, monkeypatch):
+    """The rename-aside trash of a crashed apply is garbage, not data: a
+    crash after the commit point may leave `<tmp>.trash` dirs behind;
+    reopening must both complete the retraction and remove the trash."""
+    root = str(tmp_path / "store")
+    store = ParquetStore(spark, root, bucket_size=10)
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 120))})
+
+    _crash_before_apply(monkeypatch)
+    store.delete_block_range("block_headers", 105, 114)
+    monkeypatch.undo()
+    # a partially-applied crash can also leave moved-aside dirs in trash
+    trash = os.path.join(root, "__tmp_block_headers_retract.trash")
+    os.makedirs(os.path.join(trash, "block_bucket=99"))
+    with open(os.path.join(trash, "block_bucket=99", "junk"), "w") as f:
+        f.write("x")
+
+    store2 = ParquetStore(spark, root, bucket_size=10)
+    nums = sorted(r["number"] for r in store2.read("block_headers").collect())
+    assert nums == list(range(100, 105)) + list(range(115, 120))
+    assert not os.path.isdir(trash)
