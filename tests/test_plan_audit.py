@@ -101,3 +101,12 @@ def test_pack_sequences_distributes_prefix_sum(spark):
     plan = plan_of(extensions.x_pack_sequences(spark, SF))
     assert "rangepartitioning" in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_split_and_mix_are_zero_shuffle(spark):
+    """Deterministic splitting/mixing are pure per-row projections/filters:
+    any Exchange in their plans means the md5-bucket design regressed into
+    a shuffle that costs a full repartition of 100 TB."""
+    for fn in (extensions.x_corpus_split, extensions.x_corpus_mix):
+        plan = plan_of(fn(spark, SF))
+        assert "Exchange" not in plan, fn.__name__
