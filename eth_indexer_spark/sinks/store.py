@@ -249,6 +249,22 @@ class ParquetStore:
             if n.startswith("__tmp_"):
                 shutil.rmtree(os.path.join(self.root, n), ignore_errors=True)
 
+    def _settle_tmp(self, tmp_name: str) -> None:
+        """Prepare ``tmp_name`` for reuse by a new mutation: if a previous
+        attempt COMMITTED its manifest but its apply did not finish (e.g. an
+        I/O error mid-apply, caught and retried in-process without a store
+        reopen), finish it first — then clear the tmp dir. Removing the tmp
+        of a committed-but-unapplied manifest without applying it would
+        strand the manifest pointing at nothing; a crash before the new
+        manifest replaces it would then make recovery retire in-range dirs
+        whose replacements were deleted with the tmp. Apply is idempotent,
+        so settling an already-applied leftover is a no-op."""
+        mpath = self._manifest_path(tmp_name)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                self._apply_manifest(json.load(f))
+        shutil.rmtree(os.path.join(self.root, tmp_name), ignore_errors=True)
+
     def _apply_manifest(self, m: dict) -> None:
         """Finish a committed mutation. Idempotent: every step checks state
         before acting, so replaying after a crash mid-apply converges.
@@ -472,6 +488,12 @@ class ParquetStore:
             return  # empty batch for this table
 
         lo_b, hi_b = lo // self.bucket_size, hi // self.bucket_size
+        tmp_name = f"__tmp_{table}_write"
+        tmp = os.path.join(self.root, tmp_name)
+        # settle BEFORE planning the survivors scan: finishing a stale
+        # attempt renames live dirs, which would invalidate an
+        # already-resolved file listing
+        self._settle_tmp(tmp_name)
         if self.exists(table):
             # In-range stored rows OUTSIDE [lo, hi] survive the overwrite;
             # their lineage reads the live files, which stay untouched until
@@ -495,9 +517,6 @@ class ParquetStore:
         # overwrite-by-range contract with no extra probe job.
         out = self._with_bucket(table, df)
         parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
-        tmp_name = f"__tmp_{table}_write"
-        tmp = os.path.join(self.root, tmp_name)
-        shutil.rmtree(tmp, ignore_errors=True)  # stale uncommitted attempt
         out.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
         manifest = {
             "op": "retract",
@@ -545,6 +564,12 @@ class ParquetStore:
         col = BLOCK_COLUMN[table]
         lo_b, hi_b = lo // self.bucket_size, hi // self.bucket_size
         root = self.path(table)
+        tmp_name = f"__tmp_{table}_retract"
+        tmp = os.path.join(self.root, tmp_name)
+        # settle BEFORE planning the survivors scan: finishing a stale
+        # attempt renames live dirs, which would invalidate an
+        # already-resolved file listing
+        self._settle_tmp(tmp_name)
 
         survivors = (
             self.spark.read.parquet(root)
@@ -556,9 +581,6 @@ class ParquetStore:
             self._drop_bucket_dirs(table, lo_b, hi_b)
             return
 
-        tmp_name = f"__tmp_{table}_retract"
-        tmp = os.path.join(self.root, tmp_name)
-        shutil.rmtree(tmp, ignore_errors=True)  # stale uncommitted attempt
         parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
         survivors.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
 
@@ -628,7 +650,7 @@ class ParquetStore:
         df = self.spark.read.parquet(self.path(table)).repartition(*[F.col(c) for c in parts])
         tmp_name = f"__tmp_{table}_compact"
         tmp = os.path.join(self.root, tmp_name)
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._settle_tmp(tmp_name)  # finish + clear any stale attempt
         df.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
         manifest = {"op": "swap", "table": table, "tmp": tmp_name}
         self._write_manifest(manifest)  # COMMIT POINT
@@ -651,7 +673,7 @@ class ParquetStore:
         if key:
             df = df.dropDuplicates(key)
         tmp = os.path.join(self.root, f"__tmp_{table}")
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._settle_tmp(f"__tmp_{table}")  # finish + clear any stale attempt
         df.write.mode("overwrite").parquet(tmp)
 
     def _commit_dimension(self, table: str) -> None:

@@ -504,6 +504,12 @@ def test_concurrent_reader_never_sees_partial_bucket(spark, tmp_path):
                     tbl = pq.read_table(os.path.join(table_dir, name))
                 except (FileNotFoundError, OSError):
                     continue  # dir retired mid-read: whole-dir rename, fine
+                if "hash" not in tbl.schema.names:
+                    # zero fragments: pyarrow discovery swallowed the dir
+                    # vanishing during the rename instant — same absent-dir
+                    # case as FileNotFoundError, not a partial bucket (a
+                    # torn bucket would have SOME files → a real schema)
+                    continue
                 tags = set(tbl.column("hash").to_pylist())
                 # a torn bucket shows up as mixed tags or a short row count
                 assert len(tags) == 1, f"mixed batches in one bucket: {tags}"
@@ -536,3 +542,23 @@ def test_trash_dirs_cleaned_on_recovery(spark, tmp_path, monkeypatch):
     nums = sorted(r["number"] for r in store2.read("block_headers").collect())
     assert nums == list(range(100, 105)) + list(range(115, 120))
     assert not os.path.isdir(trash)
+
+
+def test_new_mutation_settles_predecessor_manifest(spark, tmp_path, monkeypatch):
+    """An apply that died mid-way (manifest committed, tmp still present)
+    is finished by the NEXT mutation in the same process — not only by a
+    store reopen — so a committed retraction's staged survivors are never
+    deleted unapplied when their tmp name is reused."""
+    root = str(tmp_path / "store")
+    store = ParquetStore(spark, root, bucket_size=10)
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 120))})
+
+    _crash_before_apply(monkeypatch)
+    store.delete_block_range("block_headers", 105, 114)
+    monkeypatch.undo()
+
+    # same process, no reopen: the next retract reuses the tmp name and
+    # must settle the committed retraction first
+    store.delete_block_range("block_headers", 118, 119)
+    nums = sorted(r["number"] for r in store.read("block_headers").collect())
+    assert nums == list(range(100, 105)) + [115, 116, 117]
