@@ -1,0 +1,193 @@
+"""Distributed k-means over embedding columns — the trainer that upgrades
+:func:`eth_indexer_spark.operators.similarity.ivf_topk`'s deterministic
+stand-in centroids to data-adaptive ones, and the semantic-clustering
+primitive (topic bucketing, SemDeDup-style cluster-then-dedup) of an
+LLM-data pipeline.
+
+Design for 100 TB (Lloyd's, but every step distributed and bounded):
+
+- **Assignment is a pure projection**: centroids are inlined as literals
+  (k·dim doubles — constant in table size), so each iteration's assignment
+  is one narrow whole-stage-codegen scan evaluating k squared-L2 distances
+  per row. No join, no broadcast table, no shuffle on the corpus.
+- **Means are one skinny groupBy per iteration**: posexplode the vector,
+  groupBy (cluster, dimension) — map-side partial aggregation reduces each
+  task to ≤ k·dim rows before the exchange, so the shuffle moves
+  O(k·dim·tasks) rows regardless of corpus size. The k·dim sums collected
+  to the driver are bounded control-flow reads (same policy as the IVF
+  centroid probe).
+- **Determinism**: per-dimension sums accumulate in DECIMAL (exact,
+  order-independent — the repo-wide trick used by the ledger prefix sums),
+  so centroids are bit-identical across runs, partitionings, and cluster
+  layouts; Lloyd's from a deterministic init (the k lowest-id vectors,
+  matching ``ivf_topk``) therefore converges to the same fixpoint
+  everywhere. Ties in assignment pick the smallest centroid id.
+- Empty clusters keep their previous centroid (no resampling — keeps the
+  run deterministic; at k ≪ N this is the standard pragmatic choice).
+
+The iteration count is a driver loop: ``max_iter`` jobs, each one scan +
+one skinny shuffle. This is inherent to Lloyd's (each round depends on the
+last) — the distributed work per round is what must scale, and does.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eth_indexer_spark.operators.similarity import _vec, cosine
+
+# exact order-independent accumulation type for per-dimension sums:
+# embeddings are O(1)-magnitude floats; 12 fractional digits is far below
+# float32 input precision, 26 integral digits never overflows a realistic
+# cluster mass (sum of < 1e26 unit-scale values)
+_ACC = "decimal(38,12)"
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance with deterministic left-to-right fold order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest_centroid(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Argmin over literal centroids: least() on (dist, cid) structs —
+    min distance, ties → smallest centroid id. Codegen'd, no shuffle."""
+    return F.least(
+        *[
+            F.struct(
+                _sq_l2(v, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cv in centroids
+        ]
+    )["cid"]
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+) -> list[tuple[int, list[float]]]:
+    """Train k centroids; returns ``[(cluster_id, centroid_vector), ...]``
+    with cluster ids 0..k-1. Stops early at a centroid fixpoint."""
+    seed_rows = (
+        emb.orderBy(F.col(id_col))
+        .limit(k)
+        .select(_vec(vec_col).alias("v"))
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
+    centroids = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
+
+    for _ in range(max_iter):
+        # two selects: a generator (posexplode) in the same projection as the
+        # struct-least argmin makes Spark's Generate rewrite drop the struct
+        # field names (FIELD_NOT_FOUND on the getField)
+        assigned = emb.select(
+            _nearest_centroid(_vec(vec_col), centroids).alias("cluster"),
+            _vec(vec_col).alias("__v"),
+        ).select("cluster", F.posexplode("__v").alias("pos", "val"))
+        sums = (
+            assigned.groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.col("val").cast(_ACC)).alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[Decimal, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = (
+                r["s"],
+                int(r["c"]),
+            )
+        new = []
+        for cid, old in centroids:
+            dims = by_cluster.get(cid)
+            if not dims:  # empty cluster: keep previous centroid
+                new.append((cid, old))
+                continue
+            new.append(
+                (cid, [float(dims[p][0] / dims[p][1]) for p in sorted(dims)])
+            )
+        if all(nv == ov for (_, nv), (_, ov) in zip(new, centroids)):
+            centroids = new
+            break
+        centroids = new
+    return centroids
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) for every vector — one narrow scan, no shuffle."""
+    return emb.select(
+        F.col(id_col),
+        _nearest_centroid(_vec(vec_col), centroids).alias("cluster"),
+    )
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Fit + assign: deterministic (id, cluster) labels for the corpus."""
+    return kmeans_assign(
+        emb, kmeans_fit(emb, k, id_col, vec_col, max_iter), id_col, vec_col
+    )
+
+
+def ivf_topk_trained(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF search over TRAINED coarse centroids (vs ``ivf_topk``'s
+    lowest-id stand-ins): k-means partitions the corpus, the query probes
+    the ``nprobe`` nearest centroids by squared-L2 (the assignment metric),
+    and an exact cosine top-k runs over the probed lists only. At scale the
+    cluster id is a partition column and a probe reads nprobe/nlist of the
+    table."""
+    centroids = kmeans_fit(emb, nlist, id_col, vec_col, max_iter)
+    probe_ids = [
+        cid
+        for cid, cv in sorted(
+            centroids,
+            key=lambda c: (
+                sum((x - y) * (x - y) for x, y in zip(c[1], query_vec)),
+                c[0],
+            ),
+        )[:nprobe]
+    ]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = (
+        emb.withColumn(
+            "__cid", _nearest_centroid(_vec(vec_col), centroids)
+        )
+        .filter(F.col("__cid").isin(probe_ids))
+        .select(F.col(id_col), cosine(_vec(vec_col), q).alias("sim"))
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("sim"), id_col).limit(k)

@@ -1,0 +1,99 @@
+"""Benchmark decontamination: drop (or flag) training documents that share
+n-grams with an evaluation/benchmark set.
+
+The standard training-data hygiene step (e.g. GPT-3 App. C / PaLM-style
+13-gram overlap): a document is *contaminated* when any of its k-word
+shingles also appears in the benchmark corpus. Production pipelines use
+k ≈ 13; the registered test query uses a smaller k because the synthetic
+corpus has short vocabulary-limited documents.
+
+Scale shape (100 TB corpus, MB-scale benchmark):
+
+- The benchmark n-gram set is tiny (eval suites are thousands of documents)
+  → it is DISTINCT-ed and **broadcast**, so the corpus side never shuffles:
+  contamination detection is a map-only scan (explode shingles → broadcast
+  LeftSemi), and only skinny ``(id)`` rows of the *contaminated* minority
+  are aggregated afterwards.
+- For a benchmark too large to broadcast, pass ``broadcast_bench=False``
+  and the semi-join falls back to a hash shuffle on the gram — still one
+  shuffle of (gram, id), never a cross product.
+
+Shingling reuses :func:`eth_indexer_spark.operators.dedup.word_shingles`
+(distinct k-word shingles, whitespace tokens) so the contamination predicate
+is bit-identical to the dedup family and reproducible in ANSI SQL — the
+registered query is fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eth_indexer_spark.operators.dedup import word_shingles
+
+
+def benchmark_ngrams(bench: DataFrame, text_col: str, k: int = 13) -> DataFrame:
+    """The distinct k-gram set of the benchmark corpus: one ``gram`` column."""
+    return (
+        bench.select(F.explode(word_shingles(text_col, k)).alias("gram"))
+        .distinct()
+    )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 13,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Ids of documents sharing ≥ 1 k-gram with the benchmark set.
+
+    LeftSemi against the (broadcast) benchmark gram set, then a distinct on
+    the surviving ids — the only shuffle is over the contaminated minority.
+    """
+    grams = benchmark_ngrams(bench, text_col, k)
+    if broadcast_bench:
+        grams = F.broadcast(grams)
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("gram")
+    )
+    return doc_grams.join(grams, "gram", "left_semi").select(id_col).distinct()
+
+
+def contamination_flags(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 13,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Every document with a boolean ``contaminated`` column (audit form —
+    lets the pipeline report contamination rates before dropping anything).
+
+    The hit set is a skinny id list (bounded by the contaminated minority),
+    so the flag join broadcasts it back onto the corpus: still no corpus
+    shuffle."""
+    hits = contaminated_ids(docs, bench, text_col, id_col, k, broadcast_bench)
+    hits = F.broadcast(hits.withColumn("__hit", F.lit(True)))
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
+        .drop("__hit")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 13,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """The clean corpus: documents with no benchmark k-gram overlap
+    (LeftAnti against the broadcast hit set)."""
+    hits = contaminated_ids(docs, bench, text_col, id_col, k, broadcast_bench)
+    return docs.join(F.broadcast(hits), id_col, "left_anti")

@@ -17,6 +17,7 @@ the registered query (`x_corpus_split`) fully oracle-checkable.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -56,6 +57,44 @@ def split_corpus(
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     expr = F.lit(last_label) if expr is None else expr.otherwise(last_label)
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n_per_group: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Deterministic fixed-size sample per group — the "inspect 100 docs
+    from every language/source" audit shape, and the balanced-subset
+    builder ("exactly n docs per stratum") where :func:`weighted_mix`'s
+    rate-based filter gives proportions, not counts.
+
+    Rows rank within their group by ``md5(id)`` (unique tiebreaker: the id
+    itself) and the first ``n_per_group`` survive. Hash-ordering makes the
+    sample uniform-ish yet fully deterministic, engine-portable, and — like
+    the other operators here — NESTED: the n=100 sample contains the n=50
+    sample, so audits at different sizes agree on their overlap.
+
+    Scale shape: one hash shuffle on the group key; Spark's WindowGroupLimit
+    pushes the ``rank ≤ n`` bound below the exchange, so each map task keeps
+    only n rows per group before anything moves. Skew note: stratification
+    keys (language, source) are low-cardinality by nature, so per-group data
+    CAN be huge — but the partial limit bounds what reaches the skewed
+    reducer at n_per_group × map-tasks rows, which is what makes this form
+    safe where a naive global sort would not be.
+
+    Optionally exposes the rank as ``rank_col`` (1-based within group).
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(group_col).orderBy(key, F.col(id_col))
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= n_per_group
+    )
+    if rank_col is None:
+        return out.drop("__rn")
+    return out.withColumnRenamed("__rn", rank_col)
 
 
 def weighted_mix(

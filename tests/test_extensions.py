@@ -614,3 +614,156 @@ def test_weighted_mix_nested_deterministic_proportions(spark):
 
     with pytest.raises(ValueError, match="rate"):
         weighted_mix(df, "doc_id", "src", {"s0": 1.5})
+
+
+# ---------------------------------------------------------------------------
+# Round-5 curation hardening: decontamination, repetition quality, stratified
+# sampling, k-means clustering
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A doc sharing an exact 4-gram with the benchmark is flagged; docs with
+    only partial (≤3-word) overlap are clean; decontaminate() drops exactly
+    the flagged set."""
+    from eth_indexer_spark.operators import decontam
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z alpha beta gamma delta q"),  # contains a bench 4-gram
+            (2, "totally unrelated words here now"),
+            (3, "alpha beta zeta delta epsilon x"),  # 3-word overlaps only
+        ],
+        "doc_id long, text string",
+    )
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontam.contamination_flags(docs, bench, "text", "doc_id", k=4).collect()
+    }
+    assert flags == {1: True, 2: False, 3: False}
+    clean = sorted(
+        r["doc_id"]
+        for r in decontam.decontaminate(docs, bench, "text", "doc_id", k=4).collect()
+    )
+    assert clean == [2, 3]
+    # shuffle-fallback form produces the identical flag set
+    flags_nb = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontam.contamination_flags(
+            docs, bench, "text", "doc_id", k=4, broadcast_bench=False
+        ).collect()
+    }
+    assert flags_nb == flags
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Bigrams of 'a b a b a b' = [ab, ba, ab, ba, ab]: total 5, distinct 2
+    → dup 1-2/5 = 0.6, top 3/5 = 0.6. All-distinct doc → dup 0, top 1/3.
+    Sub-n docs carry zeros, not NULLs, and are not dropped."""
+    from eth_indexer_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dup_ngram_frac"], r["top_ngram_frac"])
+        for r in quality.repetition_stats(df, "text", "doc_id").collect()
+    }
+    assert out[1] == (0.6, 0.6)
+    assert out[2] == (0.0, 0.3333)
+    assert out[3] == (0.0, 0.0)
+
+
+def test_stratified_sample_counts_nested_deterministic(spark):
+    """Exactly min(n, |group|) rows per group; smaller samples are subsets
+    of larger ones (nested audits agree); re-runs are identical."""
+    from eth_indexer_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, SF, "documents").select("doc_id", "lang")
+    sizes = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+
+    def ids(n):
+        out = {}
+        for r in stratified_sample(d, "doc_id", "lang", n).collect():
+            out.setdefault(r["lang"], set()).add(r["doc_id"])
+        return out
+
+    s10 = ids(10)
+    for lang, size in sizes.items():
+        assert len(s10.get(lang, set())) == min(10, size), lang
+    s5 = ids(5)
+    for lang in s5:
+        assert s5[lang] <= s10[lang]  # nested
+    assert ids(10) == s10  # deterministic re-run
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Well-separated planted clusters (interleaved ids so the lowest-id
+    seeds start one-per-cluster) are recovered exactly, and the fixpoint is
+    deterministic across runs."""
+    from eth_indexer_spark.operators.clustering import kmeans
+
+    k, dim, n_per = 3, 8, 20
+    rows = []
+    for vid in range(k * n_per):
+        c = vid % k
+        center = [10.0 if d == c else 0.0 for d in range(dim)]
+        jitter = [((vid * 31 + d * 7) % 11 - 5) * 0.01 for d in range(dim)]
+        rows.append((vid, [center[d] + jitter[d] for d in range(dim)]))
+    emb3 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    asg = {r["vec_id"]: r["cluster"] for r in kmeans(emb3, k=k, max_iter=10).collect()}
+    # recovered partition == planted partition (cluster ids may permute)
+    by_cluster = {}
+    for vid, cl in asg.items():
+        by_cluster.setdefault(cl, set()).add(vid % k)
+    assert len(by_cluster) == k
+    for planted in by_cluster.values():
+        assert len(planted) == 1, by_cluster
+    asg2 = {r["vec_id"]: r["cluster"] for r in kmeans(emb3, k=k, max_iter=10).collect()}
+    assert asg2 == asg
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """k larger than the number of distinct locations: surplus clusters go
+    empty and keep their seed centroid instead of crashing or collapsing."""
+    from eth_indexer_spark.operators.clustering import kmeans_fit
+
+    rows = [(i, [float(i % 2) * 10.0] * 4) for i in range(10)]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb2, k=4, max_iter=5)
+    assert len(cents) == 4
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_fit(emb2, k=11)
+
+
+def test_ivf_trained_full_probe_equals_exact(emb):
+    """Probing every trained list is an exact scan → must equal the exact
+    top-k; a partial probe must beat chance overlap (random vectors are
+    IVF's worst regime, so the bound is modest — mirrors the untrained
+    test)."""
+    from eth_indexer_spark.operators.clustering import ivf_topk_trained
+
+    row = emb.filter(F.col("vec_id") == 0).head()
+    q = [float(x) for x in row["embedding"]]
+    exact = [
+        r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10, exclude_id=0).collect()
+    ]
+    full = [
+        r["vec_id"]
+        for r in ivf_topk_trained(
+            emb, q, k=10, nlist=8, nprobe=8, max_iter=3, exclude_id=0
+        ).collect()
+    ]
+    assert full == exact
+    part = {
+        r["vec_id"]
+        for r in ivf_topk_trained(
+            emb, q, k=10, nlist=8, nprobe=4, max_iter=3, exclude_id=0
+        ).collect()
+    }
+    assert len(set(exact) & part) / 10 >= 0.2

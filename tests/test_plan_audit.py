@@ -110,3 +110,33 @@ def test_corpus_split_and_mix_are_zero_shuffle(spark):
     for fn in (extensions.x_corpus_split, extensions.x_corpus_mix):
         plan = plan_of(fn(spark, SF))
         assert "Exchange" not in plan, fn.__name__
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Contamination detection must ship the (small) benchmark gram set to
+    the corpus as a broadcast LeftSemi — a shuffled join here would
+    repartition the exploded 100 TB corpus by gram."""
+    plan = plan_of(extensions.x_decontaminate(spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_stratified_sample_has_partial_window_limit(spark):
+    """The per-stratum rank filter must push a WindowGroupLimit below the
+    exchange: stratification keys are low-cardinality, so without the
+    partial limit a whole stratum funnels through one reducer."""
+    plan = plan_of(extensions.x_sample_stratified(spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """Centroids are inlined literals, so per-iteration assignment must be
+    a pure scan-side projection — an Exchange here would shuffle the corpus
+    once per Lloyd iteration."""
+    from eth_indexer_spark.catalog import load_table
+    from eth_indexer_spark.operators.clustering import kmeans_assign
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = [(i, [0.1 * (i + 1)] * 64) for i in range(4)]
+    plan = plan_of(kmeans_assign(emb, cents))
+    assert "Exchange" not in plan
