@@ -152,6 +152,79 @@ def kmeans(
     )
 
 
+def semantic_dup_pairs(
+    emb: DataFrame,
+    assignments: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs WITHIN k-means clusters only — the SemDeDup
+    shape (Abbas et al. 2023): cluster first, then compare only within a
+    cluster, turning the O(N²) all-pairs cosine into k disjoint O((N/k)²)
+    problems. Pairs across cluster boundaries are deliberately invisible —
+    at duplicate-grade thresholds near-dups land in the same cluster, and
+    the recall loss at the margin is the price of the k× cost cut (the
+    exhaustive alternative stays available as
+    ``similarity.cosine_pairs``).
+
+    Scale: one equi-join on the cluster id; per-cluster work is bounded by
+    choosing k ∝ N / target_cluster_size (SemDeDup uses clusters of ~10⁴-10⁵
+    docs at web scale), so no task ever sees more than
+    target_cluster_size² candidate pairs.
+
+    Returns (i, j) with i < j and cosine ≥ threshold.
+    """
+    from eth_indexer_spark.operators.similarity import dot, norm
+
+    unit = (
+        emb.join(assignments, id_col)
+        .filter(norm(_vec(vec_col)) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("cluster"),
+            F.transform(
+                _vec(vec_col), lambda x: x / norm(_vec(vec_col))
+            ).alias("u"),
+        )
+    )
+    a = unit.select(
+        F.col("id").alias("i"), F.col("cluster"), F.col("u").alias("ua")
+    )
+    b = unit.select(
+        F.col("id").alias("j"), F.col("cluster"), F.col("u").alias("ub")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("i") < F.col("j"))
+        .filter(dot(F.col("ua"), F.col("ub")) >= threshold)
+        .select("i", "j")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+) -> DataFrame:
+    """The full SemDeDup pipeline: k-means partition → within-cluster
+    cosine pairs → connected-components labels. Every vector gets a
+    ``sem_cluster`` id (= the minimum id of its semantic-duplicate group;
+    itself when it has no near-dup) — keep one row per ``sem_cluster`` to
+    dedup. Composes the three scale-safe stages end-to-end: shuffle-free
+    assignment, cluster-local pair join, O(log² n)-round clustering."""
+    from eth_indexer_spark.operators.dedup import dedup_clusters
+
+    assignments = kmeans(emb, k, id_col, vec_col, max_iter)
+    pairs = semantic_dup_pairs(emb, assignments, threshold, id_col, vec_col)
+    return dedup_clusters(
+        emb.select(id_col), pairs, id_col
+    ).withColumnRenamed("cluster", "sem_cluster")
+
+
 def ivf_topk_trained(
     emb: DataFrame,
     query_vec: list[float],

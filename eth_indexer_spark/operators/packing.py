@@ -75,3 +75,53 @@ def pack_sequences(
         end_pack.alias("end_pack"),
         (end_pack - start_pack + F.lit(1)).alias("n_packs"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split every document into fixed-size overlapping token-window chunks
+    — the context-window chunker (RAG indexing, long-doc pretraining with
+    sliding windows). Chunk ``i`` covers word tokens
+    ``[i·stride, i·stride + chunk_tokens)`` with ``stride = chunk_tokens −
+    overlap``; a chunk starts at every stride multiple below the document
+    length, so the tail is always covered and every token belongs to at
+    least one chunk.
+
+    Pure per-row expressions (split → posexplode of the start sequence →
+    slice): no shuffle, no state, no UDF — the 100 TB cost is the explode
+    fan-out itself, ~``1 + overlap/stride`` output rows per input token
+    window, which is the data the consumer asked for. Deterministic and
+    engine-reproducible (the registered query is oracle-checked).
+
+    Returns ``(id, chunk_idx, chunk_text, n_chunk_tokens)``. Note the
+    whitespace-token convention of the rest of the text family: ``split``
+    on a single space, so a zero-length text still counts one (empty)
+    token — length filtering belongs to the quality stage upstream.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(f"overlap must be in [0, chunk_tokens), got {overlap}")
+    stride = chunk_tokens - overlap
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(stride))
+    exploded = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(
+            " ", F.slice("__w", F.col("__start") + 1, chunk_tokens)
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.size("__w") - F.col("__start")
+        ).cast("long").alias("n_chunk_tokens"),
+    )

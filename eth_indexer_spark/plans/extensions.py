@@ -941,6 +941,52 @@ def x_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+@register(
+    "x_chunk_documents",
+    """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (
+        SELECT doc_id, w, unnest(range(0, len(w), 48)) AS st
+        FROM docs WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           CAST(st // 48 AS BIGINT) AS chunk_idx,
+           array_to_string(w[st+1 : st+64], ' ') AS chunk_text,
+           CAST(LEAST(64, len(w) - st) AS BIGINT) AS n_chunk_tokens
+    FROM s
+    """,
+)
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/packing.py:chunk_documents):
+    64-token chunks, 16-token overlap — the RAG/long-doc context-window
+    cutter. Pure per-row expressions (no shuffle, no UDF), deterministic →
+    fully oracle-checked."""
+    from eth_indexer_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, "text", "doc_id", chunk_tokens=64, overlap=16)
+
+
+@register("x_semantic_dedup")  # k-means fixpoint dependent → rows-only
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition (operators/clustering.py:semantic_dedup):
+    k-means partition → within-cluster cosine pairs → connected-components
+    labels. Run over the corpus ∪ perturbed copies (id+100000, scaled) so
+    the semantic-duplicate groups are non-degenerate — the same planted-dup
+    device as x_dedup_exact. Pytest pins that every planted pair lands in
+    one sem_cluster and unrelated vectors stay apart."""
+    from eth_indexer_spark.operators.clustering import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(as_double, lambda x: x * 1.01 + 0.001).alias("embedding"),
+    )
+    corpus = e.select("vec_id", as_double.alias("embedding")).unionByName(pert)
+    return semantic_dedup(corpus, k=8, threshold=0.95, max_iter=5)
+
+
 @register("x_text_winnow")  # hash-family dependent → rows-only check
 def x_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints per document (operators/dedup.py:

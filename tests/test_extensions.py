@@ -767,3 +767,83 @@ def test_ivf_trained_full_probe_equals_exact(emb):
         ).collect()
     }
     assert len(set(exact) & part) / 10 >= 0.2
+
+
+def test_chunk_documents_hand_computed(spark):
+    """10 tokens, chunk 4, overlap 2 (stride 2): starts 0,2,4,6,8 → five
+    chunks; tails shrink below chunk_tokens but never go uncovered."""
+    from eth_indexer_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "doc_id long, text string"
+    )
+    got = {
+        r["chunk_idx"]: (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=2).collect()
+    }
+    assert got == {
+        0: ("t0 t1 t2 t3", 4),
+        1: ("t2 t3 t4 t5", 4),
+        2: ("t4 t5 t6 t7", 4),
+        3: ("t6 t7 t8 t9", 4),
+        4: ("t8 t9", 2),
+    }
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=0)
+
+
+def test_chunk_documents_covers_every_token(spark, docs):
+    """Property over the real corpus: concatenating each chunk's stride
+    prefix (and the final chunk whole) reconstructs the document exactly —
+    no token lost or duplicated outside the declared overlap."""
+    from eth_indexer_spark.operators.packing import chunk_documents
+
+    chunk_tokens, overlap = 64, 16
+    stride = chunk_tokens - overlap
+    sample = docs.limit(30)
+    chunks = chunk_documents(
+        sample, "text", "doc_id", chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"]
+    originals = {r["doc_id"]: r["text"] for r in sample.collect()}
+    assert set(by_doc) == set(originals)
+    for doc_id, parts in by_doc.items():
+        last = max(parts)
+        rebuilt = []
+        for i in range(last + 1):
+            toks = parts[i].split(" ")
+            rebuilt.extend(toks if i == last else toks[:stride])
+        # the final chunk may re-cover tokens the previous one already had
+        orig = originals[doc_id].split(" ")
+        assert rebuilt[: len(orig)] == orig or " ".join(rebuilt) == originals[doc_id], doc_id
+
+
+def test_semantic_dedup_planted_pairs(emb):
+    """SemDeDup over corpus ∪ perturbed copies: ≥95% of planted (v, v+10⁵)
+    pairs share a sem_cluster (a few fall at k-means cluster boundaries —
+    the documented recall trade), and nothing unrelated merges (no cluster
+    exceeds the planted pair size)."""
+    from eth_indexer_spark.operators.clustering import semantic_dedup
+
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(as_double, lambda x: x * 1.01 + 0.001).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", as_double.alias("embedding")).unionByName(pert)
+    n = emb.count()
+    m = {
+        r["doc"]: r["sem_cluster"]
+        for r in semantic_dedup(corpus, k=8, threshold=0.95, max_iter=5).collect()
+    }
+    assert len(m) == 2 * n
+    paired = sum(1 for v in range(n) if m[v] == m[v + 100000])
+    assert paired / n >= 0.95
+    import collections
+
+    sizes = collections.Counter(m.values())
+    assert max(sizes.values()) <= 2  # random vectors never merge

@@ -129,6 +129,13 @@ def test_stratified_sample_has_partial_window_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_chunk_documents_is_shuffle_free(spark):
+    """Sliding-window chunking is a pure per-row explode: any Exchange
+    means the chunker started moving the corpus to cut it."""
+    plan = plan_of(extensions.x_chunk_documents(spark, SF))
+    assert "Exchange" not in plan
+
+
 def test_kmeans_assignment_is_shuffle_free(spark):
     """Centroids are inlined literals, so per-iteration assignment must be
     a pure scan-side projection — an Exchange here would shuffle the corpus
