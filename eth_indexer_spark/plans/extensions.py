@@ -967,6 +967,59 @@ def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, "text", "doc_id", chunk_tokens=64, overlap=16)
 
 
+@register(
+    "x_tokenize_vocab",
+    """
+    WITH counts AS (
+        SELECT w AS word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    vocab AS (
+        SELECT word, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT) AS token_id
+        FROM counts ORDER BY n DESC, word LIMIT 40
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        FROM documents
+    ),
+    enc AS (
+        SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS tid
+        FROM toks t LEFT JOIN vocab v USING (word)
+    )
+    SELECT doc_id,
+           string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS token_ids_str,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+    FROM enc GROUP BY doc_id
+    """,
+)
+def x_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + corpus encoding (operators/tokenize.py): top-40
+    words by frequency get dense ids; every document encodes to its id
+    stream via ONE broadcast vocabulary map — a zero-shuffle scan of the
+    corpus (the oracle mirrors it with the explode-join-agg form, which is
+    what the Spark side deliberately avoids at scale). token_ids are
+    emitted space-joined so the value hash is list-representation-agnostic
+    across engines."""
+    from eth_indexer_spark.operators.tokenize import build_vocab, encode_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    vocab = build_vocab(d, "text", vocab_size=40)
+    enc = encode_documents(d, "text", "doc_id", vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join(
+            F.transform("token_ids", lambda t: t.cast("string")), " "
+        ).alias("token_ids_str"),
+        "n_tokens",
+        "n_unk",
+    )
+
+
 @register("x_semantic_dedup")  # k-means fixpoint dependent → rows-only
 def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup composition (operators/clustering.py:semantic_dedup):

@@ -847,3 +847,29 @@ def test_semantic_dedup_planted_pairs(emb):
 
     sizes = collections.Counter(m.values())
     assert max(sizes.values()) <= 2  # random vectors never merge
+
+
+def test_tokenize_vocab_and_encode_hand_computed(spark):
+    """Vocab ranks by (count desc, word asc) with dense 1-based ids; OOV
+    maps to unk 0; min_count prunes the tail before ranking."""
+    from eth_indexer_spark.operators.tokenize import build_vocab, encode_documents
+
+    df = spark.createDataFrame(
+        [(1, "b a b c b a"), (2, "a d")], "doc_id long, text string"
+    )
+    # counts: b=3, a=3, c=1, d=1 → ranked: a(1), b(2), c(3), d(4)
+    vocab = {r["word"]: r["token_id"] for r in build_vocab(df, "text").collect()}
+    assert vocab == {"a": 1, "b": 2, "c": 3, "d": 4}
+    v2 = {r["word"]: r["token_id"] for r in build_vocab(df, "text", vocab_size=2).collect()}
+    assert v2 == {"a": 1, "b": 2}
+    vmin = {r["word"]: r["token_id"] for r in build_vocab(df, "text", min_count=2).collect()}
+    assert vmin == {"a": 1, "b": 2}
+
+    enc = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"], r["n_unk"])
+        for r in encode_documents(
+            df, "text", "doc_id", build_vocab(df, "text", vocab_size=2)
+        ).collect()
+    }
+    assert enc[1] == ([2, 1, 2, 0, 2, 1], 6, 1)  # c → unk
+    assert enc[2] == ([1, 0], 2, 1)  # d → unk

@@ -147,3 +147,16 @@ def test_kmeans_assignment_is_shuffle_free(spark):
     cents = [(i, [0.1 * (i + 1)] * 64) for i in range(4)]
     plan = plan_of(kmeans_assign(emb, cents))
     assert "Exchange" not in plan
+
+
+def test_tokenize_encode_never_explodes_corpus(spark):
+    """Encoding attaches the vocabulary as one broadcast map row: the only
+    Generate (explode) in the plan belongs to the bounded vocab build —
+    an exploded corpus or a sort-merge join here means the map-lookup
+    design regressed into shuffling every token twice."""
+    import re
+
+    plan = plan_of(extensions.x_tokenize_vocab(spark, SF))
+    generates = re.findall(r"\(\d+\) Generate", plan)
+    assert len(generates) == 1, plan
+    assert "SortMergeJoin" not in plan
