@@ -51,6 +51,27 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    batch: DataFrame, index: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Online/batch-incremental exact dedup: keep only the rows of ``batch``
+    whose content digest is neither already in the corpus ``index`` (a
+    one-column ``digest`` frame, e.g. the stored digest table of everything
+    ingested so far) nor duplicated earlier within the batch itself
+    (min-id-wins, matching :func:`exact_dedup`).
+
+    The shape every streaming/append corpus needs: each arriving batch costs
+    one LeftAnti against the index (hash join on the digest — at scale the
+    index is a digest-bucketed table so the join co-locates) plus one
+    (digest, id) groupBy of the batch. The full-corpus re-dedup never runs
+    again. Returns ``(digest, keep_id)`` — append these digests back to the
+    index to advance it."""
+    fresh = batch.select(
+        content_digest(text_col).alias("digest"), F.col(id_col)
+    ).join(index.select("digest"), "digest", "left_anti")
+    return fresh.groupBy("digest").agg(F.min(id_col).alias("keep_id"))
+
+
 def word_shingles(text_col, k: int = 3) -> Column:
     """Distinct k-word shingles of a whitespace-tokenized text (array<string>).
     Documents shorter than k words yield an empty array."""

@@ -97,6 +97,32 @@ def stratified_sample(
     return out.withColumnRenamed("__rn", rank_col)
 
 
+def shuffle_order(df: DataFrame, id_col: str, pos_col: str = "shuffle_pos") -> DataFrame:
+    """Deterministic global corpus shuffle: append a 1-based training-order
+    position obtained by ranking on ``md5(id)`` (id appended as the unique
+    tiebreaker). The reproducible alternative to an RNG permutation: the
+    order is uniform-ish, stable under re-runs and engine-portable, and a
+    resumed/restarted job sees the identical epoch order.
+
+    Scale shape: positions come from the two-phase distributed prefix sum
+    over the hash key (operators/prefix_sum.py) — one range shuffle and a
+    broadcast of per-partition offsets at any corpus size, never a
+    single-task ``ROW_NUMBER`` over everything (which is how the oracle
+    expresses it, and exactly what a 100 TB corpus cannot run)."""
+    from eth_indexer_spark.operators.prefix_sum import global_running_sum
+
+    c = F.col(id_col)
+    keyed = df.withColumn(
+        "__shuffle_key", F.concat(F.md5(c.cast("string")), c.cast("string"))
+    )
+    out = global_running_sum(
+        keyed, "__shuffle_key", F.lit(1).cast("decimal(38,0)"), out_col="__pos"
+    )
+    return out.withColumn(pos_col, F.col("__pos").cast("long")).drop(
+        "__shuffle_key", "__pos"
+    )
+
+
 def weighted_mix(
     df: DataFrame,
     id_col: str,

@@ -968,6 +968,64 @@ def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_dedup_incremental",
+    """
+    WITH idx AS (
+        SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+    ),
+    fresh AS (
+        SELECT md5(b.text) AS digest, b.doc_id
+        FROM batch b LEFT JOIN idx ON md5(b.text) = idx.digest
+        WHERE idx.digest IS NULL
+    )
+    SELECT digest, MIN(doc_id) AS keep_id FROM fresh GROUP BY digest
+    """,
+)
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators/dedup.py:incremental_dedup): a new
+    batch (corpus ∪ shifted copies) dedups against an existing digest index
+    (the even-id half) — one LeftAnti + one groupBy per batch, never a
+    full-corpus re-dedup. The streaming/append-corpus form of
+    x_dedup_exact."""
+    from eth_indexer_spark.operators import dedup as dd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(dd.content_digest("text").alias("digest"))
+        .distinct()
+    )
+    return dd.incremental_dedup(_doubled_docs(spark, sf_dir), index, "text", "doc_id")
+
+
+@register(
+    "x_corpus_shuffle",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR)
+           ) AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def x_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-order shuffle (operators/sampling.py:
+    shuffle_order): 1-based training positions by md5(id) rank, computed
+    with the two-phase distributed prefix sum — the oracle's single
+    ROW_NUMBER window is exactly the single-task plan a 100 TB corpus
+    cannot run."""
+    from eth_indexer_spark.operators.sampling import shuffle_order
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_order(d, "doc_id")
+
+
+@register(
     "x_tokenize_vocab",
     """
     WITH counts AS (

@@ -873,3 +873,43 @@ def test_tokenize_vocab_and_encode_hand_computed(spark):
     }
     assert enc[1] == ([2, 1, 2, 0, 2, 1], 6, 1)  # c → unk
     assert enc[2] == ([1, 0], 2, 1)  # d → unk
+
+
+def test_incremental_dedup_converges(spark):
+    """Rows whose digest is already indexed are dropped; within-batch dups
+    keep the min id; feeding the survivors' digests back into the index and
+    replaying the same batch yields nothing — the at-least-once ingest
+    convergence property."""
+    from eth_indexer_spark.operators import dedup as dd
+
+    index = (
+        spark.createDataFrame([("known",)], "text string")
+        .select(dd.content_digest("text").alias("digest"))
+    )
+    batch = spark.createDataFrame(
+        [(5, "known"), (3, "fresh"), (7, "fresh"), (9, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["keep_id"] for r in dd.incremental_dedup(batch, index, "text", "doc_id").collect()}
+    assert out == {3, 9}  # 'known' indexed; 'fresh' min-id-wins
+    advanced = index.unionByName(
+        dd.incremental_dedup(batch, index, "text", "doc_id").select("digest")
+    )
+    replay = dd.incremental_dedup(batch, advanced, "text", "doc_id").collect()
+    assert replay == []
+
+
+def test_shuffle_order_is_a_deterministic_permutation(spark):
+    """Positions are exactly 1..N, identical across runs, and not the
+    identity order (the hash actually permutes)."""
+    from eth_indexer_spark.operators.sampling import shuffle_order
+
+    d = load_table(spark, SF, "documents").select("doc_id")
+    n = d.count()
+    rows = shuffle_order(d, "doc_id").collect()
+    pos = sorted(r["shuffle_pos"] for r in rows)
+    assert pos == list(range(1, n + 1))
+    m1 = {r["doc_id"]: r["shuffle_pos"] for r in rows}
+    m2 = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_order(d, "doc_id").collect()}
+    assert m1 == m2
+    assert any(m1[i] != i + 1 for i in m1)  # not the identity permutation

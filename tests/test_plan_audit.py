@@ -160,3 +160,11 @@ def test_tokenize_encode_never_explodes_corpus(spark):
     generates = re.findall(r"\(\d+\) Generate", plan)
     assert len(generates) == 1, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_corpus_shuffle_distributes_rank(spark):
+    """The epoch-shuffle rank must run as the two-phase prefix sum (range
+    exchange + broadcast offsets), not one global ROW_NUMBER window."""
+    plan = plan_of(extensions.x_corpus_shuffle(spark, SF))
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
