@@ -97,6 +97,37 @@ def lang_id(col) -> Column:
     return expr.otherwise("und")
 
 
+#: PII scrub rules applied in order: (kind, regex, replacement token). The
+#: patterns deliberately use only RE2∩Java regex constructs (char classes,
+#: bounded repeats, \b, non-capturing groups) so Spark and the ANSI-SQL
+#: oracle agree byte-for-byte. Order matters: IPs are scrubbed before the
+#: phone rule so a dotted quad can't half-match as a dotted phone number.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(col) -> Column:
+    """Redact emails, IPv4 addresses, and US-style phone numbers with typed
+    placeholder tokens — the standard pre-training privacy scrub (the same
+    regex-tier approach as BigScience ROOTS / Dolma; ML-based NER scrubbing
+    sits behind the same column contract). Chained ``regexp_replace``
+    (global, codegen'd, no UDF): cost is one map-side pass over the text."""
+    out = _c(col)
+    for _, pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_count(col, kind: str) -> Column:
+    """Occurrences of one PII kind ('email' | 'ip' | 'phone') in the RAW
+    text, as a long — the audit metric reported alongside the scrub."""
+    pats = {k: p for k, p, _ in PII_RULES}
+    return F.regexp_count(_c(col), F.lit(pats[kind])).cast("long")
+
+
 def fingerprint(col) -> Column:
     """Content fingerprint: md5 of case-folded, whitespace-collapsed text —
     catches trivially-reformatted duplicates that byte-exact hashing misses."""

@@ -72,6 +72,59 @@ def incremental_dedup(
     return fresh.groupBy("digest").agg(F.min(id_col).alias("keep_id"))
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 2,
+    delim: str = "\n",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-wide line-level deduplication (the RefinedWeb/CCNet boilerplate
+    scrub): drop every line that appears in at least ``min_df`` DISTINCT
+    documents — navigation chrome, cookie banners, license footers — and
+    reassemble each document from its surviving lines in original order.
+    Documents whose every line is boilerplate drop out entirely (the
+    RefinedWeb convention); a line repeated only WITHIN one document is
+    kept (that is :mod:`quality`'s repetition signal, not cross-doc
+    boilerplate).
+
+    100 TB shape: a map-side posexplode, then one map-side-combined groupBy
+    on ``md5(line)`` for the document-frequency count (the 128-bit digest —
+    not the line text — is what shuffles, so key width is constant and
+    collisions are negligible where a 64-bit hash's would not be), a
+    LeftAnti of the exploded lines against the hot-digest set, and one
+    groupBy(id) to reassemble. Three shuffles total, each on a bounded-width
+    key; no state, no UDF, engine-reproducible (the registered
+    ``x_line_dedup`` query is oracle-checked).
+
+    ``delim`` is both the split regex and the re-join separator, so it must
+    be a literal, regex-safe string (the default newline is). Returns
+    ``(id, clean_text, n_lines_kept)``.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    ).withColumn("ldigest", F.md5("line"))
+    hot = (
+        lines.groupBy("ldigest")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("ldigest")
+    )
+    kept = lines.join(hot, "ldigest", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+
+
 def word_shingles(text_col, k: int = 3) -> Column:
     """Distinct k-word shingles of a whitespace-tokenized text (array<string>).
     Documents shorter than k words yield an empty array."""

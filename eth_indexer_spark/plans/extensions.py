@@ -1004,6 +1004,91 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_line_dedup",
+    """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    seg AS (
+        SELECT doc_id, CAST(st // 3 AS BIGINT) AS pos,
+               array_to_string(w[st+1 : st+3], ' ') AS line
+        FROM (SELECT doc_id, w, unnest(range(0, len(w), 3)) AS st FROM docs)
+    ),
+    hot AS (
+        SELECT line FROM seg GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (SELECT * FROM seg WHERE line NOT IN (SELECT line FROM hot))
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+           COUNT(*) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (operators/dedup.py:line_dedup — the
+    RefinedWeb boilerplate scrub): documents are segmented into 3-word
+    "lines" (the corpus is single-line word soup, so segments stand in for
+    real lines), every line occurring in ≥2 distinct docs is dropped
+    everywhere, and docs are reassembled from the survivors in order. The
+    oracle's NOT IN is the LeftAnti the Spark plan runs on md5(line)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(3))
+    seglines = F.array_join(
+        F.transform(starts, lambda st: F.concat_ws(" ", F.slice(words, st + 1, 3))),
+        "\n",
+    )
+    d2 = d.select("doc_id", seglines.alias("text"))
+    return dedup.line_dedup(d2, "text", "doc_id", min_df=2)
+
+
+@register(
+    "x_pii_scrub",
+    """
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com at 10.1.'
+                    || (doc_id % 256) || '.7 call 555-867-5309' AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS clean_text,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips,
+           len(regexp_extract_all(text,
+               '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS n_phones
+    FROM injected
+    """,
+)
+def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.py:scrub_pii): the corpus with a
+    deterministic synthetic email/IP/phone injected per row (the raw corpus
+    is PII-free, which would make the scrub a degenerate identity), then
+    scrubbed to typed placeholder tokens with per-kind audit counts. Pure
+    chained regexp_replace — map-only, no shuffle, no UDF."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.1."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-867-5309"),
+    )
+    d2 = d.select("doc_id", injected.alias("text"))
+    return d2.select(
+        "doc_id",
+        tx.scrub_pii("text").alias("clean_text"),
+        tx.pii_count("text", "email").alias("n_emails"),
+        tx.pii_count("text", "ip").alias("n_ips"),
+        tx.pii_count("text", "phone").alias("n_phones"),
+    )
+
+
+@register(
     "x_corpus_shuffle",
     """
     SELECT doc_id,

@@ -913,3 +913,50 @@ def test_shuffle_order_is_a_deterministic_permutation(spark):
     m2 = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_order(d, "doc_id").collect()}
     assert m1 == m2
     assert any(m1[i] != i + 1 for i in m1)  # not the identity permutation
+
+
+def test_line_dedup_hand_computed(spark):
+    """Lines in ≥2 distinct docs vanish everywhere; within-doc repeats
+    survive; fully-boilerplate docs drop out; order is preserved."""
+    d = spark.createDataFrame(
+        [
+            (1, "keep me\ncookie banner\nunique tail"),
+            (2, "cookie banner\nother text\nother text"),
+            (3, "cookie banner"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"])
+        for r in dedup.line_dedup(d, "text", "doc_id", min_df=2).collect()
+    }
+    assert out == {
+        1: ("keep me\nunique tail", 2),
+        2: ("other text\nother text", 2),  # within-doc repeat: df=1, kept
+    }  # doc 3 was pure boilerplate → dropped entirely
+
+
+def test_scrub_pii_hand_computed(spark):
+    from eth_indexer_spark.functions import text as tx
+
+    d = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org or 192.168.0.1 call 555-867-5309 end"),
+            (2, "no pii here 1.2 v3.4.5 12-34-56"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in d.select(
+            "doc_id",
+            tx.scrub_pii("text").alias("t"),
+            tx.pii_count("text", "email").alias("e"),
+            tx.pii_count("text", "ip").alias("i"),
+            tx.pii_count("text", "phone").alias("p"),
+        ).collect()
+    }
+    assert rows[1]["t"] == "mail <EMAIL> or <IP> call <PHONE> end"
+    assert (rows[1]["e"], rows[1]["i"], rows[1]["p"]) == (1, 1, 1)
+    assert rows[2]["t"] == "no pii here 1.2 v3.4.5 12-34-56"
+    assert (rows[2]["e"], rows[2]["i"], rows[2]["p"]) == (0, 0, 0)

@@ -168,3 +168,22 @@ def test_corpus_shuffle_distributes_rank(spark):
     plan = plan_of(extensions.x_corpus_shuffle(spark, SF))
     assert "rangepartitioning" in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_line_dedup_is_anti_join_never_cartesian(spark):
+    """The boilerplate scrub must plan as hash aggregation + LeftAnti on the
+    line digest — never a cartesian/nested-loop join, and the scrubbed text
+    is never compared pairwise."""
+    plan = plan_of(extensions.x_line_dedup(spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_scrub_is_map_only(spark):
+    """The PII scrub is one codegen'd projection over the scan: no exchange,
+    no join, no aggregate anywhere in the plan."""
+    plan = plan_of(extensions.x_pii_scrub(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "codegen id" in plan
