@@ -123,6 +123,58 @@ def shuffle_order(df: DataFrame, id_col: str, pos_col: str = "shuffle_pos") -> D
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_col,
+    budget: int,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Token-BUDGET sampling: per group (source, language, shard), keep
+    documents in deterministic md5(id) order until the group's cumulative
+    token count reaches ``budget``, then stop. The absolute-budget
+    complement of :func:`weighted_mix`'s keep-rates — how real corpus specs
+    are written ("50 B tokens of web, 5 B of code"), and like the rest of
+    this module it is RNG-free: re-runs, resumes, and other engines pick the
+    identical document set.
+
+    Scale shape: the cumulative count comes from
+    :func:`~eth_indexer_spark.operators.prefix_sum.grouped_running_sum`, so
+    a 100 TB source with a handful of groups still fans out across all
+    partitions (one range shuffle + broadcast offsets) instead of one
+    reducer per group — the failure mode of a plain
+    ``Window.partitionBy(group)`` here, where group cardinality is by
+    construction tiny.
+
+    Returns the kept rows with ``cum_col`` (long) appended. The kept set is
+    the MAXIMAL PREFIX of the group's md5 order whose token sum fits:
+    cumulative counts run over all documents, and the filter is
+    ``cum <= budget``, so the first overflowing document stops the group
+    (no knapsack-style skipping past it — skipping would make membership
+    depend on every earlier document's size, which is both harder to audit
+    and not what corpus specs mean by "take N tokens of X")."""
+    from eth_indexer_spark.operators.prefix_sum import grouped_running_sum
+
+    c = F.col(id_col)
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    keyed = df.withColumn(
+        "__tb_key", F.concat(F.md5(c.cast("string")), c.cast("string"))
+    )
+    out = grouped_running_sum(
+        keyed,
+        group_col,
+        ["__tb_key"],
+        tok.cast("decimal(38,0)"),
+        out_col="__tb_cum",
+    )
+    return (
+        out.filter(F.col("__tb_cum") <= budget)
+        .withColumn(cum_col, F.col("__tb_cum").cast("long"))
+        .drop("__tb_key", "__tb_cum")
+    )
+
+
 def weighted_mix(
     df: DataFrame,
     id_col: str,

@@ -601,6 +601,83 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_curation_v2",
+    """
+    WITH m AS (
+        SELECT doc_id, source, text,
+               len(regexp_split_to_array(text, '\\s+')) AS t,
+               len(regexp_extract_all(text, '[a-zA-Z]')) * 1.0 / length(text) AS alpha,
+               len(list_filter(string_split(lower(text), ' '),
+                               w -> w IN ('the','a','and','of','to','in','is','it','that','for'))) * 1.0
+               / len(string_split(lower(text), ' ')) AS stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source, text FROM m
+        WHERE ROUND(0.4 * LEAST(t / 64.0, 1.0)
+                    + 0.4 * ROUND(alpha, 4)
+                    + 0.2 * LEAST(ROUND(stop, 4) * 5, 1.0), 5) >= 0.5
+    ),
+    docs2 AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM q),
+    seg AS (
+        SELECT doc_id, CAST(st // 3 AS BIGINT) AS pos,
+               array_to_string(w[st+1 : st+3], ' ') AS line
+        FROM (SELECT doc_id, w, unnest(range(0, len(w), 3)) AS st FROM docs2)
+    ),
+    hot AS (
+        SELECT line FROM seg GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    keptl AS (SELECT * FROM seg WHERE line NOT IN (SELECT line FROM hot)),
+    clean AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct
+        FROM keptl GROUP BY doc_id
+    ),
+    tok AS (
+        SELECT c.doc_id, q.source,
+               len(regexp_split_to_array(c.ct, '\\s+')) AS n_tokens,
+               md5(CAST(c.doc_id AS VARCHAR)) || CAST(c.doc_id AS VARCHAR) AS k
+        FROM clean c JOIN q ON c.doc_id = q.doc_id
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM tok
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum <= 400
+    """,
+)
+def x_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation composition over the round-5 stages: quality filter →
+    corpus-wide line dedup → per-source token-budget sample. Stage order is
+    the 100 TB order: the pure-expression quality filter cuts the corpus
+    BEFORE the line-dedup shuffles, and the budget sampler runs last on the
+    cleaned token counts (its grouped prefix sum touches only survivors).
+    Every stage is the already-oracle-checked operator (`x_text_quality`,
+    `x_line_dedup`, `x_budget_sample`); this query pins their composition."""
+    from eth_indexer_spark.operators.sampling import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", tx.quality_score("text").alias("quality")
+    )
+    kept = d.filter(F.col("quality") >= 0.5).select("doc_id", "source", "text")
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(3))
+    seglines = F.array_join(
+        F.transform(starts, lambda st: F.concat_ws(" ", F.slice(words, st + 1, 3))),
+        "\n",
+    )
+    cleaned = dedup.line_dedup(
+        kept.select("doc_id", seglines.alias("text")), "text", "doc_id", min_df=2
+    )
+    scored = cleaned.join(kept.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", tx.token_count("clean_text").alias("n_tokens")
+    )
+    return token_budget_sample(scored, "doc_id", "source", "n_tokens", budget=400)
+
+
+@register(
     "x_corpus_stats",
     """
     WITH c AS (
@@ -1001,6 +1078,41 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return dd.incremental_dedup(_doubled_docs(spark, sf_dir), index, "text", "doc_id")
+
+
+@register(
+    "x_budget_sample",
+    """
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR) AS k
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM scored
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 800
+    """,
+)
+def x_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling (operators/sampling.py:token_budget_sample):
+    keep md5-ordered documents per source until each source hits an 800-token
+    budget — the absolute-budget corpus spec ("N tokens of web, M of code"),
+    RNG-free and engine-portable. The cumulative count runs as the GROUPED
+    two-phase prefix sum, so the oracle's per-source window (one task per
+    source — unusable with 20 sources at 100 TB) is replaced by a range
+    exchange + broadcast offsets."""
+    from eth_indexer_spark.operators.sampling import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", tx.token_count("text").alias("n_tokens")
+    )
+    return token_budget_sample(d, "doc_id", "source", "n_tokens", budget=800)
 
 
 @register(

@@ -960,3 +960,37 @@ def test_scrub_pii_hand_computed(spark):
     assert (rows[1]["e"], rows[1]["i"], rows[1]["p"]) == (1, 1, 1)
     assert rows[2]["t"] == "no pii here 1.2 v3.4.5 12-34-56"
     assert (rows[2]["e"], rows[2]["i"], rows[2]["p"]) == (0, 0, 0)
+
+
+def test_token_budget_sample_fills_but_never_exceeds(spark):
+    """Per group: cumulative tokens ≤ budget, the kept set is the md5-order
+    prefix (adding the first excluded doc would exceed the budget), and
+    membership is deterministic across runs."""
+    from eth_indexer_spark.functions import text as tx
+    from eth_indexer_spark.operators.sampling import token_budget_sample
+
+    d = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "source", tx.token_count("text").alias("tc"))
+    )
+    budget = 300
+    out = token_budget_sample(d, "doc_id", "source", "tc", budget=budget)
+    rows = out.collect()
+    per_group: dict[str, int] = {}
+    kept_ids = set()
+    for r in rows:
+        per_group[r["source"]] = max(per_group.get(r["source"], 0), r["cum_tokens"])
+        kept_ids.add(r["doc_id"])
+    assert per_group and all(c <= budget for c in per_group.values())
+    # prefix property: replay the md5 order in python and expect the same set
+    import hashlib
+
+    want = set()
+    acc: dict[str, int] = {}
+    for r in sorted(
+        d.collect(), key=lambda r: hashlib.md5(str(r["doc_id"]).encode()).hexdigest() + str(r["doc_id"])
+    ):
+        acc[r["source"]] = acc.get(r["source"], 0) + r["tc"]
+        if acc[r["source"]] <= budget:  # truncate-at-first-overflow, not knapsack
+            want.add(r["doc_id"])
+    assert kept_ids == want

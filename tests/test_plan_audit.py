@@ -187,3 +187,12 @@ def test_pii_scrub_is_map_only(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan
     assert "codegen id" in plan
+
+
+def test_budget_sample_distributes_group_prefix_sum(spark):
+    """The per-source cumulative token count must run as the grouped
+    two-phase prefix sum (range exchange + broadcast offsets), never one
+    reducer per source."""
+    plan = plan_of(extensions.x_budget_sample(spark, SF))
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan

@@ -97,3 +97,39 @@ def test_asof_join_matches_bruteforce(spark, rights, lefts):
         cands = [(rts, v) for (kk, rts), v in dedup_r.items() if kk == k and rts <= ts]
         want = max(cands)[1] if cands else None
         assert got[i] == want, f"rid={i} key={k} ts={ts}: {got[i]} != {want}"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # group
+            st.integers(min_value=-(10**9), max_value=10**9),  # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+@_settings
+def test_grouped_running_sum_matches_per_group_cumsum(spark, rows, nparts):
+    """Grouped two-phase prefix sum == per-group sequential cumsum in order-
+    key order, exactly, for any partition count (groups spanning partitions,
+    a partition holding many groups, singleton groups)."""
+    from eth_indexer_spark.operators.prefix_sum import grouped_running_sum
+
+    df = spark.createDataFrame(
+        [(i, g, Decimal(v)) for i, (g, v) in enumerate(rows)],
+        "k long, g long, v decimal(20,0)",
+    )
+    got = {
+        r["k"]: int(r["rs"])
+        for r in grouped_running_sum(
+            df, "g", ["k"], F.col("v"), out_col="rs", num_partitions=nparts
+        ).collect()
+    }
+    acc: dict[int, int] = {}
+    want = {}
+    for i, (g, v) in enumerate(rows):
+        acc[g] = acc.get(g, 0) + v
+        want[i] = acc[g]
+    assert got == want
