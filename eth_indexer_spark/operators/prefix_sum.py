@@ -20,6 +20,7 @@ partitioning — required for oracle comparison and for uint256-style amounts.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -34,6 +35,7 @@ def grouped_running_sum(
     value_col,
     out_col: str = "running_sum",
     num_partitions: int | None = None,
+    reuse_upstream: bool = False,
 ) -> DataFrame:
     """Per-group cumulative sum of ``value_col`` in ``order_cols`` order —
     the grouped sibling of :func:`global_running_sum`, for when the group
@@ -48,7 +50,17 @@ def grouped_running_sum(
 
     ``order_cols`` is a list of columns/Column expressions forming a total
     order within each group. DECIMAL the value for exact, partitioning-
-    independent accumulation."""
+    independent accumulation.
+
+    ``reuse_upstream``: both the output rows and the offsets consume the
+    ranged frame, and column pruning gives the two branches different
+    range-exchange signatures, so Spark's exchange reuse does NOT
+    deduplicate them — the upstream lineage runs twice. For a bare scan
+    that second run is cheaper than caching (measured: persist costs ~2×
+    on the running-sum benchmark query); for an upstream that itself
+    carries shuffles (a dedup pipeline), pass True to persist the ranged
+    frame (MEMORY_AND_DISK ≈ one extra write) instead of recomputing an
+    unbounded lineage."""
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = (
@@ -62,6 +74,8 @@ def grouped_running_sum(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local = ranged.withColumn("__ps_local", F.sum("__ps_val").over(w_local))
+    if reuse_upstream:  # see docstring: exchange reuse can't merge the branches
+        local = local.persist(StorageLevel.MEMORY_AND_DISK)
 
     # per-(partition, group) totals → exclusive offsets along each group's
     # partition sequence; the totals frame is tiny, so its window is cheap
@@ -88,10 +102,14 @@ def global_running_sum(
     value_col,
     out_col: str = "running_sum",
     num_partitions: int | None = None,
+    reuse_upstream: bool = False,
 ) -> DataFrame:
     """Append ``out_col`` = cumulative sum of ``value_col`` over the total
     order given by (unique) ``order_key``. ``value_col`` may be a Column
     expression; cast it to DecimalType for exact accumulation.
+    ``reuse_upstream``: persist the ranged frame instead of letting the
+    rows/offsets branches recompute the upstream lineage twice — see
+    :func:`grouped_running_sum` for the trade-off.
     """
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = (
@@ -106,6 +124,8 @@ def global_running_sum(
         W.partitionBy(_PID).orderBy(order_key).rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local = ranged.withColumn("__ps_local", F.sum("__ps_val").over(w_local))
+    if reuse_upstream:  # see grouped_running_sum: reuse can't merge the branches
+        local = local.persist(StorageLevel.MEMORY_AND_DISK)
 
     # per-partition totals → exclusive prefix offsets (|partitions| rows)
     w_off = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, W.currentRow - 1)

@@ -130,6 +130,7 @@ def token_budget_sample(
     token_col,
     budget: int,
     cum_col: str = "cum_tokens",
+    reuse_upstream: bool = False,
 ) -> DataFrame:
     """Token-BUDGET sampling: per group (source, language, shard), keep
     documents in deterministic md5(id) order until the group's cumulative
@@ -167,6 +168,7 @@ def token_budget_sample(
         ["__tb_key"],
         tok.cast("decimal(38,0)"),
         out_col="__tb_cum",
+        reuse_upstream=reuse_upstream,
     )
     return (
         out.filter(F.col("__tb_cum") <= budget)

@@ -674,7 +674,9 @@ def x_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cleaned.join(kept.select("doc_id", "source"), "doc_id").select(
         "doc_id", "source", tx.token_count("clean_text").alias("n_tokens")
     )
-    return token_budget_sample(scored, "doc_id", "source", "n_tokens", budget=400)
+    return token_budget_sample(
+        scored, "doc_id", "source", "n_tokens", budget=400, reuse_upstream=True
+    )
 
 
 @register(
