@@ -122,10 +122,18 @@ def scrub_pii(col) -> Column:
 
 
 def pii_count(col, kind: str) -> Column:
-    """Occurrences of one PII kind ('email' | 'ip' | 'phone') in the RAW
-    text, as a long — the audit metric reported alongside the scrub."""
-    pats = {k: p for k, p, _ in PII_RULES}
-    return F.regexp_count(_c(col), F.lit(pats[kind])).cast("long")
+    """How many ``kind`` ('email' | 'ip' | 'phone') placeholder tokens
+    :func:`scrub_pii` emits for this text, as a long. Counted against the
+    text with all PRIOR rules already applied — counting every kind on the
+    raw text would over-report when matches overlap (an email whose local
+    part looks like a phone number is consumed whole by the email rule and
+    never yields a <PHONE> token, so it must not count as one)."""
+    out = _c(col)
+    for k, pat, repl in PII_RULES:
+        if k == kind:
+            return F.regexp_count(out, F.lit(pat)).cast("long")
+        out = F.regexp_replace(out, pat, repl)
+    raise KeyError(f"unknown PII kind {kind!r}")
 
 
 def fingerprint(col) -> Column:

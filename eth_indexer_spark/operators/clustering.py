@@ -179,13 +179,13 @@ def semantic_dup_pairs(
 
     unit = (
         emb.join(assignments, id_col)
-        .filter(norm(_vec(vec_col)) > 0)
+        .withColumn("__norm", norm(_vec(vec_col)))  # hoisted: a per-element
+        # norm inside the transform lambda would be O(dim²) per row
+        .filter(F.col("__norm") > 0)
         .select(
             F.col(id_col).alias("id"),
             F.col("cluster"),
-            F.transform(
-                _vec(vec_col), lambda x: x / norm(_vec(vec_col))
-            ).alias("u"),
+            F.transform(_vec(vec_col), lambda x: x / F.col("__norm")).alias("u"),
         )
     )
     a = unit.select(

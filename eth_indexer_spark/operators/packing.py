@@ -13,9 +13,9 @@ state, no driver loop.
 
 The global prefix sum is the only non-trivial part at 100 TB: a naive
 ``Window.orderBy`` with no partition key runs in ONE task. This reuses
-:func:`eth_indexer_spark.operators.prefix_sum.global_running_sum` (range
-shuffle → partition-local window → broadcast offsets), so packing costs one
-range shuffle regardless of corpus size. Pack arithmetic is integer ``div``
+:func:`eth_indexer_spark.operators.prefix_sum.global_running_sum`
+(literal-boundary bucketing → bucket-local window → broadcast offsets), so
+packing costs one bucket shuffle regardless of corpus size. Pack arithmetic is integer ``div``
 / ``%`` on longs — exact, never a double.
 """
 

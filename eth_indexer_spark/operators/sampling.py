@@ -105,10 +105,10 @@ def shuffle_order(df: DataFrame, id_col: str, pos_col: str = "shuffle_pos") -> D
     resumed/restarted job sees the identical epoch order.
 
     Scale shape: positions come from the two-phase distributed prefix sum
-    over the hash key (operators/prefix_sum.py) — one range shuffle and a
-    broadcast of per-partition offsets at any corpus size, never a
-    single-task ``ROW_NUMBER`` over everything (which is how the oracle
-    expresses it, and exactly what a 100 TB corpus cannot run)."""
+    over the hash key (operators/prefix_sum.py) — one literal-boundary
+    bucket shuffle and a broadcast of per-bucket offsets at any corpus
+    size, never a single-task ``ROW_NUMBER`` over everything (which is how
+    the oracle expresses it, and exactly what a 100 TB corpus cannot run)."""
     from eth_indexer_spark.operators.prefix_sum import global_running_sum
 
     c = F.col(id_col)
@@ -116,7 +116,13 @@ def shuffle_order(df: DataFrame, id_col: str, pos_col: str = "shuffle_pos") -> D
         "__shuffle_key", F.concat(F.md5(c.cast("string")), c.cast("string"))
     )
     out = global_running_sum(
-        keyed, "__shuffle_key", F.lit(1).cast("decimal(38,0)"), out_col="__pos"
+        keyed,
+        "__shuffle_key",
+        F.lit(1).cast("decimal(38,0)"),
+        out_col="__pos",
+        # numeric boundary proxy: the first 15 md5 hex digits as an integer
+        # — monotone in the string key (hex chars sort like their values)
+        order_proxy=F.conv(F.substring(F.col("__shuffle_key"), 1, 15), 16, 10).cast("long"),
     )
     return out.withColumn(pos_col, F.col("__pos").cast("long")).drop(
         "__shuffle_key", "__pos"
@@ -143,8 +149,8 @@ def token_budget_sample(
     Scale shape: the cumulative count comes from
     :func:`~eth_indexer_spark.operators.prefix_sum.grouped_running_sum`, so
     a 100 TB source with a handful of groups still fans out across all
-    partitions (one range shuffle + broadcast offsets) instead of one
-    reducer per group — the failure mode of a plain
+    literal-boundary buckets (one hash shuffle + broadcast offsets) instead
+    of one reducer per group — the failure mode of a plain
     ``Window.partitionBy(group)`` here, where group cardinality is by
     construction tiny.
 
@@ -168,6 +174,7 @@ def token_budget_sample(
         ["__tb_key"],
         tok.cast("decimal(38,0)"),
         out_col="__tb_cum",
+        order_proxy=F.conv(F.substring(F.col("__tb_key"), 1, 15), 16, 10).cast("long"),
         reuse_upstream=reuse_upstream,
     )
     return (
@@ -201,7 +208,7 @@ def weighted_mix(
     proportions, not exact counts — at training-corpus sizes the binomial
     deviation is immaterial, and determinism is worth more than exactness.
     """
-    for g, r in rates.items():
+    for g, r in list(rates.items()) + [("default_rate", default_rate)]:
         if not (0.0 <= r <= 1.0):
             raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
     b = hash_bucket(id_col, buckets)

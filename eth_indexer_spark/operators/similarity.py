@@ -135,10 +135,16 @@ def cosine_pairs(
     recall < 1, candidates exact-verified.) Pre-normalizes once so the pair
     predicate is a plain dot product; zero-norm vectors are dropped (cosine
     undefined)."""
-    unit = emb.filter(norm(_vec(vec_col)) > 0).select(
-        F.col(id_col).alias("id"),
-        F.transform(_vec(vec_col), lambda x: x / norm(_vec(vec_col))).alias("u"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    # norm hoisted into a column: dividing inside the transform lambda would
+    # re-evaluate the O(dim) fold per element → O(dim²) work per row
+    unit = (
+        emb.withColumn("__norm", norm(_vec(vec_col)))
+        .filter(F.col("__norm") > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(_vec(vec_col), lambda x: x / F.col("__norm")).alias("u"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+        )
     )
     block_pairs = emb.sparkSession.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
@@ -181,9 +187,13 @@ def rhp_banded_pairs(
     Scale shape: per bucketing, pairs come from bucket-local self-joins
     (shuffle on bucket id, never all-pairs); candidates dedup once; one
     verify join. At 100 TB the bucket id is a partition column."""
-    unit = emb.filter(norm(_vec(vec_col)) > 0).select(
-        F.col(id_col).alias("id"),
-        F.transform(_vec(vec_col), lambda x: x / norm(_vec(vec_col))).alias("u"),
+    unit = (
+        emb.withColumn("__norm", norm(_vec(vec_col)))  # hoisted: see cosine_pairs
+        .filter(F.col("__norm") > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(_vec(vec_col), lambda x: x / F.col("__norm")).alias("u"),
+        )
     )
     cand = None
     for t in range(L):

@@ -1107,8 +1107,8 @@ def x_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget — the absolute-budget corpus spec ("N tokens of web, M of code"),
     RNG-free and engine-portable. The cumulative count runs as the GROUPED
     two-phase prefix sum, so the oracle's per-source window (one task per
-    source — unusable with 20 sources at 100 TB) is replaced by a range
-    exchange + broadcast offsets."""
+    source — unusable with 20 sources at 100 TB) is replaced by a
+    literal-boundary bucket exchange + broadcast offsets."""
     from eth_indexer_spark.operators.sampling import token_budget_sample
 
     d = _t(spark, sf_dir, "documents").select(
@@ -1162,19 +1162,31 @@ def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                text || ' contact user' || doc_id || '@example.com at 10.1.'
                     || (doc_id % 256) || '.7 call 555-867-5309' AS text
         FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id, text,
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t1
+        FROM injected
+    ),
+    s2 AS (
+        SELECT doc_id, text, t1,
+               regexp_replace(t1,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '<IP>', 'g') AS t2
+        FROM s1
     )
     SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+           regexp_replace(t2,
                '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS clean_text,
            len(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-           len(regexp_extract_all(text,
+           len(regexp_extract_all(t1,
                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips,
-           len(regexp_extract_all(text,
+           len(regexp_extract_all(t2,
                '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS n_phones
-    FROM injected
+    FROM s2
     """,
 )
 def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,9 +1227,9 @@ def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-order shuffle (operators/sampling.py:
     shuffle_order): 1-based training positions by md5(id) rank, computed
-    with the two-phase distributed prefix sum — the oracle's single
-    ROW_NUMBER window is exactly the single-task plan a 100 TB corpus
-    cannot run."""
+    with the two-phase distributed prefix sum (literal-boundary buckets) —
+    the oracle's single ROW_NUMBER window is exactly the single-task plan a
+    100 TB corpus cannot run."""
     from eth_indexer_spark.operators.sampling import shuffle_order
 
     d = _t(spark, sf_dir, "documents").select("doc_id")

@@ -128,6 +128,7 @@ def _locked(fn):
     @functools.wraps(fn)
     def wrapper(self, *args, **kwargs):
         with self._writer_lock():
+            self._settle_pending()
             return fn(self, *args, **kwargs)
 
     return wrapper
@@ -248,6 +249,24 @@ class ParquetStore:
         for n in sorted(os.listdir(self.root)):  # uncommitted tmps: abort
             if n.startswith("__tmp_"):
                 shutil.rmtree(os.path.join(self.root, n), ignore_errors=True)
+
+    def _settle_pending(self) -> None:
+        """Finish EVERY committed-but-unapplied manifest, whatever its op or
+        table. Runs at the start of each locked mutation: an apply that died
+        mid-way (I/O error caught and retried in-process, no store reopen to
+        trigger ``_recover``) must not leave its manifest pending while a
+        DIFFERENT mutation — a ``write_blocks`` after a failed retraction —
+        plans against the half-applied state and commits; recovery would
+        later replay the stale manifest OVER the newer mutation's output.
+        ``_settle_tmp`` alone cannot catch this: it settles only its own
+        tmp name. Apply is idempotent, so settling is a no-op in the normal
+        (nothing-pending) case beyond one directory listing."""
+        for n in sorted(os.listdir(self.root)):
+            if n.endswith(".manifest.json"):
+                p = os.path.join(self.root, n)
+                if os.path.exists(p):
+                    with open(p) as f:
+                        self._apply_manifest(json.load(f))
 
     def _settle_tmp(self, tmp_name: str) -> None:
         """Prepare ``tmp_name`` for reuse by a new mutation: if a previous
@@ -600,10 +619,25 @@ class ParquetStore:
         self._apply_manifest(manifest)
 
     def _drop_bucket_dirs(self, table: str, lo_b: int, hi_b: int) -> None:
+        """Whole-bucket drop honoring the reader-isolation invariant: each
+        live dir is moved ASIDE with one atomic rename before deletion, so a
+        concurrent reader sees the bucket whole or absent — never a dir
+        whose files are mid-rmtree. The trash is ``__tmp_``-prefixed, so a
+        crash mid-way leaves it for ``_recover`` to garbage-collect (the
+        renamed dirs were logically deleted the moment the drop began; the
+        caller's delete is idempotent for the not-yet-renamed rest)."""
         root = self.path(table)
+        trash = os.path.join(self.root, f"__tmp_{table}_drop.trash")
+        dropped = False
         for rel in self._bucket_rel_dirs(table):
             if lo_b <= _bucket_of(rel) <= hi_b:
-                shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+                aside = os.path.join(trash, rel)
+                os.makedirs(os.path.dirname(aside), exist_ok=True)
+                shutil.rmtree(aside, ignore_errors=True)  # stale replay leftover
+                os.rename(os.path.join(root, rel), aside)
+                dropped = True
+        if dropped:
+            shutil.rmtree(trash, ignore_errors=True)
 
     @_locked
     def retract_blocks(self, lo: int, hi: int, tables: tuple[str, ...] | None = None) -> None:
@@ -624,10 +658,17 @@ class ParquetStore:
         an in-flight batch), making the check safe to run every batch even
         on a 100 TB table (it lists only partition dirs, whose count is
         bounded by history/bucket_size)."""
+        try:
+            rels = self._bucket_rel_dirs(table)
+        except FileNotFoundError:
+            return []  # a concurrent swap moved the table dir for an instant
         out = []
-        for rel in self._bucket_rel_dirs(table):
+        for rel in rels:
             d = os.path.join(self.path(table), rel)
-            n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            try:
+                n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            except FileNotFoundError:
+                continue  # a concurrent mutation renamed the bucket away
             if n > max_files:
                 out.append(rel)
         return out

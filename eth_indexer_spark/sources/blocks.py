@@ -56,7 +56,14 @@ class PandasBlockSource:
         extra = extra.copy()
         for c in extra.columns:
             if c in base.columns and extra[c].isna().all():
-                extra[c] = extra[c].astype(base[c].dtype)
+                try:
+                    extra[c] = extra[c].astype(base[c].dtype)
+                except (ValueError, TypeError):
+                    # all-NaN into an integer base dtype is uncastable
+                    # (IntCastingNaNError); leave it float — concat then
+                    # promotes the column to float64 exactly as it always
+                    # did, and a non-object dtype raises no FutureWarning
+                    pass
         return pd.concat([base, extra], ignore_index=True)
 
     def extend(

@@ -94,12 +94,12 @@ def test_anti_join_plans_as_left_anti(spark):
 
 def test_pack_sequences_distributes_prefix_sum(spark):
     """The packing op's global cumulative sum must run as the two-phase
-    distributed form: a RANGE exchange partitions the order key (phase 1)
-    and the per-partition offsets join back as a BROADCAST — the naive
-    alternative (one Window.orderBy over everything) would funnel the whole
-    corpus through a single task."""
+    distributed form: a hash exchange on the literal-boundary bucket column
+    (phase 1) and the per-bucket offsets joined back as a BROADCAST — the
+    naive alternative (one Window.orderBy over everything) would funnel the
+    whole corpus through a single task."""
     plan = plan_of(extensions.x_pack_sequences(spark, SF))
-    assert "rangepartitioning" in plan.lower()
+    assert "__ps_bucket" in plan
     assert "BroadcastHashJoin" in plan
 
 
@@ -163,10 +163,11 @@ def test_tokenize_encode_never_explodes_corpus(spark):
 
 
 def test_corpus_shuffle_distributes_rank(spark):
-    """The epoch-shuffle rank must run as the two-phase prefix sum (range
-    exchange + broadcast offsets), not one global ROW_NUMBER window."""
+    """The epoch-shuffle rank must run as the two-phase prefix sum
+    (literal-boundary bucket exchange + broadcast offsets), not one global
+    ROW_NUMBER window."""
     plan = plan_of(extensions.x_corpus_shuffle(spark, SF))
-    assert "rangepartitioning" in plan.lower()
+    assert "__ps_bucket" in plan
     assert "BroadcastHashJoin" in plan
 
 
@@ -191,8 +192,8 @@ def test_pii_scrub_is_map_only(spark):
 
 def test_budget_sample_distributes_group_prefix_sum(spark):
     """The per-source cumulative token count must run as the grouped
-    two-phase prefix sum (range exchange + broadcast offsets), never one
-    reducer per source."""
+    two-phase prefix sum (literal-boundary bucket exchange + broadcast
+    offsets), never one reducer per source."""
     plan = plan_of(extensions.x_budget_sample(spark, SF))
-    assert "rangepartitioning" in plan.lower()
+    assert "__ps_bucket" in plan
     assert "BroadcastHashJoin" in plan

@@ -562,3 +562,43 @@ def test_new_mutation_settles_predecessor_manifest(spark, tmp_path, monkeypatch)
     store.delete_block_range("block_headers", 118, 119)
     nums = sorted(r["number"] for r in store.read("block_headers").collect())
     assert nums == list(range(100, 105)) + [115, 116, 117]
+
+
+def test_new_mutation_settles_cross_op_manifest(spark, tmp_path, monkeypatch):
+    """A committed-but-unapplied manifest from a DIFFERENT op must be
+    finished before any new mutation plans against the table: a retraction
+    that died mid-apply followed by an in-process write_blocks (different
+    tmp name — _settle_tmp alone would not see it) must not leave a stale
+    manifest for recovery to replay OVER the write's output."""
+    root = str(tmp_path / "store")
+    store = ParquetStore(spark, root, bucket_size=10)
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 120))})
+
+    _crash_before_apply(monkeypatch)
+    store.delete_block_range("block_headers", 105, 114)
+    monkeypatch.undo()
+
+    # overlaps the pending retraction's range; without cross-op settling
+    # this would plan against un-retracted rows and recovery would later
+    # replay the stale retract manifest over this write's buckets
+    store.write_blocks({"block_headers": headers_df(spark, range(105, 110))})
+    want = list(range(100, 110)) + list(range(115, 120))
+    nums = sorted(r["number"] for r in store.read("block_headers").collect())
+    assert nums == want
+
+    store2 = ParquetStore(spark, root, bucket_size=10)  # recovery replays nothing stale
+    nums2 = sorted(r["number"] for r in store2.read("block_headers").collect())
+    assert nums2 == want
+
+
+def test_whole_bucket_drop_leaves_no_debris(spark, tmp_path):
+    """The zero-survivor delete path (whole-bucket drop) must remove the
+    buckets through the rename-aside protocol and leave neither trash nor
+    tmp dirs behind."""
+    root = str(tmp_path / "store")
+    store = ParquetStore(spark, root, bucket_size=10)
+    store.write_blocks({"block_headers": headers_df(spark, range(0, 30))})
+    store.delete_block_range("block_headers", 10, 19)
+    nums = sorted(r["number"] for r in store.read("block_headers").collect())
+    assert nums == list(range(0, 10)) + list(range(20, 30))
+    assert not [n for n in os.listdir(root) if n.startswith("__tmp_")]
