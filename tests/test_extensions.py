@@ -994,3 +994,26 @@ def test_token_budget_sample_fills_but_never_exceeds(spark):
         if acc[r["source"]] <= budget:  # truncate-at-first-overflow, not knapsack
             want.add(r["doc_id"])
     assert kept_ids == want
+
+
+def test_weighted_mix_validates_default_rate(spark):
+    from eth_indexer_spark.operators.sampling import weighted_mix
+
+    d = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="default_rate"):
+        weighted_mix(d, "doc_id", "source", {"a": 0.5}, default_rate=1.5)
+
+
+def test_pii_counts_match_emitted_tokens_on_overlap(spark):
+    """An email whose local part looks like a phone number is consumed
+    whole by the email rule; the audit must NOT also report a phone."""
+    from eth_indexer_spark.functions import text as tx
+
+    d = spark.createDataFrame([(1, "reach 555-867-5309@example.com now")], "i long, t string")
+    r = d.select(
+        tx.scrub_pii("t").alias("s"),
+        tx.pii_count("t", "email").alias("e"),
+        tx.pii_count("t", "phone").alias("p"),
+    ).collect()[0]
+    assert r["s"] == "reach <EMAIL> now"
+    assert (r["e"], r["p"]) == (1, 0)
