@@ -32,12 +32,16 @@ def pack_sequences(
     id_col: str,
     token_count_col,
     seq_len: int = 2048,
+    order_proxy=None,
 ) -> DataFrame:
     """Packing coordinates per document under concat-and-cut packing.
 
     ``id_col`` must be a unique, totally-ordered key (the corpus order —
     use a deterministic id, not an RNG shuffle, so re-runs pack
-    identically). ``token_count_col`` is a column name or expression giving
+    identically). A non-numeric id needs ``order_proxy`` — a numeric
+    expression monotone in the id, e.g. its first 15 hex digits for
+    md5-style string ids (see prefix_sum.global_running_sum).
+    ``token_count_col`` is a column name or expression giving
     each document's token count; rows with a non-positive count are dropped
     (an empty document occupies no tokens and has no placement).
 
@@ -61,7 +65,9 @@ def pack_sequences(
     docs = df.select(F.col(id_col), n.cast("long").alias("n_tokens")).filter(
         F.col("n_tokens") > 0
     )
-    cum = global_running_sum(docs, id_col, F.col("n_tokens"), out_col="__end_tok")
+    cum = global_running_sum(
+        docs, id_col, F.col("n_tokens"), out_col="__end_tok", order_proxy=order_proxy
+    )
     # __end_tok is the INCLUSIVE cumulative count; start token index is
     # __end_tok - n_tokens, last token index is __end_tok - 1. Long DIV / %
     # keeps the arithmetic exact at any corpus size.

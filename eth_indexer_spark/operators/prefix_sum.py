@@ -59,7 +59,11 @@ def _bucket_expr(df: DataFrame, proxy: Column, n: int) -> Column:
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + (proxy > F.lit(b)).cast("int")
-    return bucket
+    # NULL proxy → bucket -1: nulls sort FIRST in the total order (matching
+    # window NULLS-FIRST ordering) instead of nulling the bucket, which
+    # would both drop the rows at the inner offsets join and leak their
+    # values into every real bucket's offset
+    return F.coalesce(bucket, F.lit(-1))
 
 
 def global_running_sum(

@@ -140,6 +140,17 @@ def _bucket_of(rel_dir: str) -> int:
     return int(rel_dir.rsplit(f"{_BUCKET}=", 1)[1])
 
 
+def _move_aside_into(trash: str, live_dir: str, rel: str) -> None:
+    """Reader-isolation primitive: retire a live partition dir with ONE
+    atomic rename into ``trash`` (readers see the dir whole or absent,
+    never mid-deletion). ``trash`` must be a ``__tmp_``-prefixed path so a
+    crash leaves it for ``_recover`` to garbage-collect."""
+    aside = os.path.join(trash, rel)
+    os.makedirs(os.path.dirname(aside), exist_ok=True)
+    shutil.rmtree(aside, ignore_errors=True)  # stale replay leftover
+    os.rename(live_dir, aside)
+
+
 def _partition_rel_dirs(root: str, extra_partitions: list[str]) -> list[str]:
     """Partition dirs under a partitioned-parquet root, as rel paths."""
     prefixes = [""]
@@ -242,10 +253,7 @@ class ParquetStore:
         for n in names:  # half-written manifests: pre-commit, abort
             if n.endswith(".manifest.json.writing"):
                 os.remove(os.path.join(self.root, n))
-        for n in names:  # committed ops: finish them
-            if n.endswith(".manifest.json") and os.path.exists(os.path.join(self.root, n)):
-                with open(os.path.join(self.root, n)) as f:
-                    self._apply_manifest(json.load(f))
+        self._settle_pending()  # committed ops: finish them
         for n in sorted(os.listdir(self.root)):  # uncommitted tmps: abort
             if n.startswith("__tmp_"):
                 shutil.rmtree(os.path.join(self.root, n), ignore_errors=True)
@@ -302,10 +310,7 @@ class ParquetStore:
         trash = tmp + ".trash"
 
         def _move_aside(live_dir: str, rel: str) -> None:
-            aside = os.path.join(trash, rel)
-            os.makedirs(os.path.dirname(aside), exist_ok=True)
-            shutil.rmtree(aside, ignore_errors=True)  # stale replay leftover
-            os.rename(live_dir, aside)
+            _move_aside_into(trash, live_dir, rel)
 
         if m["op"] == "swap":
             # whole-directory replacement (compact / dimension update)
@@ -628,16 +633,13 @@ class ParquetStore:
         caller's delete is idempotent for the not-yet-renamed rest)."""
         root = self.path(table)
         trash = os.path.join(self.root, f"__tmp_{table}_drop.trash")
-        dropped = False
         for rel in self._bucket_rel_dirs(table):
             if lo_b <= _bucket_of(rel) <= hi_b:
-                aside = os.path.join(trash, rel)
-                os.makedirs(os.path.dirname(aside), exist_ok=True)
-                shutil.rmtree(aside, ignore_errors=True)  # stale replay leftover
-                os.rename(os.path.join(root, rel), aside)
-                dropped = True
-        if dropped:
-            shutil.rmtree(trash, ignore_errors=True)
+                _move_aside_into(trash, os.path.join(root, rel), rel)
+        # unconditional: a retried drop whose previous attempt crashed after
+        # renaming everything aside (nothing left to drop now) must still
+        # clear the populated trash
+        shutil.rmtree(trash, ignore_errors=True)
 
     @_locked
     def retract_blocks(self, lo: int, hi: int, tables: tuple[str, ...] | None = None) -> None:

@@ -60,10 +60,11 @@ class PandasBlockSource:
                     extra[c] = extra[c].astype(base[c].dtype)
                 except (ValueError, TypeError):
                     # all-NaN into an integer base dtype is uncastable
-                    # (IntCastingNaNError); leave it float — concat then
-                    # promotes the column to float64 exactly as it always
-                    # did, and a non-object dtype raises no FutureWarning
-                    pass
+                    # (IntCastingNaNError). Use object-dtype Nones: concat
+                    # then yields an object column of exact ints + Nones —
+                    # leaving it float64 would promote the WHOLE column and
+                    # lossily round base int64 values beyond 2^53
+                    extra[c] = pd.Series([None] * len(extra), dtype=object)
         return pd.concat([base, extra], ignore_index=True)
 
     def extend(

@@ -99,7 +99,7 @@ def test_pack_sequences_distributes_prefix_sum(spark):
     naive alternative (one Window.orderBy over everything) would funnel the
     whole corpus through a single task."""
     plan = plan_of(extensions.x_pack_sequences(spark, SF))
-    assert "__ps_bucket" in plan
+    assert "hashpartitioning(__ps_bucket" in plan
     assert "BroadcastHashJoin" in plan
 
 
@@ -167,7 +167,7 @@ def test_corpus_shuffle_distributes_rank(spark):
     (literal-boundary bucket exchange + broadcast offsets), not one global
     ROW_NUMBER window."""
     plan = plan_of(extensions.x_corpus_shuffle(spark, SF))
-    assert "__ps_bucket" in plan
+    assert "hashpartitioning(__ps_bucket" in plan
     assert "BroadcastHashJoin" in plan
 
 
@@ -195,5 +195,5 @@ def test_budget_sample_distributes_group_prefix_sum(spark):
     two-phase prefix sum (literal-boundary bucket exchange + broadcast
     offsets), never one reducer per source."""
     plan = plan_of(extensions.x_budget_sample(spark, SF))
-    assert "__ps_bucket" in plan
+    assert "hashpartitioning(__ps_bucket" in plan
     assert "BroadcastHashJoin" in plan

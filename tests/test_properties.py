@@ -133,3 +133,28 @@ def test_grouped_running_sum_matches_per_group_cumsum(spark, rows, nparts):
         acc[g] = acc.get(g, 0) + v
         want[i] = acc[g]
     assert got == want
+
+
+def test_running_sums_keep_null_keys_first(spark):
+    """A NULL order key sorts FIRST (bucket -1), is kept in the output, and
+    its value participates in every later row's running sum — it must not
+    vanish at the offsets join nor leak into offsets without its row."""
+    from eth_indexer_spark.operators.prefix_sum import (
+        global_running_sum,
+        grouped_running_sum,
+    )
+
+    df = spark.createDataFrame([(None, 5), (1, 1), (2, 2)], "k long, v long")
+    out = global_running_sum(
+        df, "k", F.col("v").cast("decimal(20,0)"), out_col="rs", num_partitions=3
+    )
+    assert {r["k"]: int(r["rs"]) for r in out.collect()} == {None: 5, 1: 6, 2: 8}
+
+    g = spark.createDataFrame(
+        [("a", None, 5), ("a", 1, 1), ("b", 2, 2)], "g string, k long, v long"
+    )
+    out2 = grouped_running_sum(
+        g, "g", ["k"], F.col("v").cast("decimal(20,0)"), out_col="rs", num_partitions=3
+    )
+    got = {(r["g"], r["k"]): int(r["rs"]) for r in out2.collect()}
+    assert got == {("a", None): 5, ("a", 1): 6, ("b", 2): 2}
