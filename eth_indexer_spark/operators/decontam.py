@@ -73,11 +73,15 @@ def contamination_flags(
     """Every document with a boolean ``contaminated`` column (audit form —
     lets the pipeline report contamination rates before dropping anything).
 
-    The hit set is a skinny id list (bounded by the contaminated minority),
-    so the flag join broadcasts it back onto the corpus: still no corpus
-    shuffle."""
+    The hit set is a skinny id list, but its size is NOT bounded a priori —
+    on a corpus with heavy benchmark overlap (exactly when decontamination
+    matters most) it can be a large fraction of the corpus, so the flag
+    join is NOT force-broadcast: AQE broadcasts it at runtime when it is
+    actually small, and falls back to a shuffled join when it is not
+    (mirroring the refused unconditional hint in plans/analytics.py
+    dim-join policy)."""
     hits = contaminated_ids(docs, bench, text_col, id_col, k, broadcast_bench)
-    hits = F.broadcast(hits.withColumn("__hit", F.lit(True)))
+    hits = hits.withColumn("__hit", F.lit(True))
     return (
         docs.join(hits, id_col, "left")
         .withColumn("contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
@@ -94,6 +98,8 @@ def decontaminate(
     broadcast_bench: bool = True,
 ) -> DataFrame:
     """The clean corpus: documents with no benchmark k-gram overlap
-    (LeftAnti against the broadcast hit set)."""
+    (LeftAnti against the hit set — unhinted: AQE broadcasts a small hit
+    set at runtime; a corpus-scale hit set must shuffle, not OOM the
+    driver under a forced broadcast)."""
     hits = contaminated_ids(docs, bench, text_col, id_col, k, broadcast_bench)
-    return docs.join(F.broadcast(hits), id_col, "left_anti")
+    return docs.join(hits, id_col, "left_anti")

@@ -148,10 +148,28 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    *,
+    exact: bool = False,
+    max_df: int = 1000,
 ) -> DataFrame:
-    """Exact near-duplicate pairs: Jaccard(shingles_i, shingles_j) ≥ threshold,
-    i < j, via the inverted shingle index (no cross join)."""
+    """Near-duplicate pairs: Jaccard(shingles_i, shingles_j) ≥ threshold,
+    i < j, via the inverted shingle index (no cross join).
+
+    The DEFAULT routes through :func:`ngram_jaccard_pairs_capped`
+    (document-frequency cap ``max_df``): on an adversarial corpus a shingle
+    present in every document makes the uncapped index O(N²) pairs, so the
+    scale-unsafe form is opt-in — pass ``exact=True`` only when exact
+    co-occurrence over ALL shingles (boilerplate included) is the
+    requirement and the corpus is known benign."""
+    if not exact:
+        return ngram_jaccard_pairs_capped(
+            df, text_col, id_col, k=k, threshold=threshold, max_df=max_df
+        )
     # join on 64-bit shingle hashes, not strings: the shuffled index shrinks
     # ~3× and key compares are long equality. Collision risk over the whole
     # corpus is ~|shingles|²/2⁶⁵ — immaterial next to fp thresholds.

@@ -76,7 +76,8 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.5
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.5,
+        exact=True,
     )
 
 

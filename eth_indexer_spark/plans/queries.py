@@ -186,6 +186,15 @@ class StoreQueries:
     def __init__(self, store) -> None:
         self.store = store
 
+    def snapshot(self) -> "StoreQueries":
+        """Pin all subsequent reads at the store's committed batch boundary
+        (sinks/store.py StoreSnapshot): a multi-table read sequence — e.g.
+        latest header + the balances that block implies — observes ONE
+        batch, even while `write_blocks` lands the next one. This is the
+        reference's per-request DB-transaction read scope
+        (store/store.go:115-173) on the parquet layout."""
+        return StoreQueries(self.store.snapshot())
+
     def header_by_number(self, number: int) -> DataFrame:
         return header_by_number(self.store.read_eq("block_headers", number), number)
 

@@ -47,11 +47,26 @@ dimension swap — materializes off to the side and lands via whole-directory
 renames (`_apply_manifest`), so a concurrent reader only ever observes a
 partition directory that is complete (old or new version), never one whose
 files are mid-write or mid-delete — the practical analog of the reference's
-MySQL statement isolation for readers (store/store.go:129-139). Full
-MVCC snapshot isolation across multi-directory reads is the Delta/Iceberg
-seam: the same layout maps 1:1 onto Delta Lake (``replaceWhere`` /
-``DELETE WHERE`` / MERGE); plain parquet keeps this repo dependency-free
-while preserving the partition economics.
+MySQL statement isolation for readers (store/store.go:129-139).
+
+Cross-TABLE consistency comes from a store-level ``VERSION.json`` pointer —
+the committed batch boundary (highest block every table has fully landed).
+``write_blocks`` advances it only AFTER every table including the
+``block_headers`` commit marker has committed; retraction/overwrite of
+blocks at-or-below the pointer rewinds it first. A reader that pins the
+pointer (:meth:`ParquetStore.snapshot`) and clamps every block-keyed read
+to ``block <= version`` therefore sees ONE batch boundary across all eight
+tables — the reference's single multi-table DB transaction
+(store/store.go:115-173) re-expressed as a monotone watermark instead of a
+transaction log. Rows at-or-below the pointer are immutable while it
+stands, so the clamp needs no file pinning. Residual gap (documented, not
+hidden): a reader pinned BEFORE a reorg rewind races the retraction of its
+upper blocks, bounded by reorg depth; dimension tables version per-swap,
+outside the block domain — both match the reference, whose dims also
+update in separate transactions. Full MVCC over file sets is the
+Delta/Iceberg seam: the same layout maps 1:1 onto Delta Lake
+(``replaceWhere`` / ``DELETE WHERE`` / MERGE); plain parquet keeps this
+repo dependency-free while preserving the partition economics.
 """
 
 from __future__ import annotations
@@ -109,6 +124,13 @@ EXTRA_PARTITIONS: dict[str, list[str]] = {
 }
 
 DIMENSION_TABLES = ("erc20", "subscriptions", "reorgs")
+
+# Store-level committed batch boundary (see module docstring): the highest
+# block number for which EVERY table of the batch has committed. Written
+# atomically (tmp + fsync + os.replace), advanced strictly after the
+# block_headers commit marker, rewound before any mutation of blocks
+# at-or-below it.
+_VERSION_FILE = "VERSION.json"
 
 # Columns that must never be NULL on write: dropDuplicates treats NULLs as
 # equal, so a null in a dedup-key column would silently collapse distinct
@@ -176,12 +198,105 @@ class ParquetStore:
     by (token?,) block_bucket."""
 
     def __init__(self, spark: SparkSession, root: str, bucket_size: int = 1000):
+        import threading
+
         self.spark = spark
         self.root = root
         self.bucket_size = bucket_size
         self._lock_held = False
+        # serializes VERSION.json read-modify-writes from the write_blocks
+        # thread pool (the flock guards cross-process, not cross-thread)
+        self._version_mutex = threading.Lock()
+        self._version_hold_depth = 0
+        self._version_pending_hi: int | None = None
         with self._writer_lock():
             self._recover()
+
+    # -- committed-version pointer (cross-table read snapshot) ---------------
+
+    def read_version(self) -> int | None:
+        """The committed batch boundary, or None for a store that has never
+        completed a versioned batch (readers then fall back to live reads)."""
+        try:
+            with open(os.path.join(self.root, _VERSION_FILE)) as f:
+                return int(json.load(f)["block"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def _set_version(self, block: int) -> None:
+        path = os.path.join(self.root, _VERSION_FILE)
+        staging = path + ".writing"
+        with open(staging, "w") as f:
+            json.dump({"block": int(block)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(staging, path)
+
+    def _rewind_version_below(self, lo: int) -> None:
+        """Blocks ≥ ``lo`` are about to be mutated: pull the committed
+        boundary under them FIRST, so a reader pinning the pointer after
+        this instant cannot span the mutation. Crash-safe by direction — a
+        crash after the rewind leaves the boundary conservatively low, and
+        the replayed batch re-advances it."""
+        with self._version_mutex:
+            v = self.read_version()
+            if v is not None and v >= lo:
+                self._set_version(lo - 1)
+
+    def _advance_version(self, hi: int) -> None:
+        """All tables of a batch through block ``hi`` have committed
+        (marker included): publish the new boundary. Monotone except
+        through an explicit rewind. Inside :meth:`version_hold` the advance
+        is deferred to the hold's clean exit."""
+        with self._version_mutex:
+            if self._version_hold_depth > 0:
+                self._version_pending_hi = (
+                    hi
+                    if self._version_pending_hi is None
+                    else max(self._version_pending_hi, hi)
+                )
+                return
+            v = self.read_version()
+            if v is None or hi > v:
+                self._set_version(hi)
+
+    @contextmanager
+    def version_hold(self):
+        """Group several mutations into ONE snapshot transition: rewinds
+        inside the hold apply immediately (they shrink the visible set —
+        always safe), but advances are deferred and published once, at clean
+        exit. The new-token backfill uses this: its balances and
+        total_balances land in separate `write_blocks` calls at the same
+        block, and without the hold a snapshot taken between them would see
+        the new balances beside the old totals. On exception the pending
+        advance is DROPPED — the boundary stays conservatively rewound and
+        the replayed sequence re-advances it."""
+        with self._version_mutex:
+            self._version_hold_depth += 1
+        try:
+            yield
+        except BaseException:
+            with self._version_mutex:
+                self._version_hold_depth -= 1
+                if self._version_hold_depth == 0:
+                    self._version_pending_hi = None
+            raise
+        with self._version_mutex:
+            self._version_hold_depth -= 1
+            pending, done = self._version_pending_hi, self._version_hold_depth == 0
+            if done:
+                self._version_pending_hi = None
+            if done and pending is not None:
+                v = self.read_version()
+                if v is None or pending > v:
+                    self._set_version(pending)
+
+    def snapshot(self) -> "StoreSnapshot":
+        """Pin the current committed boundary: every block-keyed read
+        through the returned object is clamped to ``block <= version``, so
+        a multi-table read sees one batch boundary (EP3 consistency —
+        store/store.go:115-173's transaction scope)."""
+        return StoreSnapshot(self, self.read_version())
 
     # -- crash-safe mutation protocol ----------------------------------------
     #
@@ -250,8 +365,8 @@ class ParquetStore:
         if not os.path.isdir(self.root):
             return
         names = sorted(os.listdir(self.root))
-        for n in names:  # half-written manifests: pre-commit, abort
-            if n.endswith(".manifest.json.writing"):
+        for n in names:  # half-written manifests / version files: abort
+            if n.endswith(".manifest.json.writing") or n == _VERSION_FILE + ".writing":
                 os.remove(os.path.join(self.root, n))
         self._settle_pending()  # committed ops: finish them
         for n in sorted(os.listdir(self.root)):  # uncommitted tmps: abort
@@ -476,6 +591,12 @@ class ParquetStore:
         """
         items = [(t, d) for t, d in tables.items() if t != "block_headers"]
         marker = [(t, d) for t, d in tables.items() if t == "block_headers"]
+        # pre-batch boundary: a below-head overwrite (new-token backfill)
+        # rewinds during the write, but once every table has committed the
+        # untouched blocks above the range are consistent again — restore
+        # through max(pre, hi)
+        pre_v = self.read_version()
+        spans: list[tuple[int, int]] = []
         if len(items) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -488,16 +609,30 @@ class ParquetStore:
                     for t, d in items
                 ]
                 for f in futures:
-                    f.result()  # re-raise the first failure BEFORE the marker
+                    span = f.result()  # re-raise any failure BEFORE the marker
+                    if span is not None:
+                        spans.append(span)
         else:
             for t, d in items:
-                self._write_one_table(t, d, block_range)
+                span = self._write_one_table(t, d, block_range)
+                if span is not None:
+                    spans.append(span)
         for t, d in marker:
-            self._write_one_table(t, d, block_range)
+            span = self._write_one_table(t, d, block_range)
+            if span is not None:
+                spans.append(span)
+        if spans:
+            # the batch is fully committed (marker included): publish the
+            # boundary so snapshot readers cross into it atomically
+            hi = max(hi for _, hi in spans)
+            self._advance_version(hi if pre_v is None else max(hi, pre_v))
 
     def _write_one_table(
         self, table: str, df: DataFrame, block_range: tuple[int, int] | None
-    ) -> None:
+    ) -> tuple[int, int] | None:
+        """Stage + commit one table's buckets; returns the (lo, hi) block
+        span actually written (None for an empty batch) so `write_blocks`
+        can advance the version pointer once every table has landed."""
         self._require_non_null(table, df)
         key = UNIQUE_KEYS.get(table)
         if key:
@@ -509,8 +644,12 @@ class ParquetStore:
             row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
             lo, hi = row["lo"], row["hi"]
         if lo is None:
-            return  # empty batch for this table
+            return None  # empty batch for this table
 
+        # overwriting at-or-below the committed boundary (new-token backfill,
+        # reorg replay): pull the boundary under the mutation first so no
+        # NEW snapshot can span it; write_blocks re-advances after commit
+        self._rewind_version_below(int(lo))
         lo_b, hi_b = lo // self.bucket_size, hi // self.bucket_size
         tmp_name = f"__tmp_{table}_write"
         tmp = os.path.join(self.root, tmp_name)
@@ -552,20 +691,30 @@ class ParquetStore:
         }
         self._write_manifest(manifest)  # COMMIT POINT
         self._apply_manifest(manifest)
+        return (int(lo), int(hi))
 
     @_locked
     def append_blocks(self, tables: dict[str, DataFrame]) -> None:
         """Append variant for batches known to touch new buckets only —
         skips the overwrite listing. Dedup-on-key still applies within the
         batch; cross-batch idempotency needs `write_blocks`."""
+        hi_all = None
         for table, df in tables.items():
             self._require_non_null(table, df)
             key = UNIQUE_KEYS.get(table)
             if key:
                 df = df.dropDuplicates(key)
+            col = BLOCK_COLUMN[table]
+            row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+            if row["lo"] is None:
+                continue
+            self._rewind_version_below(int(row["lo"]))
+            hi_all = row["hi"] if hi_all is None else max(hi_all, row["hi"])
             out = self._with_bucket(table, df)
             parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
             out.write.mode("append").partitionBy(*parts).parquet(self.path(table))
+        if hi_all is not None:
+            self._advance_version(int(hi_all))
 
     # -- mutations -----------------------------------------------------------
 
@@ -585,6 +734,9 @@ class ParquetStore:
         """
         if not self.exists(table):
             return
+        # retraction mutates blocks ≥ lo: rewind the committed boundary
+        # first so fresh snapshots cannot span the in-flight deletion
+        self._rewind_version_below(lo)
         col = BLOCK_COLUMN[table]
         lo_b, hi_b = lo // self.bucket_size, hi // self.bucket_size
         root = self.path(table)
@@ -765,3 +917,80 @@ class ParquetStore:
         else:
             merged = df
         self.update_dimension(table, merged)
+
+
+class StoreSnapshot:
+    """Read view of a :class:`ParquetStore` pinned at one committed batch
+    boundary — the store-level answer to the reference's multi-table DB
+    transaction scope (store/store.go:115-173): a reader spanning
+    ``block_headers`` and ``balances`` mid-`write_blocks` sees either the
+    whole batch or none of it, never table A post-commit beside table B
+    pre-commit.
+
+    Mechanism: every block-keyed read is clamped to ``block <= version``
+    (bucket predicate included, so pruning economics are unchanged). The
+    write protocol guarantees rows at-or-below the pointer are immutable
+    while it stands — `write_blocks` advances it only after the commit
+    marker, and any mutation at-or-below rewinds it first — so the clamp IS
+    a snapshot, with no file pinning or manifest log. Dimension tables
+    delegate to live reads (they version per-swap, outside the block
+    domain, as in the reference's separate dim transactions). A store with
+    no VERSION pointer yet (pre-upgrade layout) degrades to live reads.
+    """
+
+    def __init__(self, store: ParquetStore, version: int | None):
+        self.store = store
+        self.version = version
+        self.spark = store.spark
+        self.bucket_size = store.bucket_size
+
+    def snapshot(self) -> "StoreSnapshot":
+        return self
+
+    def path(self, table: str) -> str:
+        return self.store.path(table)
+
+    def exists(self, table: str) -> bool:
+        return self.store.exists(table)
+
+    def read(self, table: str) -> DataFrame:
+        if self.version is None or table not in BLOCK_COLUMN:
+            return self.store.read(table)
+        return self.store.read_range(table, hi=self.version)
+
+    def read_range(self, table: str, lo: int | None = None, hi: int | None = None) -> DataFrame:
+        if self.version is not None and table in BLOCK_COLUMN:
+            hi = self.version if hi is None else min(hi, self.version)
+        return self.store.read_range(table, lo, hi)
+
+    def read_eq(self, table: str, number: int) -> DataFrame:
+        df = self.store.read_eq(table, number)
+        if self.version is not None and number > self.version:
+            return df.limit(0)  # beyond the snapshot boundary
+        return df
+
+    def bucket_values(self, table: str) -> list[int]:
+        vals = self.store.bucket_values(table)
+        if self.version is None:
+            return vals
+        return [b for b in vals if b <= self.version // self.bucket_size]
+
+    def max_block(self, table: str) -> int | None:
+        """Highest block visible in the snapshot, still O(bucket): walk the
+        ≤-version buckets top-down (the boundary can sit mid-bucket, leaving
+        the top in-range bucket with only beyond-boundary rows)."""
+        if self.version is None:
+            return self.store.max_block(table)
+        if not self.store.exists(table):
+            return None
+        col = BLOCK_COLUMN[table]
+        for b in sorted(self.bucket_values(table), reverse=True):
+            row = (
+                self.spark.read.parquet(self.path(table))
+                .filter((F.col(_BUCKET) == b) & (F.col(col) <= self.version))
+                .agg(F.max(col).alias("m"))
+                .collect()[0]
+            )
+            if row["m"] is not None:
+                return row["m"]
+        return None

@@ -60,11 +60,12 @@ class PandasBlockSource:
                     extra[c] = extra[c].astype(base[c].dtype)
                 except (ValueError, TypeError):
                     # all-NaN into an integer base dtype is uncastable
-                    # (IntCastingNaNError). Use object-dtype Nones: concat
-                    # then yields an object column of exact ints + Nones —
-                    # leaving it float64 would promote the WHOLE column and
-                    # lossily round base int64 values beyond 2^53
-                    extra[c] = pd.Series([None] * len(extra), dtype=object)
+                    # (IntCastingNaNError). Use the NULLABLE integer dtype:
+                    # concat with int64 yields Int64 (exact ints + <NA>),
+                    # keeping the column numeric for downstream consumers —
+                    # float64 would lossily round base values beyond 2^53,
+                    # and object would break vectorized numeric ops
+                    extra[c] = pd.array([None] * len(extra), dtype="Int64")
         return pd.concat([base, extra], ignore_index=True)
 
     def extend(

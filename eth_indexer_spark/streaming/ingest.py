@@ -214,29 +214,35 @@ class BlockIngestor:
             .filter(F.col("token") != address)
             .localCheckpoint()
         )
-        self.store.write_blocks(
-            {"balances": init_bal.unionByName(others_bal)},
-            block_range=(at_block, at_block),
-        )
-        if self.store.exists("latest_balances"):
-            dim = self.store.read("latest_balances")
-            self.store.update_dimension(
-                "latest_balances",
-                dim.filter(F.col("token") != address).unionByName(init_bal),
+        # one version_hold across both table writes: the snapshot boundary
+        # rewinds below at_block for the duration and advances ONCE after
+        # balances AND total_balances have landed — a snapshot taken midway
+        # must not see the new token's balances beside the old totals
+        with self.store.version_hold():
+            self.store.write_blocks(
+                {"balances": init_bal.unionByName(others_bal)},
+                block_range=(at_block, at_block),
             )
-        # preserve other tokens' totals already written at this block: the
-        # sink's overwrite unit is the whole block range, so fold them in
-        to_write = backfill
-        if self.store.exists("total_balances"):
-            others = (
-                self.store.read_range("total_balances", at_block, at_block)
-                .filter(F.col("token") != address)
-                .localCheckpoint()
+            if self.store.exists("latest_balances"):
+                dim = self.store.read("latest_balances")
+                self.store.update_dimension(
+                    "latest_balances",
+                    dim.filter(F.col("token") != address).unionByName(init_bal),
+                )
+            # preserve other tokens' totals already written at this block:
+            # the sink's overwrite unit is the whole block range, so fold
+            # them in
+            to_write = backfill
+            if self.store.exists("total_balances"):
+                others = (
+                    self.store.read_range("total_balances", at_block, at_block)
+                    .filter(F.col("token") != address)
+                    .localCheckpoint()
+                )
+                to_write = backfill.unionByName(others)
+            self.store.write_blocks(
+                {"total_balances": to_write}, block_range=(at_block, at_block)
             )
-            to_write = backfill.unionByName(others)
-        self.store.write_blocks(
-            {"total_balances": to_write}, block_range=(at_block, at_block)
-        )
         # keep the latest-state dim consistent: the new token's backfill rows
         # are its only totals, so they are by definition its latest
         if self.store.exists("latest_totals"):

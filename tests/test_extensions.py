@@ -26,7 +26,7 @@ def emb(spark):
 def test_minhash_lsh_no_false_positives_and_high_recall(docs):
     truth = {
         (r["i"], r["j"])
-        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5).collect()
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5, exact=True).collect()
     }
     lsh = {
         (r["i"], r["j"])
@@ -394,7 +394,7 @@ def test_capped_matches_uncapped_when_no_hot_keys(docs):
     """On a corpus with no shingle above the cap, capped ≡ uncapped."""
     want = {
         (r["i"], r["j"])
-        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5).collect()
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5, exact=True).collect()
     }
     got = {
         (r["i"], r["j"])

@@ -121,6 +121,28 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_decontam_hit_set_never_force_broadcast(spark):
+    """Negative form of test_dim_join_broadcasts: the contaminated-id hit
+    set is unbounded (a heavily contaminated corpus makes it corpus-scale),
+    so the flag / anti joins must carry NO broadcast hint on it — AQE may
+    still broadcast a small hit set at runtime, but a forced hint would OOM
+    the driver at scale. With broadcast_bench=False the plan must contain
+    zero hints anywhere; with it True, only the benchmark gram set's."""
+    from eth_indexer_spark.operators import decontam
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "id long, text string"
+    )
+    bench = spark.createDataFrame([(0, "a b c d")], "id long, text string")
+    for fn in (decontam.contamination_flags, decontam.decontaminate):
+        out = fn(docs, bench, "text", "id", k=4, broadcast_bench=False)
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, fn.__name__
+        hinted = fn(docs, bench, "text", "id", k=4, broadcast_bench=True)
+        analyzed = hinted._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == 1, fn.__name__
+
+
 def test_stratified_sample_has_partial_window_limit(spark):
     """The per-stratum rank filter must push a WindowGroupLimit below the
     exchange: stratification keys are low-cardinality, so without the

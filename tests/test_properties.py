@@ -158,3 +158,43 @@ def test_running_sums_keep_null_keys_first(spark):
     )
     got = {(r["g"], r["k"]): int(r["rs"]) for r in out2.collect()}
     assert got == {("a", None): 5, ("a", 1): 6, ("b", 2): 2}
+
+
+def test_grouped_running_sum_keeps_null_group(spark):
+    """A NULL GROUP key is a real group: its rows must survive the offsets
+    join (null-safe equality) and accumulate among themselves — previously a
+    plain equi-join on [bucket, group] silently dropped every NULL-group row
+    while non-null groups were unaffected."""
+    from eth_indexer_spark.operators.prefix_sum import grouped_running_sum
+
+    g = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 20), ("a", 1, 1), ("a", 3, 3), (None, 4, 40)],
+        "g string, k long, v long",
+    )
+    out = grouped_running_sum(
+        g, "g", ["k"], F.col("v").cast("decimal(20,0)"), out_col="rs", num_partitions=4
+    )
+    got = {(r["g"], r["k"]): int(r["rs"]) for r in out.collect()}
+    assert got == {
+        (None, 1): 10,
+        (None, 2): 30,
+        (None, 4): 70,
+        ("a", 1): 1,
+        ("a", 3): 4,
+    }
+
+
+def test_token_budget_sample_keeps_null_source(spark):
+    """token_budget_sample inherits grouped_running_sum's group handling:
+    documents whose source column is NULL must still be eligible for the
+    kept set, not vanish wholesale."""
+    from eth_indexer_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [("d1", None, 5), ("d2", None, 5), ("d3", "web", 5), ("d4", "web", 5)],
+        "doc_id string, source string, n_tokens long",
+    )
+    out = token_budget_sample(df, "doc_id", "source", "n_tokens", budget=1000)
+    rows = out.collect()
+    # budget far above total: EVERY document survives, including NULL-source
+    assert {r["doc_id"] for r in rows} == {"d1", "d2", "d3", "d4"}

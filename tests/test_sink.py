@@ -602,3 +602,125 @@ def test_whole_bucket_drop_leaves_no_debris(spark, tmp_path):
     nums = sorted(r["number"] for r in store.read("block_headers").collect())
     assert nums == list(range(0, 10)) + list(range(20, 30))
     assert not [n for n in os.listdir(root) if n.startswith("__tmp_")]
+
+
+# -- store-level read snapshot (VERSION pointer) ------------------------------
+
+
+def balances_df(spark, numbers, token="AAAA"):
+    return spark.createDataFrame(
+        [(token, n, "addr", str(n)) for n in numbers],
+        "token string, block_number long, address string, balance string",
+    )
+
+
+def test_version_pointer_semantics(spark, store):
+    """The committed boundary advances after the marker, survives a
+    below-head overwrite (rewind + restore), shrinks on retraction, and a
+    pinned snapshot keeps its boundary as the store moves on."""
+    assert store.read_version() is None
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 110))})
+    assert store.read_version() == 109
+
+    # below-head overwrite restores max(pre, hi) once fully committed
+    store.write_blocks(
+        {"block_headers": headers_df(spark, [105])}, block_range=(105, 105)
+    )
+    assert store.read_version() == 109
+
+    # retraction genuinely shrinks the visible set
+    store.delete_block_range("block_headers", 107, 109)
+    assert store.read_version() == 106
+
+    store.write_blocks(
+        {"block_headers": headers_df(spark, range(107, 115))}, block_range=(107, 114)
+    )
+    snap = store.snapshot()
+    assert snap.version == 114
+    assert snap.max_block("block_headers") == 114
+
+    store.write_blocks(
+        {"block_headers": headers_df(spark, range(115, 125))}, block_range=(115, 124)
+    )
+    assert {r["number"] for r in snap.read("block_headers").collect()} == set(
+        range(100, 115)
+    )
+    assert snap.read_eq("block_headers", 120).count() == 0
+    assert snap.read_eq("block_headers", 112).count() == 1
+    assert store.snapshot().max_block("block_headers") == 124
+
+
+def test_version_hold_defers_advance(spark, store):
+    """version_hold groups several write_blocks into one snapshot
+    transition: rewound for the duration, restored at clean exit, and the
+    pending advance is dropped on exception (replay re-advances)."""
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 110))})
+    with store.version_hold():
+        store.write_blocks(
+            {"block_headers": headers_df(spark, [105])}, block_range=(105, 105)
+        )
+        assert store.read_version() == 104  # rewound while the group runs
+    assert store.read_version() == 109  # restored once the group committed
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with store.version_hold():
+            store.write_blocks(
+                {"block_headers": headers_df(spark, [107])}, block_range=(107, 107)
+            )
+            raise RuntimeError("boom")
+    assert store.read_version() == 106  # conservative: advance dropped
+    store.write_blocks(
+        {"block_headers": headers_df(spark, range(110, 112))}, block_range=(110, 111)
+    )
+    assert store.read_version() == 111
+
+
+def test_snapshot_reader_never_spans_a_batch_boundary(spark, tmp_path):
+    """The multi-table consistency gap closed this round: while write_blocks
+    lands batches of block_headers + balances (balances commits FIRST —
+    headers is the commit marker), a concurrent reader pinning
+    store.snapshot() must see exactly the same block set in BOTH tables —
+    never balances of batch N+1 beside headers of batch N. The reference
+    gets this from its single DB transaction (store/store.go:115-173)."""
+    import threading
+
+    root = str(tmp_path / "store")
+    store = ParquetStore(spark, root, bucket_size=10)
+
+    def batch(lo):
+        nums = range(lo, lo + 10)
+        return {
+            "balances": balances_df(spark, nums),
+            "block_headers": headers_df(spark, nums),
+        }
+
+    store.write_blocks(batch(100), block_range=(100, 109))
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        try:
+            for i in range(1, 7):
+                lo = 100 + 10 * i
+                store.write_blocks(batch(lo), block_range=(lo, lo + 9))
+        except Exception as e:
+            errors.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    checks = 0
+    try:
+        while not stop.is_set():
+            snap = store.snapshot()
+            want = set(range(100, snap.version + 1))
+            h = {r["number"] for r in snap.read("block_headers").collect()}
+            b = {r["block_number"] for r in snap.read("balances").collect()}
+            assert h == want, f"headers saw {sorted(h)[-3:]} vs v={snap.version}"
+            assert b == want, f"balances saw {sorted(b)[-3:]} vs v={snap.version}"
+            checks += 1
+    finally:
+        t.join()
+    assert not errors, errors
+    assert checks >= 3  # the reader actually raced the writer
