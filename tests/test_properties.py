@@ -198,3 +198,51 @@ def test_token_budget_sample_keeps_null_source(spark):
     rows = out.collect()
     # budget far above total: EVERY document survives, including NULL-source
     assert {r["doc_id"] for r in rows} == {"d1", "d2", "d3", "d4"}
+
+
+def test_boundary_cache_reuses_and_invalidates(spark, tmp_path):
+    """The memoized bucket boundaries must HIT for a re-created identical
+    lineage (same table, unchanged files — the bench-rep / repeated-batch
+    shape), MISS when the underlying data differs (size keys the entry),
+    never cache an empty boundary list, and never change results (buckets
+    steer balance only)."""
+    from decimal import Decimal
+
+    from eth_indexer_spark.operators import prefix_sum as PS
+
+    PS.clear_boundary_cache()
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.createDataFrame(
+        [(i, Decimal(i)) for i in range(200)], "k long, v decimal(20,0)"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [(i, Decimal(1)) for i in range(5000)], "k long, v decimal(20,0)"
+    ).write.parquet(b)
+
+    def run(path):
+        return {
+            r["k"]: int(r["rs"])
+            for r in PS.global_running_sum(
+                spark.read.parquet(path), "k", F.col("v"), out_col="rs",
+                num_partitions=4,
+            ).collect()
+        }
+
+    got1 = run(a)
+    n1 = len(PS._BOUNDS_CACHE)
+    got2 = run(a)  # fresh lineage over the same files → cache HIT
+    assert len(PS._BOUNDS_CACHE) == n1 == 1
+    assert got1 == got2 == {i: i * (i + 1) // 2 for i in range(200)}
+
+    got3 = run(b)  # same schema, different data → size keys a new entry
+    assert len(PS._BOUNDS_CACHE) == 2
+    assert got3 == {i: i + 1 for i in range(5000)}
+
+    # empty input: correct empty result, and "no boundaries" is not cached
+    empty = spark.createDataFrame([], "k long, v decimal(20,0)")
+    out = PS.global_running_sum(
+        empty, "k", F.col("v"), out_col="rs", num_partitions=4
+    )
+    assert out.count() == 0
+    assert len(PS._BOUNDS_CACHE) == 2
+    PS.clear_boundary_cache()
