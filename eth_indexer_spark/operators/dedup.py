@@ -325,12 +325,20 @@ def minhash_signature(hashed_shingles_col, num_hashes: int = 32) -> Column:
     """array<bigint> MinHash signature over PRE-HASHED (long) shingles:
     element h = min over shingles of xxhash64(h, shingle_hash). Seeding via
     an extra hashed column instead of string concat keeps the 32-function
-    family pure integer work."""
-    c = (
-        F.col(hashed_shingles_col)
-        if isinstance(hashed_shingles_col, str)
-        else hashed_shingles_col
-    )
+    family pure integer work.
+
+    When given a column NAME the expression is assembled as one SQL string
+    (a Column-API loop of ``num_hashes`` transform/array_min nodes is
+    ~4·num_hashes driver py4j round trips per call — a measurable fixed
+    cost on every invocation; string assembly is free and ``F.expr``
+    parses it in a single call). A Column input takes the API path."""
+    if isinstance(hashed_shingles_col, str):
+        parts = ", ".join(
+            f"array_min(transform({hashed_shingles_col}, s -> xxhash64({h}, s)))"
+            for h in range(num_hashes)
+        )
+        return F.expr(f"array({parts})")
+    c = hashed_shingles_col
     return F.array(
         *[
             F.array_min(F.transform(c, lambda s: F.xxhash64(F.lit(h), s)))
@@ -379,13 +387,13 @@ def minhash_lsh_pairs(
     # one pass: signature → array of per-band hashes → posexplode.
     # (a union of per-band projections would recompute the whole signature
     # per band — 8× the hashing work; measured 2.4× slower end-to-end)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(",", F.slice("sig", band * rows_per_band + 1, rows_per_band))
-            )
+    band_hashes = F.expr(  # one SQL parse, not ~4·bands py4j round trips
+        "array("
+        + ", ".join(
+            f"xxhash64(concat_ws(',', slice(sig, {band * rows_per_band + 1}, {rows_per_band})))"
             for band in range(bands)
-        ]
+        )
+        + ")"
     )
     # bucket key folds (band, band_hash) into one long — a cross-band hash
     # collision only ADDS a candidate, and candidates pass exact
