@@ -174,3 +174,41 @@ def test_store_point_reads_prune_partitions(spark, tmp_path):
     asof = sq.find_total_balance(17, "0xeth", 1)
     assert "block_bucket" in partition_filters(asof)
     assert asof.collect()[0]["block_number"] == 17
+
+
+def test_store_queries_snapshot_pins_batch_boundary(spark, tmp_path):
+    """StoreQueries.snapshot() must pin the committed VERSION pointer:
+    reads through the pinned wrapper keep answering from one batch
+    boundary — including latest_header's O(top-bucket) path and the as-of
+    lookup — even after the live store advances, while partition pruning
+    (the EP3 economics) is preserved."""
+    from eth_indexer_spark.sinks.store import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
+
+    def batch(numbers):
+        return {
+            "block_headers": spark.createDataFrame(
+                [(f"h{n}", f"h{n-1}", n, 100 + n) for n in numbers],
+                "hash string, parent_hash string, number long, difficulty long",
+            ),
+            "total_balances": spark.createDataFrame(
+                [("0xeth", n, 1, str(n * 10)) for n in numbers],
+                "token string, block_number long, `group` long, balance string",
+            ),
+        }
+
+    store.write_blocks(batch(range(0, 20)), block_range=(0, 19))
+    pinned = q.StoreQueries(store).snapshot()
+    store.write_blocks(batch(range(20, 40)), block_range=(20, 39))
+
+    # pinned wrapper still answers from the first batch...
+    assert pinned.latest_header().collect()[0]["number"] == 19
+    assert pinned.header_by_number(25).count() == 0
+    assert (
+        pinned.find_total_balance(39, "0xeth", 1).collect()[0]["block_number"] == 19
+    )
+    # ...while a fresh snapshot sees the advanced boundary
+    live = q.StoreQueries(store).snapshot()
+    assert live.latest_header().collect()[0]["number"] == 39
+    assert live.header_by_number(25).count() == 1
