@@ -332,13 +332,21 @@ def minhash_signature(hashed_shingles_col, num_hashes: int = 32) -> Column:
     ~4·num_hashes driver py4j round trips per call — a measurable fixed
     cost on every invocation; string assembly is free and ``F.expr``
     parses it in a single call). A Column input takes the API path."""
-    if isinstance(hashed_shingles_col, str):
+    if isinstance(hashed_shingles_col, str) and __import__("re").fullmatch(
+        r"[A-Za-z_][A-Za-z0-9_]*", hashed_shingles_col
+    ):
+        # plain identifiers only — a dotted/spaced/reserved name would
+        # mis-parse in the SQL string; such names take the Column path
         parts = ", ".join(
             f"array_min(transform({hashed_shingles_col}, s -> xxhash64({h}, s)))"
             for h in range(num_hashes)
         )
         return F.expr(f"array({parts})")
-    c = hashed_shingles_col
+    c = (
+        F.col(hashed_shingles_col)
+        if isinstance(hashed_shingles_col, str)
+        else hashed_shingles_col
+    )
     return F.array(
         *[
             F.array_min(F.transform(c, lambda s: F.xxhash64(F.lit(h), s)))

@@ -40,6 +40,8 @@ mis-sizes buckets at worst.
 
 from __future__ import annotations
 
+import math
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
@@ -55,14 +57,15 @@ _BKT = "__ps_bucket"
 _BOUNDARY_SAMPLE = 0.1
 _BOUNDARY_SEED = 42
 
-# Boundary cache, keyed by (n, analyzed-plan string, proxy expression): the
+# Boundary cache, keyed by (n, exprId-normalized analyzed plan, size): the
 # boundary job is a full-scan Spark job whose RESULT only steers bucket
 # balance — never correctness — so repeated prefix sums over the same
 # lineage (benchmark reps, per-micro-batch recomputation over a slowly
 # growing table, iterative pipelines) reuse the first run's boundaries
-# instead of re-scanning. A stale hit (files replaced under the same
-# parquet path) mis-sizes buckets at worst; in-memory frames get fresh
-# attribute ids per creation, so they never collide. Bounded LRU.
+# instead of re-scanning. Stale/shared hits are possible by design — files
+# replaced under the same parquet path before the size changes, or two
+# same-schema in-memory frames of equal estimated size — and cost bucket
+# balance at worst, never results. Bounded, LRU eviction (hits re-insert).
 _BOUNDS_CACHE: dict = {}
 _BOUNDS_CACHE_MAX = 64
 
@@ -79,18 +82,25 @@ def clear_boundary_cache() -> None:
 # early is always safe — buckets are literal, so a consumer that recomputes
 # the lineage reproduces identical output.
 _PERSISTED: list[DataFrame] = []
+_PERSIST_LOCK = __import__("threading").Lock()
 
 
 def release_persisted() -> None:
     """Drop any upstream frame cached by ``reuse_upstream=True``."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist(blocking=False)
+    with _PERSIST_LOCK:
+        frames, _PERSISTED[:] = list(_PERSISTED), []
+    for f in frames:
+        f.unpersist(blocking=False)
 
 
 def _persist_bounded(src: DataFrame) -> DataFrame:
-    release_persisted()
     src = src.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(src)
+    with _PERSIST_LOCK:
+        # swap atomically under the lock, then release outside it —
+        # concurrent reuse_upstream callers must not double-pop the list
+        previous, _PERSISTED[:] = list(_PERSISTED), [src]
+    for f in previous:
+        f.unpersist(blocking=False)
     return src
 
 
@@ -135,11 +145,15 @@ def _bucket_expr(df: DataFrame, n: int) -> Column:
             ).alias("b")
         ).first()
         raw = (row["b"] if row else None) or []
+        # drop NaN AND ±inf: non-finite floats have no SQL literal form
+        # (repr(inf) == 'inf' would parse as a column reference), and an
+        # infinite boundary can never separate finite rows anyway
         return sorted(
             {
                 b
                 for b in raw
-                if b is not None and not (isinstance(b, float) and b != b)
+                if b is not None
+                and not (isinstance(b, float) and not math.isfinite(b))
             }
         )
 
@@ -154,7 +168,9 @@ def _bucket_expr(df: DataFrame, n: int) -> Column:
     plan = re.sub(r"#\d+", "#", analyzed.toString())
     size = int(analyzed.stats().sizeInBytes())  # no optimizer run needed
     key = (n, plan, size)
-    bounds = _BOUNDS_CACHE.get(key)
+    bounds = _BOUNDS_CACHE.pop(key, None)
+    if bounds is not None:
+        _BOUNDS_CACHE[key] = bounds  # LRU touch: re-insert as most recent
     if bounds is None:
         bounds = bounds_of(df.sample(fraction=_BOUNDARY_SAMPLE, seed=_BOUNDARY_SEED))
         if not bounds:

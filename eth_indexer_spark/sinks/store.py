@@ -131,6 +131,13 @@ DIMENSION_TABLES = ("erc20", "subscriptions", "reorgs")
 # block_headers commit marker, rewound before any mutation of blocks
 # at-or-below it.
 _VERSION_FILE = "VERSION.json"
+# Write-ahead record of an in-progress version_hold group: holds the floor
+# (lowest rewound boundary) the group has exposed. While it exists —
+# including after a crash or an aborted group — _advance_version clamps to
+# the floor, so a later unrelated batch cannot re-publish a boundary over
+# the group's half-applied blocks; the group's replay (same hold, clean
+# exit) clears it.
+_HOLD_FILE = "VERSION_HOLD.json"
 
 # Columns that must never be NULL on write: dropDuplicates treats NULLs as
 # equal, so a null in a dedup-key column would silently collapse distinct
@@ -232,6 +239,25 @@ class ParquetStore:
             os.fsync(f.fileno())
         os.replace(staging, path)
 
+    def _hold_floor(self) -> int | None:
+        """Floor recorded by an in-progress (or crashed/aborted) hold, or
+        None when no hold record exists."""
+        try:
+            with open(os.path.join(self.root, _HOLD_FILE)) as f:
+                floor = json.load(f)["floor"]
+                return None if floor is None else int(floor)
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def _write_hold_floor(self, floor: int | None) -> None:
+        path = os.path.join(self.root, _HOLD_FILE)
+        staging = path + ".writing"
+        with open(staging, "w") as f:
+            json.dump({"floor": floor}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(staging, path)
+
     def _rewind_version_below(self, lo: int) -> None:
         """Blocks ≥ ``lo`` are about to be mutated: pull the committed
         boundary under them FIRST, so a reader pinning the pointer after
@@ -242,12 +268,27 @@ class ParquetStore:
             v = self.read_version()
             if v is not None and v >= lo:
                 self._set_version(lo - 1)
+            # a deferred advance captured BEFORE this rewind must not
+            # resurrect a boundary over blocks this mutation removes; a
+            # LATER advance inside the hold may raise it again (its own
+            # blocks are committed by its own op)
+            if self._version_pending_hi is not None and self._version_pending_hi >= lo:
+                self._version_pending_hi = lo - 1
+            # the persistent hold record tracks the group's lowest exposure,
+            # so even after a crash mid-hold later batches stay clamped
+            if self._version_hold_depth > 0:
+                floor = self._hold_floor()
+                if floor is None or floor >= lo:
+                    self._write_hold_floor(lo - 1)
 
     def _advance_version(self, hi: int) -> None:
         """All tables of a batch through block ``hi`` have committed
         (marker included): publish the new boundary. Monotone except
         through an explicit rewind. Inside :meth:`version_hold` the advance
-        is deferred to the hold's clean exit."""
+        is deferred to the hold's clean exit; while a CRASHED/ABORTED
+        hold's record exists, advances clamp to its floor so no later
+        batch publishes a boundary spanning the group's half-applied
+        blocks (the group's replay clears the record)."""
         with self._version_mutex:
             if self._version_hold_depth > 0:
                 self._version_pending_hi = (
@@ -256,6 +297,10 @@ class ParquetStore:
                     else max(self._version_pending_hi, hi)
                 )
                 return
+            if os.path.exists(os.path.join(self.root, _HOLD_FILE)):
+                floor = self._hold_floor()
+                if floor is not None:
+                    hi = min(hi, floor)
             v = self.read_version()
             if v is None or hi > v:
                 self._set_version(hi)
@@ -268,11 +313,30 @@ class ParquetStore:
         exit. The new-token backfill uses this: its balances and
         total_balances land in separate `write_blocks` calls at the same
         block, and without the hold a snapshot taken between them would see
-        the new balances beside the old totals. On exception the pending
-        advance is DROPPED — the boundary stays conservatively rewound and
-        the replayed sequence re-advances it."""
+        the new balances beside the old totals.
+
+        Abort/crash contract: entering the hold writes a persistent record
+        (``VERSION_HOLD.json``) whose floor follows the group's rewinds;
+        on exception the pending advance is DROPPED and the record is LEFT
+        — subsequent batches can commit but the published boundary stays
+        clamped below the half-applied group until the group is replayed
+        through a clean hold (idempotent overwrite repairs the tables; the
+        clean exit clears the record and republishes). The record is
+        store-global, so replay the aborted group before starting an
+        UNRELATED hold — an unrelated clean exit would clear it without
+        repairing (the single-writer ingest sequence does this naturally:
+        a failed registration halts the loop and is retried first)."""
         with self._version_mutex:
             self._version_hold_depth += 1
+            if self._version_hold_depth == 1:
+                # write-ahead: merge with a leftover record (this IS the
+                # replay of a crashed group) instead of raising its floor
+                leftover = (
+                    self._hold_floor()
+                    if os.path.exists(os.path.join(self.root, _HOLD_FILE))
+                    else None
+                )
+                self._write_hold_floor(leftover)
         try:
             yield
         except BaseException:
@@ -286,6 +350,12 @@ class ParquetStore:
             pending, done = self._version_pending_hi, self._version_hold_depth == 0
             if done:
                 self._version_pending_hi = None
+                # the group is whole again: clear the record BEFORE
+                # publishing so the publish is not clamped by its own floor
+                try:
+                    os.remove(os.path.join(self.root, _HOLD_FILE))
+                except FileNotFoundError:
+                    pass
             if done and pending is not None:
                 v = self.read_version()
                 if v is None or pending > v:
@@ -366,7 +436,10 @@ class ParquetStore:
             return
         names = sorted(os.listdir(self.root))
         for n in names:  # half-written manifests / version files: abort
-            if n.endswith(".manifest.json.writing") or n == _VERSION_FILE + ".writing":
+            if n.endswith(".manifest.json.writing") or n in (
+                _VERSION_FILE + ".writing",
+                _HOLD_FILE + ".writing",
+            ):
                 os.remove(os.path.join(self.root, n))
         self._settle_pending()  # committed ops: finish them
         for n in sorted(os.listdir(self.root)):  # uncommitted tmps: abort
@@ -622,10 +695,20 @@ class ParquetStore:
             if span is not None:
                 spans.append(span)
         if spans:
-            # the batch is fully committed (marker included): publish the
-            # boundary so snapshot readers cross into it atomically
+            # Publish the boundary so snapshot readers cross into the batch
+            # atomically. Advancing PAST the pre-batch boundary requires the
+            # block_headers commit marker in the batch: a marker-less write
+            # (new-token backfill, single-table repair) may only RESTORE the
+            # pre-batch boundary — otherwise balances could become visible
+            # at blocks whose headers were never committed, the exact
+            # headers-vs-balances skew the pointer exists to prevent.
             hi = max(hi for _, hi in spans)
-            self._advance_version(hi if pre_v is None else max(hi, pre_v))
+            if marker:
+                target = hi if pre_v is None else max(hi, pre_v)
+            else:
+                target = pre_v  # restore only; never lead the marker
+            if target is not None:
+                self._advance_version(target)
 
     def _write_one_table(
         self, table: str, df: DataFrame, block_range: tuple[int, int] | None
@@ -694,27 +777,48 @@ class ParquetStore:
         return (int(lo), int(hi))
 
     @_locked
-    def append_blocks(self, tables: dict[str, DataFrame]) -> None:
+    def append_blocks(
+        self,
+        tables: dict[str, DataFrame],
+        block_range: tuple[int, int] | None = None,
+    ) -> None:
         """Append variant for batches known to touch new buckets only —
         skips the overwrite listing. Dedup-on-key still applies within the
-        batch; cross-batch idempotency needs `write_blocks`."""
+        batch; cross-batch idempotency needs `write_blocks`.
+
+        ``block_range``: the batch's inclusive block span, if the caller
+        knows it (appenders usually do) — passing it skips the per-table
+        min/max job that would otherwise re-execute each table's lineage
+        just to drive the version pointer. As in :meth:`write_blocks`,
+        the pointer only advances past its pre-batch value when the batch
+        carries the ``block_headers`` commit marker."""
+        pre_v = self.read_version()
         hi_all = None
         for table, df in tables.items():
             self._require_non_null(table, df)
             key = UNIQUE_KEYS.get(table)
             if key:
                 df = df.dropDuplicates(key)
-            col = BLOCK_COLUMN[table]
-            row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
-            if row["lo"] is None:
-                continue
-            self._rewind_version_below(int(row["lo"]))
-            hi_all = row["hi"] if hi_all is None else max(hi_all, row["hi"])
+            if block_range is not None:
+                lo, hi = block_range
+            else:
+                col = BLOCK_COLUMN[table]
+                row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+                lo, hi = row["lo"], row["hi"]
+                if lo is None:
+                    continue
+            self._rewind_version_below(int(lo))
+            hi_all = int(hi) if hi_all is None else max(hi_all, int(hi))
             out = self._with_bucket(table, df)
             parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
             out.write.mode("append").partitionBy(*parts).parquet(self.path(table))
         if hi_all is not None:
-            self._advance_version(int(hi_all))
+            if "block_headers" in tables:
+                target = hi_all if pre_v is None else max(hi_all, pre_v)
+            else:
+                target = pre_v
+            if target is not None:
+                self._advance_version(target)
 
     # -- mutations -----------------------------------------------------------
 

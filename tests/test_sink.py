@@ -669,10 +669,58 @@ def test_version_hold_defers_advance(spark, store):
             )
             raise RuntimeError("boom")
     assert store.read_version() == 106  # conservative: advance dropped
+
+    # later batches COMMIT, but the published boundary stays clamped below
+    # the aborted group's half-applied block until the group replays — a
+    # snapshot must never span blocks the group left inconsistent
     store.write_blocks(
         {"block_headers": headers_df(spark, range(110, 112))}, block_range=(110, 111)
     )
-    assert store.read_version() == 111
+    assert store.read_version() == 106
+
+    # replay the group (idempotent overwrite) through a clean hold: the
+    # persistent record clears and the boundary moves again
+    with store.version_hold():
+        store.write_blocks(
+            {"block_headers": headers_df(spark, [107])}, block_range=(107, 107)
+        )
+    assert store.read_version() == 107
+    store.write_blocks(
+        {"block_headers": headers_df(spark, range(112, 114))}, block_range=(112, 113)
+    )
+    assert store.read_version() == 113
+
+
+def test_marker_less_write_never_leads_headers(spark, store):
+    """A batch WITHOUT the block_headers commit marker (new-token backfill,
+    single-table repair) may restore the pre-batch boundary but never
+    advance past it — otherwise snapshots would expose balances at blocks
+    whose headers were never committed."""
+    store.write_blocks(
+        {
+            "block_headers": headers_df(spark, range(100, 110)),
+            "balances": balances_df(spark, range(100, 110)),
+        },
+        block_range=(100, 109),
+    )
+    assert store.read_version() == 109
+    # marker-less write ABOVE the committed head: boundary must not move
+    store.write_blocks(
+        {"balances": balances_df(spark, range(110, 120))}, block_range=(110, 119)
+    )
+    assert store.read_version() == 109
+    snap = store.snapshot()
+    assert {r["number"] for r in snap.read("block_headers").collect()} == set(
+        range(100, 110)
+    )
+    assert {r["block_number"] for r in snap.read("balances").collect()} == set(
+        range(100, 110)
+    )
+    # the marker batch for those blocks publishes them
+    store.write_blocks(
+        {"block_headers": headers_df(spark, range(110, 120))}, block_range=(110, 119)
+    )
+    assert store.read_version() == 119
 
 
 def test_snapshot_reader_never_spans_a_batch_boundary(spark, tmp_path):
