@@ -488,23 +488,32 @@ def winnow_overlap_pairs(
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash fingerprint per document: bit b of the fingerprint is 1
     iff Σ over tokens of ±1 (sign of bit b of xxhash64(token)) is positive.
-    One projection, no shuffle; the per-bit sums are array aggregates."""
+    One projection, no shuffle; the per-bit sums are array aggregates.
+
+    The token hashes are materialized in a first projection and the 64-term
+    fingerprint is assembled as ONE SQL string: the previous Column-API loop
+    (64 × aggregate-with-lambda) cost >1000 driver py4j round trips —
+    measured 1.4-2.8 s of per-call construction against 0.2 s of warm
+    execution — and inlined the tokenize/hash expression into every bit's
+    aggregate. Fingerprint values are bit-identical to the old form."""
     df = _spread(df, id_col)
-    words = F.array_distinct(F.split(F.col(text_col), " "))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    hashed = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            F.array_distinct(F.split(F.col(text_col), " ")), lambda w: F.xxhash64(w)
+        ).alias("__sh_h"),
+    )
 
-    def bit_sum(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
-        )
+    def lit64(b: int) -> str:  # bit b as a signed-long SQL literal
+        return str(1 << b) if b < 63 else "-9223372036854775808"
 
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        fp = fp + F.when(bit_sum(b) > 0, F.lit(1 << b if b < 63 else -(2**63)).cast("long")).otherwise(0)
-    return df.select(F.col(id_col).alias("doc"), fp.alias("fingerprint"))
+    fp = " + ".join(
+        f"(CASE WHEN aggregate(__sh_h, 0, (acc, h) -> acc + "
+        f"(CASE WHEN (h & {lit64(b)}) != 0 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({lit64(b)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return hashed.select("doc", F.expr(fp).alias("fingerprint"))
 
 
 def _simhash_bands(fps: DataFrame, max_hamming: int) -> DataFrame:

@@ -938,15 +938,26 @@ class ParquetStore:
         a long-running ingest accumulates small files that degrade scan
         listing and parquet footer overhead — the standard lakehouse
         compaction concern (Delta OPTIMIZE). Repartitioning by the partition
-        columns routes each partition's rows to a single task → single file;
-        the rewrite lands in tmp and swaps in through the crash-safe
+        columns routes each partition's rows to a single task → single file,
+        and rows are SORTED by the block column within each file so parquet
+        row-group min/max statistics become tight block ranges — a point or
+        narrow-range read inside a compacted bucket then skips every
+        non-matching row group instead of decoding the whole bucket (the
+        within-partition analog of the bucket pruning the layout already
+        provides; at 100 TB bucket files hold many row groups, so this is
+        the difference between reading ~one row group and ~one bucket).
+        The rewrite lands in tmp and swaps in through the crash-safe
         manifest protocol (a crash mid-swap is completed on recovery).
         Destructive (tmp rewrite + whole-directory swap), so it runs under
         the exclusive writer flock like every other mutation — a
         maintenance-scheduled compact racing a live ingest fails loudly
         instead of corrupting the manifest protocol."""
         parts = EXTRA_PARTITIONS.get(table, []) + [_BUCKET]
-        df = self.spark.read.parquet(self.path(table)).repartition(*[F.col(c) for c in parts])
+        df = (
+            self.spark.read.parquet(self.path(table))
+            .repartition(*[F.col(c) for c in parts])
+            .sortWithinPartitions(*parts, BLOCK_COLUMN[table])
+        )
         tmp_name = f"__tmp_{table}_compact"
         tmp = os.path.join(self.root, tmp_name)
         self._settle_tmp(tmp_name)  # finish + clear any stale attempt

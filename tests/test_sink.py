@@ -772,3 +772,28 @@ def test_snapshot_reader_never_spans_a_batch_boundary(spark, tmp_path):
         t.join()
     assert not errors, errors
     assert checks >= 3  # the reader actually raced the writer
+
+
+def test_compact_sorts_rows_within_bucket_files(spark, tmp_path):
+    """Compaction must write each bucket file block-sorted so parquet
+    row-group min/max statistics carry tight block ranges (row-group skip
+    on point reads inside a bucket — the within-file analog of bucket
+    pruning)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "store")
+    store = ParquetStore(spark, root, bucket_size=10)
+    # three disjoint-range writes into one bucket, each with shuffled rows,
+    # so the pre-compaction file set carries no global order
+    for nums in ([12, 10, 11], [15, 13, 14], [19, 16, 18, 17]):
+        store.write_blocks(
+            {"block_headers": headers_df(spark, nums)},
+            block_range=(min(nums), max(nums)),
+        )
+    store.compact("block_headers")
+    files = glob.glob(os.path.join(root, "block_headers", "block_bucket=1", "*.parquet"))
+    assert len(files) == 1  # compacted to one file
+    nums = pq.read_table(files[0]).column("number").to_pylist()
+    assert nums == sorted(nums) == list(range(10, 20))
