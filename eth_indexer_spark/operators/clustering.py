@@ -55,18 +55,30 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
-def _nearest_centroid(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Argmin over literal centroids: least() on (dist, cid) structs —
-    min distance, ties → smallest centroid id. Codegen'd, no shuffle."""
-    return F.least(
-        *[
-            F.struct(
-                _sq_l2(v, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-            for cid, cv in centroids
-        ]
-    )["cid"]
+def _dlit(x: float) -> str:
+    """A float as an exact SQL DOUBLE literal (CAST of repr survives
+    scientific notation; centroids are finite by construction)."""
+    return f"CAST({float(x)!r} AS DOUBLE)"
+
+
+def _nearest_centroid(vec_name: str, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Argmin over literal centroids for the staged vector column
+    ``vec_name``: least() on (dist, cid) structs — min distance, ties →
+    smallest centroid id. Codegen'd, no shuffle. Assembled as ONE SQL
+    string: the Column-API form cost k·dim driver py4j round trips PER
+    ITERATION of Lloyd's (measured as the dominant share of kmeans_fit
+    wall time — expression building, not the Spark jobs)."""
+    terms = ", ".join(
+        "named_struct('d', aggregate(zip_with({v}, array({arr}), "
+        "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v), 'cid', {cid}L)".format(
+            v=vec_name,
+            arr=", ".join(_dlit(x) for x in cv),
+            cid=int(cid),
+        )
+        for cid, cv in centroids
+    )
+    return F.expr(f"(least({terms})).cid")
 
 
 def kmeans_fit(
@@ -89,13 +101,15 @@ def kmeans_fit(
     centroids = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
 
     for _ in range(max_iter):
-        # two selects: a generator (posexplode) in the same projection as the
-        # struct-least argmin makes Spark's Generate rewrite drop the struct
-        # field names (FIELD_NOT_FOUND on the getField)
-        assigned = emb.select(
-            _nearest_centroid(_vec(vec_col), centroids).alias("cluster"),
-            _vec(vec_col).alias("__v"),
-        ).select("cluster", F.posexplode("__v").alias("pos", "val"))
+        # staged vector column, then argmin, then a separate generator
+        # projection: a generator (posexplode) in the same projection as
+        # the struct-least argmin makes Spark's Generate rewrite drop the
+        # struct field names (FIELD_NOT_FOUND on the getField)
+        assigned = (
+            emb.select(_vec(vec_col).alias("__v"))
+            .select(_nearest_centroid("__v", centroids).alias("cluster"), "__v")
+            .select("cluster", F.posexplode("__v").alias("pos", "val"))
+        )
         sums = (
             assigned.groupBy("cluster", "pos")
             .agg(
@@ -133,9 +147,8 @@ def kmeans_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cluster) for every vector — one narrow scan, no shuffle."""
-    return emb.select(
-        F.col(id_col),
-        _nearest_centroid(_vec(vec_col), centroids).alias("cluster"),
+    return emb.select(F.col(id_col), _vec(vec_col).alias("__v")).select(
+        id_col, _nearest_centroid("__v", centroids).alias("cluster")
     )
 
 
@@ -255,11 +268,10 @@ def ivf_topk_trained(
     ]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     out = (
-        emb.withColumn(
-            "__cid", _nearest_centroid(_vec(vec_col), centroids)
-        )
+        emb.withColumn("__v", _vec(vec_col))
+        .withColumn("__cid", _nearest_centroid("__v", centroids))
         .filter(F.col("__cid").isin(probe_ids))
-        .select(F.col(id_col), cosine(_vec(vec_col), q).alias("sim"))
+        .select(F.col(id_col), cosine(F.col("__v"), q).alias("sim"))
     )
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)

@@ -305,23 +305,34 @@ def ivf_topk(
         )[:nprobe]
     ]
 
-    v = _vec(vec_col)
     # argmax over literal centroids: greatest() on (cs, -cid) structs picks
-    # max cosine, ties → smallest cid; whole-stage-codegen, no shuffle
-    best = F.greatest(
-        *[
-            F.struct(
-                cosine(v, F.array(*[F.lit(x) for x in cv])).alias("cs"),
-                F.lit(-cid).cast("long").alias("neg_cid"),
-            )
-            for cid, cv in cents
-        ]
+    # max cosine, ties → smallest cid; whole-stage-codegen, no shuffle.
+    # Assembled as ONE SQL string over the staged __v column — the
+    # Column-API loop cost nlist·dim driver py4j round trips per call —
+    # mirroring cosine()'s exact composition (try_divide / zip_with /
+    # left-fold aggregate) so values are bit-identical to the Column form.
+    def _cos_sql(cv: list[float]) -> str:
+        arr = ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in cv)
+        return (
+            "try_divide("
+            "aggregate(zip_with(__v, array({a}), (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), "
+            "sqrt(aggregate(transform(__v, x -> x * x), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * "
+            "sqrt(aggregate(transform(array({a}), x -> x * x), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
+        ).format(a=arr)
+
+    terms = ", ".join(
+        f"named_struct('cs', {_cos_sql(cv)}, 'neg_cid', {-int(cid)}L)"
+        for cid, cv in cents
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     out = (
-        emb.withColumn("__cid", -best["neg_cid"])
+        emb.withColumn("__v", _vec(vec_col))
+        .withColumn("__cid", -F.expr(f"(greatest({terms})).neg_cid"))
         .filter(F.col("__cid").isin(probe_ids))
-        .select(F.col(id_col), cosine(v, q).alias("sim"))
+        .select(F.col(id_col), cosine(F.col("__v"), q).alias("sim"))
     )
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
