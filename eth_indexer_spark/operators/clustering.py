@@ -100,43 +100,53 @@ def kmeans_fit(
         raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
     centroids = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
 
-    for _ in range(max_iter):
-        # staged vector column, then argmin, then a separate generator
-        # projection: a generator (posexplode) in the same projection as
-        # the struct-least argmin makes Spark's Generate rewrite drop the
-        # struct field names (FIELD_NOT_FOUND on the getField)
-        assigned = (
-            emb.select(_vec(vec_col).alias("__v"))
-            .select(_nearest_centroid("__v", centroids).alias("cluster"), "__v")
-            .select("cluster", F.posexplode("__v").alias("pos", "val"))
-        )
-        sums = (
-            assigned.groupBy("cluster", "pos")
-            .agg(
-                F.sum(F.col("val").cast(_ACC)).alias("s"),
-                F.count(F.lit(1)).alias("c"),
+    # persist the staged vectors ONCE: every Lloyd's iteration consumes the
+    # same scan+cast lineage, and re-reading the corpus per round is the
+    # classic iterative-ML waste (MEMORY_AND_DISK spills rather than
+    # recomputes at 100 TB — the MLlib convention). Released on exit.
+    from pyspark import StorageLevel
+
+    staged = emb.select(_vec(vec_col).alias("__v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        for _ in range(max_iter):
+            # staged vector column, then argmin, then a separate generator
+            # projection: a generator (posexplode) in the same projection as
+            # the struct-least argmin makes Spark's Generate rewrite drop
+            # the struct field names (FIELD_NOT_FOUND on the getField)
+            assigned = staged.select(
+                _nearest_centroid("__v", centroids).alias("cluster"), "__v"
+            ).select("cluster", F.posexplode("__v").alias("pos", "val"))
+            sums = (
+                assigned.groupBy("cluster", "pos")
+                .agg(
+                    F.sum(F.col("val").cast(_ACC)).alias("s"),
+                    F.count(F.lit(1)).alias("c"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, tuple[Decimal, int]]] = {}
-        for r in sums:
-            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = (
-                r["s"],
-                int(r["c"]),
-            )
-        new = []
-        for cid, old in centroids:
-            dims = by_cluster.get(cid)
-            if not dims:  # empty cluster: keep previous centroid
-                new.append((cid, old))
-                continue
-            new.append(
-                (cid, [float(dims[p][0] / dims[p][1]) for p in sorted(dims)])
-            )
-        if all(nv == ov for (_, nv), (_, ov) in zip(new, centroids)):
+            by_cluster: dict[int, dict[int, tuple[Decimal, int]]] = {}
+            for r in sums:
+                by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = (
+                    r["s"],
+                    int(r["c"]),
+                )
+            new = []
+            for cid, old in centroids:
+                dims = by_cluster.get(cid)
+                if not dims:  # empty cluster: keep previous centroid
+                    new.append((cid, old))
+                    continue
+                new.append(
+                    (cid, [float(dims[p][0] / dims[p][1]) for p in sorted(dims)])
+                )
+            if all(nv == ov for (_, nv), (_, ov) in zip(new, centroids)):
+                centroids = new
+                break
             centroids = new
-            break
-        centroids = new
+    finally:
+        staged.unpersist(blocking=False)
     return centroids
 
 
