@@ -26,10 +26,11 @@ mode would reject on overflow).
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+from eth_indexer_spark.operators._persist import persist_bounded
 
 
 def content_digest(text_col) -> Column:
@@ -176,13 +177,14 @@ def ngram_jaccard_pairs(
     # The hashed frame is persisted: both the inverted index and the size
     # lookup consume it, and shingling+hashing is the CPU-heavy stage — at
     # scale this is the one intermediate worth materializing
-    # (MEMORY_AND_DISK spills instead of recomputing).
-    sh = (
+    # (MEMORY_AND_DISK spills instead of recomputing). Pooled per call site:
+    # repeated calls hold at most one cached frame (see operators/_persist).
+    sh = persist_bounded(
+        "dedup.ngram_exact.hashed",
         _spread(df, id_col)
         .select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh")),
     )
     sizes = sh.select("doc", F.size("hsh").alias("n"))
     inv = sh.select("doc", F.explode("hsh").alias("s"))
@@ -225,7 +227,8 @@ def ngram_jaccard_pairs_capped(
         .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"))
     )
     inv = cap_hot_keys(sh.select("doc", F.explode("hsh").alias("s")), "s", max_df)
-    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
+    # consumed twice (sizes + copairs); pooled so repeated calls don't leak
+    inv = persist_bounded("dedup.ngram_capped.index", inv)
     sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
 
     # the index is already capped → per-key sets are bounded by max_df, so
@@ -383,13 +386,14 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
 
     # persisted: consumed three times (banding + both verification sides);
-    # recomputing the shingle+hash stage 3× was the dominant cost
-    sh = (
+    # recomputing the shingle+hash stage 3× was the dominant cost. Pooled
+    # per call site so repeated calls hold at most one cached frame.
+    sh = persist_bounded(
+        "dedup.minhash.hashed",
         _spread(df, id_col)
         .select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh")),
     )
 
     # one pass: signature → array of per-band hashes → posexplode.

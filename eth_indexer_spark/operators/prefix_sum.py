@@ -42,10 +42,12 @@ from __future__ import annotations
 
 import math
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+from eth_indexer_spark.operators._persist import persist_bounded as _pool_persist
+from eth_indexer_spark.operators._persist import release_persisted as _release_persisted
 
 _BKT = "__ps_bucket"
 
@@ -75,33 +77,22 @@ def clear_boundary_cache() -> None:
     files in place, to restore bucket balance)."""
     _BOUNDS_CACHE.clear()
 
-# Upstream frames persisted by reuse_upstream=True, bounded to the most
-# recent: each new reuse_upstream call releases the previous entry first, so
-# repeated invocations (benchmark loops, long sessions) hold at most ONE
-# cache entry instead of accumulating for the session lifetime. Unpersisting
-# early is always safe — buckets are literal, so a consumer that recomputes
-# the lineage reproduces identical output.
-_PERSISTED: list[DataFrame] = []
-_PERSIST_LOCK = __import__("threading").Lock()
+# Upstream frames persisted by reuse_upstream=True go through the shared
+# bounded pool (operators/_persist): at most ONE cached frame per site, each
+# new call releases the previous, so benchmark loops and long sessions never
+# accumulate cache entries. Unpersisting early is always safe — buckets are
+# literal, so a consumer that recomputes the lineage reproduces identical
+# output.
+_PERSIST_SITE = "prefix_sum.upstream"
 
 
 def release_persisted() -> None:
     """Drop any upstream frame cached by ``reuse_upstream=True``."""
-    with _PERSIST_LOCK:
-        frames, _PERSISTED[:] = list(_PERSISTED), []
-    for f in frames:
-        f.unpersist(blocking=False)
+    _release_persisted(_PERSIST_SITE)
 
 
 def _persist_bounded(src: DataFrame) -> DataFrame:
-    src = src.persist(StorageLevel.MEMORY_AND_DISK)
-    with _PERSIST_LOCK:
-        # swap atomically under the lock, then release outside it —
-        # concurrent reuse_upstream callers must not double-pop the list
-        previous, _PERSISTED[:] = list(_PERSISTED), [src]
-    for f in previous:
-        f.unpersist(blocking=False)
-    return src
+    return _pool_persist(_PERSIST_SITE, src)
 
 
 def _sql_lit(b) -> str:

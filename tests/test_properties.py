@@ -246,3 +246,52 @@ def test_boundary_cache_reuses_and_invalidates(spark, tmp_path):
     assert out.count() == 0
     assert len(PS._BOUNDS_CACHE) == 2
     PS.clear_boundary_cache()
+
+
+def test_bounded_persist_pool_holds_one_frame_per_site(spark):
+    """operators/_persist: repeated calls through the same site keep at most
+    ONE persisted frame (the previous is released), release_persisted drops
+    it, and eviction never changes results (deterministic lineage)."""
+    from eth_indexer_spark.operators import _persist as P
+    from eth_indexer_spark.operators import dedup
+
+    P.release_persisted()
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(8)]
+        + [(100 + i, f"unique text number {i} with words {i*7}") for i in range(4)],
+        "doc_id long, text string",
+    )
+
+    out1 = dedup.ngram_jaccard_pairs_capped(
+        docs, "text", "doc_id", k=3, threshold=0.5, max_df=50
+    ).collect()
+    assert P.pooled_sites() == ["dedup.ngram_capped.index"]
+    first = P._POOL["dedup.ngram_capped.index"]
+
+    out2 = dedup.ngram_jaccard_pairs_capped(
+        docs, "text", "doc_id", k=3, threshold=0.5, max_df=50
+    ).collect()
+    # second call replaced the entry and released the first frame
+    assert P.pooled_sites() == ["dedup.ngram_capped.index"]
+    second = P._POOL["dedup.ngram_capped.index"]
+    assert second is not first
+    assert not first.storageLevel.useMemory and not first.storageLevel.useDisk
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    # minhash uses its own site — the two ops never evict each other
+    dedup.minhash_lsh_pairs(docs, "text", "doc_id", k=3).collect()
+    assert P.pooled_sites() == [
+        "dedup.minhash.hashed",
+        "dedup.ngram_capped.index",
+    ]
+
+    P.release_persisted("dedup.minhash.hashed")
+    assert P.pooled_sites() == ["dedup.ngram_capped.index"]
+    P.release_persisted()
+    assert P.pooled_sites() == []
+    # consuming the evicted-lineage result still reproduces identical rows
+    out3 = dedup.ngram_jaccard_pairs_capped(
+        docs, "text", "doc_id", k=3, threshold=0.5, max_df=50
+    ).collect()
+    assert sorted(map(tuple, out3)) == sorted(map(tuple, out1))
+    P.release_persisted()
