@@ -186,19 +186,28 @@ def ngram_jaccard_pairs(
         .filter(F.size("shingles") > 0)
         .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh")),
     )
-    sizes = sh.select("doc", F.size("hsh").alias("n"))
-    inv = sh.select("doc", F.explode("hsh").alias("s"))
-
-    inter = _copair_counts(inv, "s")
-    si = sizes.select(F.col("doc").alias("i"), F.col("n").alias("ni"))
-    sj = sizes.select(F.col("doc").alias("j"), F.col("n").alias("nj"))
-    jac = F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))
-    return (
-        inter.join(si, "i")
-        .join(sj, "j")
-        .filter(jac >= threshold)
-        .select("i", "j")
+    # The shingle-set size rides along with each index entry (one extra long
+    # per row), so the Jaccard denominator is available straight out of the
+    # pair aggregation — the alternative (a sizes lookup joined onto the
+    # aggregated pairs frame for i and then j) shuffles the largest
+    # intermediate two more times. The index self-join streams both sides;
+    # partial aggregation on (i, j) combines map-side before the one shuffle.
+    inv = sh.select("doc", F.size("hsh").alias("n"), F.explode("hsh").alias("s"))
+    a = inv.select(F.col("s").alias("__k"), F.col("doc").alias("i"), F.col("n").alias("ni"))
+    b = inv.select(F.col("s").alias("__k"), F.col("doc").alias("j"), F.col("n").alias("nj"))
+    pairs = (
+        a.join(b, "__k")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            # constant within a (i, j) group — min is the cheapest carrier
+            F.min("ni").alias("ni"),
+            F.min("nj").alias("nj"),
+        )
     )
+    jac = F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))
+    return pairs.filter(jac >= threshold).select("i", "j")
 
 
 def ngram_jaccard_pairs_capped(
