@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_minhash_lsh", # recall/verify pytest vs exact Jaccard
         "x_ann_rhp_lsh",       # recall pytest vs cosine_topk
         "x_dedup_simhash",     # Hamming-pair pytest
+        "x_dedup_minhash_incremental",  # batch-mode-equality pytest
     ]
     for k in rows_only_tail:
         if k in qs:

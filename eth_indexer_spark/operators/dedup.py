@@ -140,11 +140,15 @@ def word_shingles(text_col, k: int = 3) -> Column:
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
-    """Hash-repartition on the doc id before CPU-heavy shingling: a small
-    single-file corpus scans as 1 partition, which would serialize all
-    expression work; the shuffle moves only raw text. At 100 TB the scan
-    already yields many partitions and AQE coalesces the excess."""
+    """Hash-repartition on the doc id before CPU-heavy shingling — but ONLY
+    when the input underparallelizes: a small single-file corpus scans as 1
+    partition, which would serialize all expression work. A corpus whose
+    scan already yields at least the shuffle-partition target (the normal
+    case at scale — file splits) passes through untouched; shuffling 100 TB
+    of raw text just to re-balance would dwarf the shingling it feeds."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, F.col(id_col))
 
 
@@ -391,47 +395,129 @@ def minhash_lsh_pairs(
     Capped buckets lose their pairs (recall, not precision) — at 100 TB run
     with a cap (e.g. 5000) and treat mega-buckets as their own exact-dup
     cluster upstream. None = uncapped."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-
     # persisted: consumed three times (banding + both verification sides);
     # recomputing the shingle+hash stage 3× was the dominant cost. Pooled
     # per call site so repeated calls hold at most one cached frame.
-    sh = persist_bounded(
-        "dedup.minhash.hashed",
-        _spread(df, id_col)
-        .select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh")),
+    rows = persist_bounded(
+        "dedup.minhash.rows",
+        minhash_index(df, text_col, id_col, k, num_hashes, bands),
     )
-
-    # one pass: signature → array of per-band hashes → posexplode.
-    # (a union of per-band projections would recompute the whole signature
-    # per band — 8× the hashing work; measured 2.4× slower end-to-end)
-    band_hashes = F.expr(  # one SQL parse, not ~4·bands py4j round trips
-        "array("
-        + ", ".join(
-            f"xxhash64(concat_ws(',', slice(sig, {band * rows_per_band + 1}, {rows_per_band})))"
-            for band in range(bands)
-        )
-        + ")"
-    )
-    # bucket key folds (band, band_hash) into one long — a cross-band hash
-    # collision only ADDS a candidate, and candidates pass exact
-    # verification, so correctness is unaffected
-    buckets = (
-        sh.select("doc", minhash_signature("hsh", num_hashes).alias("sig"))
-        .select("doc", F.posexplode(band_hashes).alias("band", "bh"))
-        .select("doc", F.xxhash64("band", "bh").alias("bucket"))
-    )
+    buckets = rows.select("doc", F.explode("buckets").alias("bucket"))
     candidates = _copair_counts(buckets, "bucket", max_df=max_bucket).select("i", "j")
 
-    si = sh.select(F.col("doc").alias("i"), F.col("hsh").alias("sh_i"))
-    sj = sh.select(F.col("doc").alias("j"), F.col("hsh").alias("sh_j"))
+    si = rows.select(F.col("doc").alias("i"), F.col("hsh").alias("sh_i"))
+    sj = rows.select(F.col("doc").alias("j"), F.col("hsh").alias("sh_j"))
     inter = F.size(F.array_intersect("sh_i", "sh_j"))
     union = F.size("sh_i") + F.size("sh_j") - inter
     return (
         candidates.join(si, "i")
+        .join(sj, "j")
+        .filter((inter / union) >= threshold)
+        .select("i", "j")
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The storable per-document MinHash/LSH index row: ``(doc, hsh,
+    buckets)`` — the hashed shingle set plus the ``bands`` LSH bucket ids.
+    Bucket b folds (b, band-b signature hash) into one long exactly as
+    :func:`minhash_lsh_pairs` derives its bucket key, so pairs found
+    incrementally match pairs found in batch mode bit-for-bit.
+
+    Persist this frame (e.g. as a store table) and each new crawl batch
+    dedupes against the whole corpus via :func:`incremental_minhash_pairs`
+    without ever touching the corpus text again. Per document the index
+    costs one long per distinct shingle (``hsh``, needed for exact
+    verification) plus ``bands`` bucket longs — far smaller than the text,
+    and the full-corpus re-shingle never runs again.
+
+    The signature → per-band bucket pipeline is assembled as single SQL
+    expressions (one parse, not ~4·bands py4j round trips per call)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    # one pass: signature → array of per-band bucket ids.
+    # (a union of per-band projections would recompute the whole signature
+    # per band — 8× the hashing work; measured 2.4× slower end-to-end.)
+    # A cross-band bucket collision only ADDS a candidate, and candidates
+    # pass exact verification, so correctness is unaffected.
+    bucket_exprs = ", ".join(
+        f"xxhash64({band}, xxhash64(concat_ws(',',"
+        f" slice(sig, {band * rows_per_band + 1}, {rows_per_band}))))"
+        for band in range(bands)
+    )
+    return (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"))
+        .select("doc", "hsh", minhash_signature("hsh", num_hashes).alias("sig"))
+        .select("doc", "hsh", F.expr(f"array({bucket_exprs})").alias("buckets"))
+    )
+
+
+def incremental_minhash_pairs(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new batch, against a stored corpus index
+    (:func:`minhash_index` rows, same k/num_hashes/bands): (i, j) with
+    i < j and at least one side in ``batch``. Same hash family, banding,
+    cap, and exact-Jaccard verification as :func:`minhash_lsh_pairs`, so
+    the result equals batch-mode pairs over (corpus ∪ batch) restricted to
+    pairs touching the batch (property-tested). Corpus-corpus pairs are
+    never re-derived — they were found when their own batches arrived.
+    Batch doc ids must be disjoint from the index's (append corpus).
+
+    100 TB shape: the corpus side is pruned FIRST to index rows sharing an
+    LSH bucket with the batch (left-semi against the batch's bucket set —
+    at normal batch sizes AQE broadcasts it), so candidate generation and
+    verification run over O(batch + bucket collisions) rows, never the
+    corpus. ``max_bucket`` counts corpus + batch members per bucket —
+    identical semantics to batch mode, because a shared bucket's corpus
+    membership survives the semi-join in full."""
+    new_rows = persist_bounded(
+        "dedup.minhash_inc.batch",
+        minhash_index(batch, text_col, id_col, k, num_hashes, bands),
+    )
+    newb = new_rows.select("doc", F.explode("buckets").alias("bucket"))
+    # corpus rows can only pair with the batch inside a shared bucket
+    oldb = index.select("doc", F.explode("buckets").alias("bucket")).join(
+        newb.select("bucket").distinct(), "bucket", "left_semi"
+    )
+    candidates = _copair_counts(
+        newb.unionByName(oldb), "bucket", max_df=max_bucket
+    ).select("i", "j")
+    # drop corpus-corpus pairs (possible inside a shared bucket): keep
+    # pairs whose i or j is a batch doc — the batch id set is small, both
+    # semi-joins broadcast under AQE
+    nid = new_rows.select("doc")
+    touching = (
+        candidates.join(nid.withColumnRenamed("doc", "i"), "i", "left_semi")
+        .unionByName(candidates.join(nid.withColumnRenamed("doc", "j"), "j", "left_semi"))
+        .distinct()
+    )
+    all_rows = new_rows.select("doc", "hsh").unionByName(index.select("doc", "hsh"))
+    si = all_rows.select(F.col("doc").alias("i"), F.col("hsh").alias("sh_i"))
+    sj = all_rows.select(F.col("doc").alias("j"), F.col("hsh").alias("sh_j"))
+    inter = F.size(F.array_intersect("sh_i", "sh_j"))
+    union = F.size("sh_i") + F.size("sh_j") - inter
+    return (
+        touching.join(si, "i")
         .join(sj, "j")
         .filter((inter / union) >= threshold)
         .select("i", "j")

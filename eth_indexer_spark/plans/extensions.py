@@ -180,6 +180,25 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x_dedup_minhash_incremental")  # hash-family dependent → rows-only
+def x_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup (operators/dedup.py:
+    incremental_minhash_pairs): a new batch (every 4th doc) dedupes against
+    the stored MinHash/LSH index of the rest of the corpus — candidate
+    generation and exact-Jaccard verification run over O(batch + bucket
+    collisions) rows, never the corpus text. The append-corpus form of
+    x_dedup_minhash_lsh; equality with batch-mode pairs restricted to the
+    batch is pinned by test_incremental_minhash_matches_batch_mode."""
+    from eth_indexer_spark.operators import dedup as dd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = dd.minhash_index(d.filter(F.col("doc_id") % 4 != 0), "text", "doc_id")
+    return dd.incremental_minhash_pairs(
+        d.filter(F.col("doc_id") % 4 == 0), idx, "text", "doc_id",
+        k=3, threshold=0.5, max_bucket=5000,
+    )
+
+
 @register("x_dedup_simhash")  # hash-family dependent → rows-only check
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = dedup.simhash(_doubled_docs(spark, sf_dir), "text", "doc_id")

@@ -1017,3 +1017,48 @@ def test_pii_counts_match_emitted_tokens_on_overlap(spark):
     ).collect()[0]
     assert r["s"] == "reach <EMAIL> now"
     assert (r["e"], r["p"]) == (1, 0)
+
+
+def test_incremental_minhash_matches_batch_mode(spark, docs):
+    """incremental_minhash_pairs over (index(corpus), batch) == batch-mode
+    minhash_lsh_pairs over the full corpus, restricted to pairs touching
+    the batch — the same hash family and banding make the equality exact."""
+    corpus = docs.filter("doc_id % 4 != 0")
+    batch = docs.filter("doc_id % 4 = 0")
+    full = {
+        (r["i"], r["j"])
+        for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id", k=3).collect()
+    }
+    new_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    expect = {(i, j) for (i, j) in full if i in new_ids or j in new_ids}
+
+    idx = dedup.minhash_index(corpus, "text", "doc_id")
+    inc = {
+        (r["i"], r["j"])
+        for r in dedup.incremental_minhash_pairs(
+            batch, idx, "text", "doc_id", k=3
+        ).collect()
+    }
+    assert inc == expect
+    assert expect, "fixture corpus must plant at least one batch-touching pair"
+
+
+def test_incremental_minhash_cap_counts_corpus_plus_batch(spark):
+    """max_bucket semantics match batch mode: the cap counts corpus + batch
+    members of a bucket. 40 identical docs split 30/10: cap 100 keeps the
+    bucket (345 batch-touching pairs of the 780 total), cap 10 drops it
+    everywhere (0 pairs) — identical to batch-mode behavior."""
+    same = spark.createDataFrame(
+        [(i, "same text everywhere for every doc in this corpus") for i in range(40)],
+        "doc_id long, text string",
+    )
+    corpus, batch = same.filter("doc_id < 30"), same.filter("doc_id >= 30")
+    idx = dedup.minhash_index(corpus, "text", "doc_id")
+    kept = dedup.incremental_minhash_pairs(
+        batch, idx, "text", "doc_id", k=3, max_bucket=100
+    ).count()
+    assert kept == 780 - 435  # C(40,2) - C(30,2): only batch-touching pairs
+    dropped = dedup.incremental_minhash_pairs(
+        batch, idx, "text", "doc_id", k=3, max_bucket=10
+    ).count()
+    assert dropped == 0

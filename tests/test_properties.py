@@ -281,11 +281,11 @@ def test_bounded_persist_pool_holds_one_frame_per_site(spark):
     # minhash uses its own site — the two ops never evict each other
     dedup.minhash_lsh_pairs(docs, "text", "doc_id", k=3).collect()
     assert P.pooled_sites() == [
-        "dedup.minhash.hashed",
+        "dedup.minhash.rows",
         "dedup.ngram_capped.index",
     ]
 
-    P.release_persisted("dedup.minhash.hashed")
+    P.release_persisted("dedup.minhash.rows")
     assert P.pooled_sites() == ["dedup.ngram_capped.index"]
     P.release_persisted()
     assert P.pooled_sites() == []
