@@ -37,7 +37,10 @@ def persist_bounded(
     with _LOCK:
         previous = _POOL.get(site)
         _POOL[site] = df
-    if previous is not None:
+    # persist() returns self, so re-registering the SAME object must not
+    # release it — the trailing unpersist would silently uncache the frame
+    # the pool still holds
+    if previous is not None and previous is not df:
         previous.unpersist(blocking=False)
     return df
 

@@ -511,7 +511,14 @@ def incremental_minhash_pairs(
         .unionByName(candidates.join(nid.withColumnRenamed("doc", "j"), "j", "left_semi"))
         .distinct()
     )
-    all_rows = new_rows.select("doc", "hsh").unionByName(index.select("doc", "hsh"))
+    # verification reads hsh (the index's dominant column) only for corpus
+    # docs that actually share a bucket with the batch — never the whole
+    # index; without this semi-join every batch would stream the full
+    # corpus hsh column through both verification joins
+    old_hsh = index.select("doc", "hsh").join(
+        oldb.select("doc").distinct(), "doc", "left_semi"
+    )
+    all_rows = new_rows.select("doc", "hsh").unionByName(old_hsh)
     si = all_rows.select(F.col("doc").alias("i"), F.col("hsh").alias("sh_i"))
     sj = all_rows.select(F.col("doc").alias("j"), F.col("hsh").alias("sh_j"))
     inter = F.size(F.array_intersect("sh_i", "sh_j"))

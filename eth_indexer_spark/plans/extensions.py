@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from eth_indexer_spark.catalog import load_table
 from eth_indexer_spark.functions import text as tx
 from eth_indexer_spark.operators import dedup, similarity
+from eth_indexer_spark.operators._persist import persist_bounded
 from eth_indexer_spark.plans.analytics import register
 
 
@@ -189,11 +190,15 @@ def x_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions) rows, never the corpus text. The append-corpus form of
     x_dedup_minhash_lsh; equality with batch-mode pairs restricted to the
     batch is pinned by test_incremental_minhash_matches_batch_mode."""
-    from eth_indexer_spark.operators import dedup as dd
-
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    idx = dd.minhash_index(d.filter(F.col("doc_id") % 4 != 0), "text", "doc_id")
-    return dd.incremental_minhash_pairs(
+    # in production the index is a stored table (two column-pruned scans
+    # beat caching it); HERE it is derived from text, so pool-persist it —
+    # the operator consumes it twice (bucket explode + hsh verification)
+    idx = persist_bounded(
+        "extensions.minhash_inc.idx",
+        dedup.minhash_index(d.filter(F.col("doc_id") % 4 != 0), "text", "doc_id"),
+    )
+    return dedup.incremental_minhash_pairs(
         d.filter(F.col("doc_id") % 4 == 0), idx, "text", "doc_id",
         k=3, threshold=0.5, max_bucket=5000,
     )

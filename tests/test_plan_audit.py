@@ -219,3 +219,14 @@ def test_budget_sample_distributes_group_prefix_sum(spark):
     plan = plan_of(extensions.x_budget_sample(spark, SF))
     assert "hashpartitioning(__ps_bucket" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_minhash_prunes_corpus_with_semi_joins(spark):
+    """The incremental near-dup path must prune the corpus index by
+    left-semi joins (bucket share, then verification hsh lookup) — never a
+    cartesian/nested-loop join, and the full-index hsh column must not
+    reach verification unpruned."""
+    plan = plan_of(extensions.x_dedup_minhash_incremental(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -295,3 +295,16 @@ def test_bounded_persist_pool_holds_one_frame_per_site(spark):
     ).collect()
     assert sorted(map(tuple, out3)) == sorted(map(tuple, out1))
     P.release_persisted()
+
+
+def test_bounded_persist_pool_same_object_reregister_keeps_cache(spark):
+    """persist() returns self, so re-registering the same DataFrame for a
+    site must NOT unpersist it (the pool still holds it)."""
+    from eth_indexer_spark.operators import _persist as P
+
+    pooled = P.persist_bounded("t.same", spark.range(5))
+    again = P.persist_bounded("t.same", pooled)
+    assert again is pooled
+    assert pooled.storageLevel.useMemory or pooled.storageLevel.useDisk
+    P.release_persisted("t.same")
+    assert not pooled.storageLevel.useMemory and not pooled.storageLevel.useDisk
