@@ -1062,3 +1062,47 @@ def test_incremental_minhash_cap_counts_corpus_plus_batch(spark):
         batch, idx, "text", "doc_id", k=3, max_bucket=10
     ).count()
     assert dropped == 0
+
+
+def test_incremental_minhash_store_roundtrip(spark, tmp_path, docs):
+    """The full crawl-loop story: persist the corpus LSH index as a store
+    dimension, dedupe an arriving batch against the STORED index (read
+    back through the crash-safe dimension path), then append the batch's
+    own index rows to advance the corpus. Results must match the purely
+    in-memory path bit-for-bit; the advanced index must equal the full
+    corpus re-indexed. (At 100 TB the index would live as a batch-
+    partitioned appended table; the dimension path exercises the same
+    read surface.)"""
+    from eth_indexer_spark.sinks.store import ParquetStore
+
+    corpus = docs.filter("doc_id % 4 != 0")
+    batch = docs.filter("doc_id % 4 = 0")
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    store.update_dimension("minhash_index", dedup.minhash_index(corpus, "text", "doc_id"))
+
+    stored = store.read("minhash_index")
+    got = {
+        (r["i"], r["j"])
+        for r in dedup.incremental_minhash_pairs(
+            batch, stored, "text", "doc_id", k=3
+        ).collect()
+    }
+    direct = {
+        (r["i"], r["j"])
+        for r in dedup.incremental_minhash_pairs(
+            batch, dedup.minhash_index(corpus, "text", "doc_id"), "text", "doc_id", k=3
+        ).collect()
+    }
+    assert got == direct
+
+    # advance the corpus: append the batch's index rows, re-read, compare
+    store.append_dimension("minhash_index", dedup.minhash_index(batch, "text", "doc_id"))
+    advanced = {
+        (r["doc"], tuple(r["buckets"]))
+        for r in store.read("minhash_index").select("doc", "buckets").collect()
+    }
+    full = {
+        (r["doc"], tuple(r["buckets"]))
+        for r in dedup.minhash_index(docs, "text", "doc_id").select("doc", "buckets").collect()
+    }
+    assert advanced == full
