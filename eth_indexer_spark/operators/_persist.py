@@ -25,6 +25,27 @@ _POOL: dict[str, DataFrame] = {}
 _LOCK = threading.Lock()
 
 
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    """True when the two frames' analyzed plans produce the same result —
+    the condition under which Spark's CacheManager deduplicates them onto
+    ONE cache entry."""
+    if a is b:
+        return True
+    try:
+        return bool(
+            a._jdf.queryExecution()
+            .analyzed()
+            .sameResult(b._jdf.queryExecution().analyzed())
+        )
+    except Exception:
+        return False
+
+
+def _is_cached(df: DataFrame) -> bool:
+    lvl = df.storageLevel
+    return bool(lvl.useMemory or lvl.useDisk)
+
+
 def persist_bounded(
     site: str,
     df: DataFrame,
@@ -32,16 +53,28 @@ def persist_bounded(
 ) -> DataFrame:
     """Persist ``df`` and register it under ``site``, releasing the site's
     previous frame (if any). Swap happens atomically under the lock; the
-    unpersist runs outside it so concurrent callers cannot double-release."""
-    df = df.persist(level)
+    unpersist runs outside it so concurrent callers cannot double-release.
+
+    Same-plan care: Spark's CacheManager deduplicates persists by logical
+    plan, so a new frame with the SAME plan as the site's current one (the
+    repeated-call shape this pool exists for) resolves to the previous
+    frame's cache entry. Unpersisting the previous frame would then drop
+    the entry the new frame believes it holds — every consumer silently
+    recomputes the "cached" lineage (observed as a 4-20× slowdown in
+    benchmark loops). So: a same-plan still-cached predecessor is reused
+    outright, and a same-plan predecessor is never unpersisted."""
     with _LOCK:
         previous = _POOL.get(site)
+    if previous is not None and _same_plan(previous, df):
+        if _is_cached(previous):
+            return previous  # one shared entry — nothing to swap
+        df = previous  # re-persist the registered frame (entry was cleared)
+    df = df.persist(level)
+    with _LOCK:
+        prev2 = _POOL.get(site)
         _POOL[site] = df
-    # persist() returns self, so re-registering the SAME object must not
-    # release it — the trailing unpersist would silently uncache the frame
-    # the pool still holds
-    if previous is not None and previous is not df:
-        previous.unpersist(blocking=False)
+    if prev2 is not None and prev2 is not df and not _same_plan(prev2, df):
+        prev2.unpersist(blocking=False)
     return df
 
 

@@ -249,9 +249,12 @@ def test_boundary_cache_reuses_and_invalidates(spark, tmp_path):
 
 
 def test_bounded_persist_pool_holds_one_frame_per_site(spark):
-    """operators/_persist: repeated calls through the same site keep at most
-    ONE persisted frame (the previous is released), release_persisted drops
-    it, and eviction never changes results (deterministic lineage)."""
+    """operators/_persist: a repeated SAME-PLAN call reuses the cached
+    frame (Spark's CacheManager dedups same-plan persists onto one entry,
+    so evicting the predecessor would drop the entry the new frame shares
+    — the 4-20× bench-loop slowdown bug); a DIFFERENT-plan call evicts the
+    predecessor; release_persisted drops entries; eviction never changes
+    results (deterministic lineage)."""
     from eth_indexer_spark.operators import _persist as P
     from eth_indexer_spark.operators import dedup
 
@@ -271,12 +274,26 @@ def test_bounded_persist_pool_holds_one_frame_per_site(spark):
     out2 = dedup.ngram_jaccard_pairs_capped(
         docs, "text", "doc_id", k=3, threshold=0.5, max_df=50
     ).collect()
-    # second call replaced the entry and released the first frame
+    # same plan → the pool KEEPS the first frame and its cache entry
     assert P.pooled_sites() == ["dedup.ngram_capped.index"]
-    second = P._POOL["dedup.ngram_capped.index"]
-    assert second is not first
-    assert not first.storageLevel.useMemory and not first.storageLevel.useDisk
+    assert P._POOL["dedup.ngram_capped.index"] is first
+    assert first.storageLevel.useMemory or first.storageLevel.useDisk
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    # a cleared cache (bench-style clearCache between reps) re-persists
+    spark.catalog.clearCache()
+    dedup.ngram_jaccard_pairs_capped(
+        docs, "text", "doc_id", k=3, threshold=0.5, max_df=50
+    ).collect()
+    assert P._POOL["dedup.ngram_capped.index"].storageLevel.useMemory
+
+    # a DIFFERENT plan (other cap) evicts the predecessor
+    dedup.ngram_jaccard_pairs_capped(
+        docs, "text", "doc_id", k=3, threshold=0.5, max_df=3
+    ).collect()
+    evicted_to = P._POOL["dedup.ngram_capped.index"]
+    assert evicted_to is not first
+    assert not first.storageLevel.useMemory and not first.storageLevel.useDisk
 
     # minhash uses its own site — the two ops never evict each other
     dedup.minhash_lsh_pairs(docs, "text", "doc_id", k=3).collect()
