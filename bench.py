@@ -84,7 +84,16 @@ def main() -> None:
     # queries in r03). Then settle the JVM before measuring.
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
-    # plus one target-SF scan so parquet footers/listing are cached as before
+    # plus a byte-level pre-read of every target-SF parquet file so the OS
+    # page cache is warm before rep 1 — without this, whichever query first
+    # touches a table after a reboot pays the cold-disk walk and skews its
+    # median (observed as 1.5-2× swings on otherwise-unchanged queries) —
+    # and one registry query so footers/listing caches warm as before
+    for entry in os.scandir(SF_DIR):
+        if entry.is_file():
+            with open(entry.path, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
     registry[names[0]](spark, SF_DIR).count()
     spark.catalog.clearCache()
 

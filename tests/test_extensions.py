@@ -1106,3 +1106,20 @@ def test_incremental_minhash_store_roundtrip(spark, tmp_path, docs):
         for r in dedup.minhash_index(docs, "text", "doc_id").select("doc", "buckets").collect()
     }
     assert advanced == full
+
+
+def test_incremental_minhash_empty_inputs(spark):
+    """Empty batch, empty index, both empty, and sub-k documents all yield
+    empty results without erroring — the crawl loop's first batch and idle
+    ticks hit these shapes."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx = dedup.minhash_index(docs, "text", "doc_id")
+    eidx = dedup.minhash_index(empty, "text", "doc_id")
+    assert dedup.incremental_minhash_pairs(empty, idx, "text", "doc_id").count() == 0
+    assert dedup.incremental_minhash_pairs(docs, eidx, "text", "doc_id").count() == 0
+    assert dedup.incremental_minhash_pairs(empty, eidx, "text", "doc_id").count() == 0
+    short = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    assert dedup.minhash_index(short, "text", "doc_id").count() == 0
