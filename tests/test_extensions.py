@@ -1123,3 +1123,28 @@ def test_incremental_minhash_empty_inputs(spark):
     assert dedup.incremental_minhash_pairs(empty, eidx, "text", "doc_id").count() == 0
     short = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
     assert dedup.minhash_index(short, "text", "doc_id").count() == 0
+
+
+def test_incremental_minhash_random_splits_match_batch_mode(spark, docs):
+    """Batch-mode equality must hold for ANY corpus/batch split, not just
+    the round-robin one — md5-seeded random splits catch split-pattern-
+    dependent bugs (e.g. candidate pruning that accidentally depends on id
+    order)."""
+    full = {
+        (r["i"], r["j"])
+        for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id", k=3).collect()
+    }
+    for seed in ("s1", "s2"):
+        flag = F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(seed), "doc_id")), 1, 4), 16, 10).cast("long") % 3 == 0
+        batch = docs.filter(flag)
+        corpus = docs.filter(~flag)
+        new_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+        expect = {(i, j) for (i, j) in full if i in new_ids or j in new_ids}
+        idx = dedup.minhash_index(corpus, "text", "doc_id")
+        inc = {
+            (r["i"], r["j"])
+            for r in dedup.incremental_minhash_pairs(
+                batch, idx, "text", "doc_id", k=3
+            ).collect()
+        }
+        assert inc == expect, f"seed={seed}"
