@@ -94,9 +94,12 @@ def chunk_documents(
     — the context-window chunker (RAG indexing, long-doc pretraining with
     sliding windows). Chunk ``i`` covers word tokens
     ``[i·stride, i·stride + chunk_tokens)`` with ``stride = chunk_tokens −
-    overlap``; a chunk starts at every stride multiple below the document
-    length, so the tail is always covered and every token belongs to at
-    least one chunk.
+    overlap``; a chunk starts at every stride multiple up to ``len −
+    overlap − 1``, so the tail is always covered (the last kept start is
+    within ``chunk_tokens`` of the end) and every token belongs to at least
+    one chunk — while a start in the final ``overlap`` tokens, whose chunk
+    would be WHOLLY contained in its predecessor, is never emitted
+    (duplicate content inflates RAG/pretraining consumers).
 
     Pure per-row expressions (split → posexplode of the start sequence →
     slice): no shuffle, no state, no UDF — the 100 TB cost is the explode
@@ -115,7 +118,14 @@ def chunk_documents(
         raise ValueError(f"overlap must be in [0, chunk_tokens), got {overlap}")
     stride = chunk_tokens - overlap
     words = F.split(F.col(text_col), " ")
-    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(stride))
+    # inclusive bound len - overlap - 1: a later start's chunk is a strict
+    # subset of its predecessor's; greatest(..., 0) keeps the single chunk
+    # of a document shorter than the overlap (incl. the empty-text token)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(words) - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
     exploded = df.select(
         F.col(id_col),
         words.alias("__w"),

@@ -43,20 +43,22 @@ def split_corpus(
     ``splits`` maps label → bucket share; shares must sum to ``buckets``
     (default 98/1/1 percent). Assignment is by contiguous bucket ranges of
     :func:`hash_bucket`, so it is deterministic per id, disjoint, and
-    exhaustive. Rows keep their original columns."""
+    exhaustive over rows WITH an id. A NULL id cannot be hashed, so its
+    ``split`` is NULL — never silently folded into a named split (the
+    all-conditions-NULL fallthrough previously routed every NULL-id row
+    into the LAST declared split, i.e. the eval set). This matches
+    :func:`weighted_mix`, whose NULL-bucket comparison drops NULL-id rows."""
     splits = splits or {"train": 98, "val": 1, "test": 1}
     if sum(splits.values()) != buckets:
         raise ValueError(f"split shares {splits} must sum to {buckets}")
     b = hash_bucket(id_col, buckets)
-    expr = None
+    expr = F.when(b.isNull(), F.lit(None).cast("string"))
     upper = 0
     *head, (last_label, _) = splits.items()
     for label, share in head:
         upper += share
-        cond = b < upper
-        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
-    expr = F.lit(last_label) if expr is None else expr.otherwise(last_label)
-    return df.withColumn("split", expr)
+        expr = expr.when(b < upper, label)
+    return df.withColumn("split", expr.otherwise(last_label))
 
 
 def stratified_sample(
@@ -165,7 +167,13 @@ def token_budget_sample(
 
     c = F.col(id_col)
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
-    keyed = df.withColumn(
+    # a NEGATIVE count is a data error that would make the cumulative sum
+    # non-monotone — the budget filter would then keep a non-contiguous
+    # set, breaking the maximal-prefix contract — and a NULL count cannot
+    # contribute to a budget; both are excluded (NULL >= 0 is NULL → row
+    # filtered). Zero-token documents are legitimate (empty docs) and
+    # budget-neutral, so they stay.
+    keyed = df.filter(tok >= 0).withColumn(
         "__tb_key", F.concat(F.md5(c.cast("string")), c.cast("string"))
     )
     out = grouped_running_sum(

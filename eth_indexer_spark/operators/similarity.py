@@ -20,6 +20,8 @@ across runs and engines.
 
 from __future__ import annotations
 
+import itertools
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -253,9 +255,15 @@ def rhp_ann_topk(
     for i, p in enumerate(planes):
         if sum(x * y for x, y in zip(query_vec, p)) >= 0:
             qb |= 1 << i
-    probe = [qb]
-    if probe_hamming >= 1:
-        probe += [qb ^ (1 << i) for i in range(n_planes)]
+    # every bucket within the REQUESTED Hamming distance — all C(n_planes, h)
+    # bit-flip masks for h = 0..probe_hamming, not just single flips
+    probe = []
+    for h in range(min(probe_hamming, n_planes) + 1):
+        for bits in itertools.combinations(range(n_planes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            probe.append(qb ^ m)
 
     bucketed = rhp_lsh_buckets(emb, dim, n_planes, seed, id_col, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -290,7 +298,17 @@ def ivf_topk(
         .select(F.col(id_col).alias("cid"), _vec(vec_col).alias("cvec"))
         .collect()
     )
-    cents = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows]
+    # a centroid with a NULL / NaN / ±inf element cannot be rendered as a
+    # numeric SQL literal (repr parses as a column name) and its cosine is
+    # meaningless — exclude it from assignment and probing outright
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in cent_rows
+        if r["cvec"] is not None
+        and all(x is not None and math.isfinite(float(x)) for x in r["cvec"])
+    ]
+    if not cents:  # empty corpus (or only degenerate centroids): empty top-k
+        return emb.select(F.col(id_col), F.lit(0.0).alias("sim")).limit(0)
 
     def _py_cos(a, b):
         num = sum(x * y for x, y in zip(a, b))
@@ -323,14 +341,19 @@ def ivf_topk(
             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
         ).format(a=arr)
 
-    terms = ", ".join(
-        f"named_struct('cs', {_cos_sql(cv)}, 'neg_cid', {-int(cid)}L)"
-        for cid, cv in cents
-    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    if len(cents) == 1:
+        # greatest() needs >= 2 arguments; one centroid assigns trivially
+        cid_expr = F.lit(cents[0][0]).cast("long")
+    else:
+        terms = ", ".join(
+            f"named_struct('cs', {_cos_sql(cv)}, 'neg_cid', {-int(cid)}L)"
+            for cid, cv in cents
+        )
+        cid_expr = -F.expr(f"(greatest({terms})).neg_cid")
     out = (
         emb.withColumn("__v", _vec(vec_col))
-        .withColumn("__cid", -F.expr(f"(greatest({terms})).neg_cid"))
+        .withColumn("__cid", cid_expr)
         .filter(F.col("__cid").isin(probe_ids))
         .select(F.col(id_col), cosine(F.col("__v"), q).alias("sim"))
     )

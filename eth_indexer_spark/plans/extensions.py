@@ -1050,7 +1050,7 @@ def x_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     s AS (
-        SELECT doc_id, w, unnest(range(0, len(w), 48)) AS st
+        SELECT doc_id, w, unnest(range(0, GREATEST(len(w) - 16 - 1, 0) + 1, 48)) AS st
         FROM docs WHERE len(w) > 0
     )
     SELECT doc_id,

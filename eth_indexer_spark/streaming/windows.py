@@ -172,7 +172,14 @@ def sessionize(
             n, total = 0, 0.0
 
         closed: list[tuple[float, float, int, float]] = []
-        for pdf in pdfs:
+        # The iterator yields one ARROW CHUNK at a time, and a key whose
+        # batch exceeds maxRecordsPerBatch spans several chunks — sorting
+        # each chunk independently would run the gap scan on out-of-order
+        # timestamps across chunk boundaries (observed: sessions with
+        # session_end before session_start). Concatenate, then sort ONCE.
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             ts = pdf[ts_col].astype("datetime64[ns]").astype("int64") / 1e9
             vals = pdf[value_col].astype(float)
             order = ts.argsort(kind="stable")
@@ -218,8 +225,11 @@ def sessionize_batch(
     # Timestamp subtraction yields a DayTimeInterval for BOTH TIMESTAMP and
     # TIMESTAMP_NTZ inputs, so the gap test is type-agnostic (casting NTZ to
     # DOUBLE is illegal) and stays pure codegen. Fractional-second gaps are
-    # preserved via the interval literal's SECOND precision.
-    gap_interval = F.expr(f"INTERVAL '{gap_minutes * 60.0}' SECOND")
+    # preserved to microsecond precision (= timestamp resolution): the
+    # literal is rendered with a FIXED 6-digit fraction because Spark's
+    # interval parser rejects repr artifacts like '19.999999999999996' and
+    # scientific notation like '6e-06'.
+    gap_interval = F.expr(f"INTERVAL '{gap_minutes * 60.0:.6f}' SECOND")
     gap_break = (
         F.when(
             F.col(ts_col) - F.lag(F.col(ts_col)).over(w) >= gap_interval,

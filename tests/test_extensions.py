@@ -770,8 +770,10 @@ def test_ivf_trained_full_probe_equals_exact(emb):
 
 
 def test_chunk_documents_hand_computed(spark):
-    """10 tokens, chunk 4, overlap 2 (stride 2): starts 0,2,4,6,8 → five
-    chunks; tails shrink below chunk_tokens but never go uncovered."""
+    """10 tokens, chunk 4, overlap 2 (stride 2): starts 0,2,4,6 → four
+    chunks; a start at 8 would yield 't8 t9', wholly contained in chunk 3,
+    and must NOT be emitted; tails shrink below chunk_tokens but never go
+    uncovered."""
     from eth_indexer_spark.operators.packing import chunk_documents
 
     df = spark.createDataFrame(
@@ -786,8 +788,14 @@ def test_chunk_documents_hand_computed(spark):
         1: ("t2 t3 t4 t5", 4),
         2: ("t4 t5 t6 t7", 4),
         3: ("t6 t7 t8 t9", 4),
-        4: ("t8 t9", 2),
     }
+    # a short document (<= overlap tokens) still gets its single chunk
+    short = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
+    got2 = [
+        (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(short, "text", "doc_id", chunk_tokens=4, overlap=2).collect()
+    ]
+    assert got2 == [(0, "a b", 2)]
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
     with pytest.raises(ValueError, match="chunk_tokens"):
@@ -1148,3 +1156,49 @@ def test_incremental_minhash_random_splits_match_batch_mode(spark, docs):
             ).collect()
         }
         assert inc == expect, f"seed={seed}"
+
+
+def test_split_corpus_null_id_gets_null_split(spark):
+    """A NULL id cannot be hashed: its split label must be NULL, never
+    silently folded into the LAST declared split (the eval set!). The
+    sibling weighted_mix drops NULL-id rows for the same reason."""
+    from eth_indexer_spark.operators.sampling import split_corpus, weighted_mix
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "b"), (2, "c")], "doc_id long, text string"
+    )
+    got = {r["text"]: r["split"] for r in split_corpus(df, "doc_id").collect()}
+    assert got["a"] is None
+    assert got["b"] is not None and got["c"] is not None
+    kept = weighted_mix(df, "doc_id", "text", rates={}, default_rate=1.0)
+    assert {r["text"] for r in kept.collect()} == {"b", "c"}
+
+
+def test_ivf_topk_single_centroid_and_empty_corpus(spark):
+    """nlist=1 (greatest() needs two args) and a 1-row corpus must assign
+    trivially; an empty corpus yields an empty result, not a parse error."""
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = [r["vec_id"] for r in similarity.ivf_topk(one, [1.0, 0.0], k=2, nlist=1, nprobe=1).collect()]
+    assert got == [1, 2]
+    single = one.limit(1)
+    assert [r["vec_id"] for r in similarity.ivf_topk(single, [1.0, 0.0], k=1, nlist=16).collect()] == [1]
+    empty = one.limit(0)
+    assert similarity.ivf_topk(empty, [1.0, 0.0], k=1).count() == 0
+
+
+def test_rhp_ann_probe_hamming_two_probes_wider(emb):
+    """probe_hamming=2 must actually probe all Hamming<=2 buckets (it was
+    silently clamped to 1): candidate recall is monotone in the probe
+    distance, and at distance n_planes every vector is scored (== exact)."""
+    q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    dim = len(q)
+    n0 = similarity.rhp_ann_topk(emb, q, dim, k=10**9, n_planes=6, probe_hamming=0).count()
+    n1 = similarity.rhp_ann_topk(emb, q, dim, k=10**9, n_planes=6, probe_hamming=1).count()
+    n2 = similarity.rhp_ann_topk(emb, q, dim, k=10**9, n_planes=6, probe_hamming=2).count()
+    nall = similarity.rhp_ann_topk(emb, q, dim, k=10**9, n_planes=6, probe_hamming=6).count()
+    assert n0 <= n1 <= n2 <= nall
+    assert n2 > n1 or n1 == nall  # distance-2 buckets genuinely probed
+    assert nall == emb.count()

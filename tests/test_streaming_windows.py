@@ -314,3 +314,72 @@ def test_dedup_within_watermark_stream_matches_batch(spark, tmp_path):
         (r["user_id"], str(r["ts"]), r["value"]) for r in batch.collect()
     )
     assert got == want
+
+
+def test_sessionize_sorts_across_arrow_chunks(spark, tmp_path):
+    """A key whose micro-batch exceeds maxRecordsPerBatch arrives as SEVERAL
+    Arrow chunks; sorting each chunk independently ran the gap scan on
+    out-of-order timestamps (emitting sessions whose end precedes their
+    start). The whole batch must be concatenated and sorted once."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        # descending-ish order within one batch: chunk 1 = late events,
+        # chunk 2 = early events; correct result is two sessions
+        rows = [(1, 1000, 1.0), (1, 2000, 2.0), (1, 50, 3.0), (1, 60, 4.0)]
+        events = spark.createDataFrame(
+            [(u, __import__("datetime").datetime.utcfromtimestamp(t), v) for u, t, v in rows],
+            "user_id long, ts timestamp, value double",
+        )
+        src = str(tmp_path / "chunks")
+        events.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            sessionize(stream, gap_minutes=1.0)
+            .writeStream.format("memory")
+            .queryName("chunked_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_chunks"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = [
+            (r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+            for r in spark.table("chunked_sessions").collect()
+        ]
+        for start, end, _, _ in got:
+            assert start <= end
+        # events 50,60 close (gap to 1000 >= 60s); 1000 closes (gap to 2000)
+        import datetime as dt
+        assert sorted(got) == [
+            (dt.datetime(1970, 1, 1, 0, 0, 50), dt.datetime(1970, 1, 1, 0, 1, 0), 2, 7.0),
+            (dt.datetime(1970, 1, 1, 0, 16, 40), dt.datetime(1970, 1, 1, 0, 16, 40), 1, 1.0),
+        ]
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_sessionize_batch_fractional_gap_interval(spark):
+    """Fractional gaps whose float repr has >9 fraction digits or uses
+    scientific notation must still build a valid interval literal (fixed
+    6-digit rendering) — INTERVAL '19.999999999999996' SECOND and
+    '6e-06' are both rejected by Spark's parser."""
+    import datetime as dt
+
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1.0),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 10), 2.0),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 40), 3.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    # gap = 1/3 min → 19.999999999999996 s repr; 20s and 30s gaps straddle it
+    got = sorted(
+        (r["n_events"], r["total_value"])
+        for r in sessionize_batch(events, gap_minutes=1 / 3).collect()
+    )
+    assert got == [(1, 3.0), (2, 3.0)]
+    # scientific-notation repr (6e-06 s): every event its own session
+    tiny = sessionize_batch(events, gap_minutes=1e-7).count()
+    assert tiny == 3
