@@ -325,3 +325,44 @@ def test_bounded_persist_pool_same_object_reregister_keeps_cache(spark):
     assert pooled.storageLevel.useMemory or pooled.storageLevel.useDisk
     P.release_persisted("t.same")
     assert not pooled.storageLevel.useMemory and not pooled.storageLevel.useDisk
+
+
+@given(
+    n_tokens=st.integers(min_value=1, max_value=40),
+    chunk_tokens=st.integers(min_value=1, max_value=12),
+    overlap_raw=st.integers(min_value=0, max_value=11),
+)
+@_settings
+def test_chunk_documents_matches_model(spark, n_tokens, chunk_tokens, overlap_raw):
+    """Sliding-window chunker == the brute-force start model for any
+    (length, chunk, overlap): starts at stride multiples up to
+    len − overlap − 1 (at least one), every token covered, and no chunk's
+    token range contained in another's (the duplicated-tail bug shape)."""
+    from eth_indexer_spark.operators.packing import chunk_documents
+
+    overlap = overlap_raw % chunk_tokens
+    stride = chunk_tokens - overlap
+    tokens = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame(
+        [(1, " ".join(tokens))], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(
+            df, "text", "doc_id", chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect()
+    )
+    starts = list(range(0, max(n_tokens - overlap - 1, 0) + 1, stride))
+    want = [
+        (i, " ".join(tokens[s : s + chunk_tokens]), min(chunk_tokens, n_tokens - s))
+        for i, s in enumerate(starts)
+    ]
+    assert got == want
+    spans = [(s, min(s + chunk_tokens, n_tokens)) for s in starts]
+    covered = set()
+    for lo, hi in spans:
+        covered.update(range(lo, hi))
+    assert covered == set(range(n_tokens))
+    for a in spans:
+        for b in spans:
+            assert a == b or not (b[0] <= a[0] and a[1] <= b[1])
