@@ -126,6 +126,103 @@ def line_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 50,
+    min_count: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-wide exact SUBSTRING deduplication (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" EXACTSUBSTR
+    step, re-expressed over fixed-length token grams instead of a suffix
+    array): excise from every document each token span of ``min_len`` tokens
+    that occurs at least ``min_count`` times anywhere in the corpus —
+    including a second time inside the same document — and reassemble the
+    surviving tokens in order. Complements :func:`line_dedup` (line
+    boilerplate) and :func:`exact_dedup` (whole documents): this is the form
+    that catches long quoted passages, templated paragraphs, and licence
+    blocks embedded mid-document.
+
+    Gram form of the suffix-array semantics: a token is removed iff it lies
+    inside some duplicated ``min_len``-gram. Every duplicated span of length
+    ≥ ``min_len`` has all its ``min_len``-grams duplicated, so the whole
+    span is removed (the suffix-array guarantee); conversely a removed token
+    always sits inside a duplicated ``min_len``-gram, so nothing unique
+    longer than ``min_len − 1`` tokens is lost. Documents whose every token
+    is covered drop out entirely (the :func:`line_dedup` convention).
+
+    100 TB shape: documents are never token-exploded. One posexplode of the
+    128-bit gram digests (the digest — not the gram text — is what
+    shuffles), a map-side-combined groupBy for the corpus-wide occurrence
+    count, a LeftSemi back onto the per-doc gram stream (unhinted: AQE
+    broadcasts a small hot set, shuffles a pathological one), a skinny
+    groupBy(id) packing each doc's duplicated start offsets into one array
+    row, and a join of that minority back to the corpus. Span excision and
+    reassembly are then pure array expressions per row — zero further
+    shuffle, no UDF. Per-row cost of the coverage test is
+    O(tokens × dup-starts-in-doc); dup starts are the duplicated minority,
+    and both factors are bounded by document length, never corpus size.
+
+    Returns ``(id, out_col, n_tokens_kept)``; registered as
+    ``x_substring_dedup`` with a full DuckDB oracle."""
+    L = int(min_len)
+    if L < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), words.alias("__w"))
+
+    # (id, start, digest) for every L-token gram; docs shorter than L have
+    # no grams and can never be excised from
+    grams = base.filter(F.size("__w") >= L).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w") - L),
+                lambda s: F.md5(F.concat_ws(" ", F.slice(F.col("__w"), s + 1, L))),
+            )
+        ).alias("__spos", "__gdigest"),
+    )
+    hot = (
+        grams.groupBy("__gdigest")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("__gdigest")
+    )
+    dup_starts = (
+        grams.join(hot, "__gdigest", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("__spos").alias("__starts"))
+    )
+
+    joined = base.join(dup_starts, id_col, "left").withColumn(
+        "__starts", F.coalesce("__starts", F.array().cast("array<int>"))
+    )
+    # token i survives iff no duplicated gram start s has s <= i < s + L;
+    # start order inside the array is irrelevant to the exists() test, so
+    # collect_list's nondeterministic order never reaches the output
+    kept = F.filter(
+        F.transform(
+            "__w", lambda tok, i: F.struct(tok.alias("tok"), i.alias("i"))
+        ),
+        lambda x: ~F.exists(
+            "__starts", lambda s: (s <= x["i"]) & (x["i"] < s + L)
+        ),
+    )
+    return (
+        joined.withColumn("__kept", kept)
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.transform("__kept", lambda x: x["tok"])
+            ).alias(out_col),
+            F.size("__kept").cast("long").alias("n_tokens_kept"),
+        )
+        .filter(F.col("n_tokens_kept") > 0)
+    )
+
+
 def word_shingles(text_col, k: int = 3) -> Column:
     """Distinct k-word shingles of a whitespace-tokenized text (array<string>).
     Documents shorter than k words yield an empty array."""

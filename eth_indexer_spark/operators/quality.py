@@ -50,6 +50,67 @@ def dup_ngram_fraction(col, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref: DataFrame | None = None,
+    bits: bool = False,
+) -> DataFrame:
+    """Language-model document scoring (the CCNet quality signal, Wenzek et
+    al. 2020, with the external KenLM model replaced by unigram statistics
+    of a reference corpus — the strongest LM expressible without model
+    files): score each document by how ordinary its tokens are under
+    ``ref`` (default: the corpus itself). Documents made of rare/garbled
+    tokens score low; fluent common-vocabulary text scores high — the
+    standard head/middle/tail quality split.
+
+    Returns ``(id, n_tokens, n_hapax, n_oov, avg_token_df)`` where
+    ``n_hapax`` counts tokens occurring exactly once in ``ref``, ``n_oov``
+    counts tokens absent from ``ref`` (always 0 when ``ref`` is the corpus
+    itself), and ``avg_token_df`` is the mean reference occurrence count of
+    the document's tokens (rounded to 4; OOV counts as 0). All outputs are
+    exact-integer aggregates plus ONE final per-row division — no
+    aggregated floating point — so the registered query is fully
+    oracle-checked despite being a statistic over the whole corpus.
+
+    ``bits=True`` adds ``bits_per_token`` = mean −log2(cnt/total), the
+    conventional surprisal form (OOV smoothed to count 1). It averages
+    per-token doubles, so it is deterministic only to ~1 ulp across
+    engines/partitionings — excluded from the oracle-checked output.
+
+    100 TB shape: one explode of (id, token), a map-side-combined groupBy
+    on the token for reference counts (vocabulary-sized — Zipf keeps the
+    distinct count millions, not trillions), one join of the token stream
+    to the counts (unhinted: AQE broadcasts a small vocabulary, shuffles a
+    pathological one), and a groupBy(id). No UDF, no driver-side state."""
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    ref_toks = (
+        toks
+        if ref is None
+        else ref.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    )
+    counts = ref_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    joined = toks.join(counts, "tok", "left")
+    aggs = [
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__cnt") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.sum(F.when(F.col("__cnt").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.round(
+            F.sum(F.coalesce("__cnt", F.lit(0))).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_token_df"),
+    ]
+    if bits:
+        total = counts.agg(F.sum("__cnt").alias("__total"))
+        joined = joined.join(F.broadcast(total))
+        aggs.append(
+            F.round(
+                F.avg(-F.log2(F.coalesce("__cnt", F.lit(1)) / F.col("__total"))), 4
+            ).alias("bits_per_token")
+        )
+    return joined.groupBy(id_col).agg(*aggs)
+
+
 def repetition_stats(
     df: DataFrame, text_col: str, id_col: str, n: int = 2
 ) -> DataFrame:

@@ -960,6 +960,35 @@ def x_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_lm_unigram_score",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(COALESCE(c.cnt, 0)) AS DOUBLE) / COUNT(*), 4)
+               AS avg_token_df
+    FROM toks t LEFT JOIN counts c USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def x_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM quality scoring (operators/quality.py:unigram_lm_score — the
+    CCNet signal on corpus-trained unigram statistics): per-document token
+    commonness under the corpus vocabulary, hapax and OOV counts. Exact
+    integer aggregates + one final division, so the corpus-wide statistic
+    is still fully oracle-checked."""
+    from eth_indexer_spark.operators import quality
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality.unigram_lm_score(d, "text", "doc_id")
+
+
+@register(
     "x_sample_stratified",
     """
     SELECT lang, doc_id, smp_rank FROM (
@@ -1177,6 +1206,46 @@ def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d2 = d.select("doc_id", seglines.alias("text"))
     return dedup.line_dedup(d2, "text", "doc_id", min_df=2)
+
+
+@register(
+    "x_substring_dedup",
+    """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, spos, array_to_string(w[spos+1 : spos+8], ' ') AS gram
+        FROM (
+            SELECT doc_id, w, unnest(range(0, len(w) - 8 + 1)) AS spos
+            FROM docs WHERE len(w) >= 8
+        )
+    ),
+    hot AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, spos FROM grams WHERE gram IN (SELECT gram FROM hot)),
+    toks AS (
+        SELECT doc_id, unnest(w) AS tok, unnest(range(len(w))) AS pos FROM docs
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dup d
+            WHERE d.doc_id = t.doc_id AND d.spos <= t.pos AND t.pos < d.spos + 8
+        )
+    )
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           COUNT(*) AS n_tokens_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (operators/dedup.py:substring_dedup — the
+    Lee et al. 2021 EXACTSUBSTR curation step in gram form): every 8-token
+    span occurring ≥ 2 times anywhere in the corpus is excised from every
+    document, survivors reassembled in order, fully-excised documents
+    dropped. The oracle spells out the per-token coverage test the Spark
+    plan runs as pure array expressions after one digest groupBy."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.substring_dedup(d, "text", "doc_id", min_len=8, min_count=2)
 
 
 @register(

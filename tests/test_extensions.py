@@ -944,6 +944,105 @@ def test_line_dedup_hand_computed(spark):
     }  # doc 3 was pure boilerplate → dropped entirely
 
 
+def test_substring_dedup_hand_computed(spark):
+    """A duplicated 3-token span is excised from BOTH carriers (including a
+    within-doc repeat), unique text survives, a doc that IS the span drops
+    out, and docs shorter than the gram are untouched."""
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d e unique tail one"),
+            (2, "prefix a b c d e suffix"),
+            (3, "a b c d e"),
+            (4, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_kept"])
+        for r in dedup.substring_dedup(d, "text", "doc_id", min_len=5).collect()
+    }
+    # "a b c d e" occurs in docs 1, 2, 3 → all its tokens excised everywhere
+    assert out == {
+        1: ("unique tail one", 3),
+        2: ("prefix suffix", 2),
+        4: ("x y", 2),  # shorter than min_len: no grams, never excised
+    }  # doc 3 was entirely the duplicated span → dropped
+
+
+def test_substring_dedup_matches_brute_force_model(spark):
+    """Randomized small-vocab corpus vs a Python model of the exact
+    semantics: token i removed iff inside some L-gram occurring
+    >= min_count times corpus-wide (within-doc repeats count)."""
+    import random
+
+    rng = random.Random(406)
+    vocab = ["red", "green", "blue", "cyan", "gold", "gray"]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 28)))
+        for i in range(40)
+    }
+    L, min_count = 3, 2
+
+    grams: dict[str, int] = {}
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    for w in toks.values():
+        for s in range(len(w) - L + 1):
+            g = " ".join(w[s : s + L])
+            grams[g] = grams.get(g, 0) + 1
+    want = {}
+    for i, w in toks.items():
+        covered = set()
+        for s in range(len(w) - L + 1):
+            if grams[" ".join(w[s : s + L])] >= min_count:
+                covered.update(range(s, s + L))
+        kept = [t for j, t in enumerate(w) if j not in covered]
+        if kept:
+            want[i] = (" ".join(kept), len(kept))
+
+    d = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_kept"])
+        for r in dedup.substring_dedup(
+            d, "text", "doc_id", min_len=L, min_count=min_count
+        ).collect()
+    }
+    assert got == want
+
+
+def test_unigram_lm_score_hand_computed(spark):
+    """Self-referenced corpus: counts over {the:3, cat:2, sat:1, dog:1}.
+    hapax = tokens with corpus count 1, avg_token_df = mean count, OOV
+    impossible against self."""
+    from eth_indexer_spark.operators import quality
+
+    d = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the the cat dog")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_hapax"], r["n_oov"], r["avg_token_df"])
+        for r in quality.unigram_lm_score(d, "text", "doc_id").collect()
+    }
+    assert out == {
+        1: (3, 1, 0, round((3 + 2 + 1) / 3, 4)),
+        2: (4, 1, 0, round((3 + 3 + 2 + 1) / 4, 4)),
+    }
+
+
+def test_unigram_lm_score_external_ref_counts_oov(spark):
+    """Against an external reference corpus, unseen tokens are OOV (count 0
+    in avg_token_df) and hapax is measured in the REFERENCE."""
+    from eth_indexer_spark.operators import quality
+
+    docs = spark.createDataFrame([(1, "the cat warped")], "doc_id long, text string")
+    ref = spark.createDataFrame([(9, "the the cat")], "doc_id long, text string")
+    row = quality.unigram_lm_score(docs, "text", "doc_id", ref=ref).first()
+    assert (row["n_tokens"], row["n_hapax"], row["n_oov"]) == (3, 1, 1)
+    assert row["avg_token_df"] == round((2 + 1 + 0) / 3, 4)
+    # bits mode runs and produces a positive surprisal
+    b = quality.unigram_lm_score(docs, "text", "doc_id", ref=ref, bits=True).first()
+    assert b["bits_per_token"] > 0
+
+
 def test_scrub_pii_hand_computed(spark):
     from eth_indexer_spark.functions import text as tx
 

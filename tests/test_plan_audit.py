@@ -203,6 +203,18 @@ def test_line_dedup_is_anti_join_never_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_substring_dedup_never_pairwise(spark):
+    """EXACTSUBSTR must plan as digest aggregation + LeftSemi + one id join
+    with array-expression excision — never a cartesian/nested-loop join,
+    and the corpus text is never compared pairwise. Exactly two Generates
+    (the gram posexplode, duplicated into the semi-join's two consumers) —
+    the corpus is never token-exploded for reassembly."""
+    plan = plan_of(extensions.x_substring_dedup(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pii_scrub_is_map_only(spark):
     """The PII scrub is one codegen'd projection over the scan: no exchange,
     no join, no aggregate anywhere in the plan."""
