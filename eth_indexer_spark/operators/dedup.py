@@ -175,15 +175,7 @@ def substring_dedup(
 
     # (id, start, digest) for every L-token gram; docs shorter than L have
     # no grams and can never be excised from
-    grams = base.filter(F.size("__w") >= L).select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__w") - L),
-                lambda s: F.md5(F.concat_ws(" ", F.slice(F.col("__w"), s + 1, L))),
-            )
-        ).alias("__spos", "__gdigest"),
-    )
+    grams = _substring_grams(df, text_col, id_col, L)
     hot = (
         grams.groupBy("__gdigest")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -217,6 +209,111 @@ def substring_dedup(
             F.concat_ws(
                 " ", F.transform("__kept", lambda x: x["tok"])
             ).alias(out_col),
+            F.size("__kept").cast("long").alias("n_tokens_kept"),
+        )
+        .filter(F.col("n_tokens_kept") > 0)
+    )
+
+
+def _substring_grams(df: DataFrame, text_col: str, id_col: str, L: int) -> DataFrame:
+    """(id, __spos, __gdigest) for every L-token gram of every document —
+    the shared gram stream of the batch and incremental substring-dedup
+    forms (identical digests, so incremental results match batch mode
+    bit-for-bit)."""
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), words.alias("__w"))
+    return base.filter(F.size("__w") >= L).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w") - L),
+                lambda s: F.md5(F.concat_ws(" ", F.slice(F.col("__w"), s + 1, L))),
+            )
+        ).alias("__spos", "__gdigest"),
+    )
+
+
+def substring_gram_index(
+    df: DataFrame, text_col: str, id_col: str, min_len: int = 50
+) -> DataFrame:
+    """The storable substring-dedup index: corpus-wide occurrence counts
+    ``(gdigest, cnt)`` of every ``min_len``-token gram. Persist this (e.g.
+    through the store's dimension path) and each new crawl batch is
+    scrubbed against the WHOLE corpus via
+    :func:`incremental_substring_dedup` without re-reading corpus text.
+    Advance it per batch by appending the batch's own index rows and
+    re-aggregating (``union → groupBy(gdigest).sum`` — or let the store
+    hold append-only delta rows and aggregate at read)."""
+    return (
+        _substring_grams(df, text_col, id_col, int(min_len))
+        .groupBy("__gdigest")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("__gdigest").alias("gdigest"), "cnt")
+    )
+
+
+def incremental_substring_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 50,
+    min_count: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Online form of :func:`substring_dedup`: scrub an arriving batch
+    against a stored corpus gram index (:func:`substring_gram_index` rows,
+    same ``min_len``) — a span is excised from a batch document when its
+    combined occurrence count (batch + stored corpus) reaches
+    ``min_count``. Equals batch-mode :func:`substring_dedup` over
+    (corpus ∪ batch) restricted to the batch's documents (coverage depends
+    only on combined gram counts — property-tested), without ever
+    re-reading corpus text. Corpus documents are NOT retroactively
+    re-scrubbed when a new batch pushes one of their spans over the
+    threshold — the standard streaming-curation compromise, same contract
+    as :func:`incremental_dedup` / :func:`incremental_minhash_pairs`.
+
+    100 TB shape: the corpus contributes only its skinny (digest, cnt)
+    index — one groupBy over the BATCH's grams, a left join to the index
+    keyed on the 128-bit digest (unhinted: AQE broadcasts a small index,
+    shuffles a big one), a LeftSemi back onto the batch gram stream, and
+    the same zero-further-shuffle array-expression excision as batch
+    mode."""
+    L = int(min_len)
+    if L < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    words = F.split(F.col(text_col), " ")
+    base = batch.select(F.col(id_col), words.alias("__w"))
+    grams = _substring_grams(batch, text_col, id_col, L)
+
+    batch_counts = grams.groupBy("__gdigest").agg(F.count(F.lit(1)).alias("__bcnt"))
+    hot = (
+        batch_counts.join(
+            index.select(F.col("gdigest").alias("__gdigest"), F.col("cnt").alias("__icnt")),
+            "__gdigest",
+            "left",
+        )
+        .filter(F.col("__bcnt") + F.coalesce("__icnt", F.lit(0)) >= min_count)
+        .select("__gdigest")
+    )
+    dup_starts = (
+        grams.join(hot, "__gdigest", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("__spos").alias("__starts"))
+    )
+
+    joined = base.join(dup_starts, id_col, "left").withColumn(
+        "__starts", F.coalesce("__starts", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.transform("__w", lambda tok, i: F.struct(tok.alias("tok"), i.alias("i"))),
+        lambda x: ~F.exists("__starts", lambda s: (s <= x["i"]) & (x["i"] < s + L)),
+    )
+    return (
+        joined.withColumn("__kept", kept)
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.transform("__kept", lambda x: x["tok"])).alias(out_col),
             F.size("__kept").cast("long").alias("n_tokens_kept"),
         )
         .filter(F.col("n_tokens_kept") > 0)

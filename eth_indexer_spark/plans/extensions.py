@@ -1249,6 +1249,136 @@ def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_curation_v3",
+    """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i : i+3], ' ')
+                              for i in range(1, len(w) - 2)]) AS g
+        FROM docs WHERE len(w) >= 4
+    ),
+    bench AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0),
+    e AS (SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 97 <> 0),
+    hits AS (SELECT DISTINCT e.doc_id FROM e JOIN bench USING (gram)),
+    surv AS (
+        SELECT d.doc_id, d.text FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 97 <> 0 AND h.doc_id IS NULL
+    ),
+    docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM surv),
+    grams AS (
+        SELECT doc_id, spos, array_to_string(w[spos+1 : spos+8], ' ') AS gram
+        FROM (
+            SELECT doc_id, w, unnest(range(0, len(w) - 8 + 1)) AS spos
+            FROM docs2 WHERE len(w) >= 8
+        )
+    ),
+    hot AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, spos FROM grams WHERE gram IN (SELECT gram FROM hot)),
+    toks AS (
+        SELECT doc_id, unnest(w) AS tok, unnest(range(len(w))) AS pos FROM docs2
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM toks t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dup d
+            WHERE d.doc_id = t.doc_id AND d.spos <= t.pos AND t.pos < d.spos + 8
+        )
+    ),
+    cleaned AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_tokens_kept
+        FROM kept GROUP BY doc_id
+    ),
+    toks3 AS (
+        SELECT doc_id, unnest(string_split(clean_text, ' ')) AS tok FROM cleaned
+    ),
+    cnts AS (SELECT tok, COUNT(*) AS cnt FROM toks3 GROUP BY tok),
+    lm AS (
+        SELECT t.doc_id,
+               ROUND(CAST(SUM(COALESCE(c.cnt, 0)) AS DOUBLE) / COUNT(*), 4)
+                   AS avg_token_df
+        FROM toks3 t LEFT JOIN cnts c USING (tok) GROUP BY t.doc_id
+    )
+    SELECT c.doc_id, c.clean_text, c.n_tokens_kept, lm.avg_token_df
+    FROM cleaned c JOIN lm USING (doc_id)
+    WHERE lm.avg_token_df >= 810.0
+    """,
+)
+def x_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 curation composition: benchmark decontamination (drop docs
+    sharing any 4-gram with the doc_id % 97 eval slice) → exact substring
+    dedup (duplicated 8-token spans excised corpus-wide) → LM quality
+    filter (keep docs whose CLEANED text scores ≥ 810 mean token
+    commonness under the cleaned corpus's own unigram stats). Stage order
+    is the 100 TB order: the map-only decontamination scan cuts the corpus
+    before the dedup shuffles, and the LM statistics are trained on the
+    text that survives — not on what dedup is about to remove. Every stage
+    is an already-oracle-checked operator (`x_decontaminate`,
+    `x_substring_dedup`, `x_lm_unigram_score`); this query pins their
+    composition end-to-end."""
+    from eth_indexer_spark.operators import decontam, quality
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    survivors = decontam.decontaminate(corpus, bench, "text", "doc_id", k=4)
+    deduped = dedup.substring_dedup(survivors, "text", "doc_id", min_len=8)
+    scored = quality.unigram_lm_score(deduped, "clean_text", "doc_id")
+    return (
+        deduped.join(scored.select("doc_id", "avg_token_df"), "doc_id")
+        .filter(F.col("avg_token_df") >= 810.0)
+        .select("doc_id", "clean_text", "n_tokens_kept", "avg_token_df")
+    )
+
+
+@register(
+    "x_substring_dedup_incremental",
+    """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, spos, array_to_string(w[spos+1 : spos+8], ' ') AS gram
+        FROM (
+            SELECT doc_id, w, unnest(range(0, len(w) - 8 + 1)) AS spos
+            FROM docs WHERE len(w) >= 8
+        )
+    ),
+    hot AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, spos FROM grams WHERE gram IN (SELECT gram FROM hot)),
+    toks AS (
+        SELECT doc_id, unnest(w) AS tok, unnest(range(len(w))) AS pos FROM docs
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dup d
+            WHERE d.doc_id = t.doc_id AND d.spos <= t.pos AND t.pos < d.spos + 8
+        )
+    )
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           COUNT(*) AS n_tokens_kept
+    FROM kept WHERE doc_id >= 250 GROUP BY doc_id
+    """,
+)
+def x_substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online EXACTSUBSTR (operators/dedup.py:incremental_substring_dedup):
+    docs < 250 are the stored corpus, reduced to its skinny
+    (gram-digest, count) index; docs >= 250 arrive as a batch and are
+    scrubbed against combined batch+index counts. The oracle is batch-mode
+    substring dedup over the WHOLE corpus restricted to the batch — the
+    equality the incremental contract guarantees (coverage depends only on
+    combined gram counts)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 250)
+    batch = d.filter(F.col("doc_id") >= 250)
+    index = dedup.substring_gram_index(corpus, "text", "doc_id", min_len=8)
+    return dedup.incremental_substring_dedup(
+        batch, index, "text", "doc_id", min_len=8, min_count=2
+    )
+
+
+@register(
     "x_pii_scrub",
     """
     WITH injected AS (

@@ -1009,6 +1009,79 @@ def test_substring_dedup_matches_brute_force_model(spark):
     assert got == want
 
 
+def test_incremental_substring_dedup_random_splits_match_batch_mode(spark, docs):
+    """incremental_substring_dedup(batch, index(corpus)) must equal
+    batch-mode substring_dedup over (corpus ∪ batch) restricted to the
+    batch, for ANY split — coverage depends only on combined gram counts,
+    and md5-seeded random splits catch split-pattern-dependent bugs."""
+    L = 5
+    small = docs.filter(F.col("doc_id") < 120)
+    full = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_kept"])
+        for r in dedup.substring_dedup(small, "text", "doc_id", min_len=L).collect()
+    }
+    for seed in ("s1", "s2"):
+        flag = (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.lit(seed), "doc_id")), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % 3
+            == 0
+        )
+        batch = small.filter(flag)
+        corpus = small.filter(~flag)
+        batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+        expect = {i: v for i, v in full.items() if i in batch_ids}
+        idx = dedup.substring_gram_index(corpus, "text", "doc_id", min_len=L)
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_tokens_kept"])
+            for r in dedup.incremental_substring_dedup(
+                batch, idx, "text", "doc_id", min_len=L
+            ).collect()
+        }
+        assert got == expect, f"seed={seed}"
+
+
+def test_incremental_substring_dedup_edges(spark):
+    """Empty batch and empty index don't error; an empty index degrades to
+    within-batch-only excision; index advance (union + re-aggregate)
+    reproduces the from-scratch index."""
+    d = spark.createDataFrame(
+        [(1, "p q r s unique one"), (2, "head p q r s tail")],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    eidx = dedup.substring_gram_index(empty, "text", "doc_id", min_len=4)
+    assert (
+        dedup.incremental_substring_dedup(empty, eidx, "text", "doc_id", min_len=4).count()
+        == 0
+    )
+    # empty index: "p q r s" appears twice WITHIN the batch → still excised
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.incremental_substring_dedup(
+            d, eidx, "text", "doc_id", min_len=4
+        ).collect()
+    }
+    assert got == {1: "unique one", 2: "head tail"}
+    # advancing corpus index by the batch == from-scratch index over both
+    more = spark.createDataFrame([(3, "p q r s again")], "doc_id long, text string")
+    advanced = (
+        dedup.substring_gram_index(d, "text", "doc_id", min_len=4)
+        .unionByName(dedup.substring_gram_index(more, "text", "doc_id", min_len=4))
+        .groupBy("gdigest")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    scratch = dedup.substring_gram_index(
+        d.unionByName(more), "text", "doc_id", min_len=4
+    )
+    assert {(r["gdigest"], r["cnt"]) for r in advanced.collect()} == {
+        (r["gdigest"], r["cnt"]) for r in scratch.collect()
+    }
+
+
 def test_unigram_lm_score_hand_computed(spark):
     """Self-referenced corpus: counts over {the:3, cat:2, sat:1, dog:1}.
     hapax = tokens with corpus count 1, avg_token_df = mean count, OOV
