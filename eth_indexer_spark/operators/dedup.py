@@ -170,6 +170,10 @@ def substring_dedup(
     L = int(min_len)
     if L < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
+    # spread BEFORE the CPU-heavy gram hashing and excision expressions —
+    # a small single-file corpus otherwise serializes both into one task
+    # (no-op when the scan already parallelizes; see _spread)
+    df = _spread(df, id_col)
     words = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), words.alias("__w"))
 
@@ -245,7 +249,7 @@ def substring_gram_index(
     re-aggregating (``union → groupBy(gdigest).sum`` — or let the store
     hold append-only delta rows and aggregate at read)."""
     return (
-        _substring_grams(df, text_col, id_col, int(min_len))
+        _substring_grams(_spread(df, id_col), text_col, id_col, int(min_len))
         .groupBy("__gdigest")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("__gdigest").alias("gdigest"), "cnt")
@@ -282,6 +286,7 @@ def incremental_substring_dedup(
     L = int(min_len)
     if L < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
+    batch = _spread(batch, id_col)
     words = F.split(F.col(text_col), " ")
     base = batch.select(F.col(id_col), words.alias("__w"))
     grams = _substring_grams(batch, text_col, id_col, L)

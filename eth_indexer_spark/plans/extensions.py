@@ -1322,8 +1322,18 @@ def x_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     corpus = d.filter(F.col("doc_id") % 97 != 0)
-    survivors = decontam.decontaminate(corpus, bench, "text", "doc_id", k=4)
-    deduped = dedup.substring_dedup(survivors, "text", "doc_id", min_len=8)
+    # both pool-persisted: substring_dedup consumes its input three times
+    # (token base + two gram-stream consumers) and the LM stage consumes
+    # the deduped frame three more — without the persists the decontam
+    # explode+join lineage re-executes ~6× and dominates the query
+    survivors = persist_bounded(
+        "extensions.curation_v3.survivors",
+        decontam.decontaminate(corpus, bench, "text", "doc_id", k=4),
+    )
+    deduped = persist_bounded(
+        "extensions.curation_v3.deduped",
+        dedup.substring_dedup(survivors, "text", "doc_id", min_len=8),
+    )
     scored = quality.unigram_lm_score(deduped, "clean_text", "doc_id")
     return (
         deduped.join(scored.select("doc_id", "avg_token_df"), "doc_id")
