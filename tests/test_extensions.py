@@ -1288,6 +1288,59 @@ def test_incremental_minhash_store_roundtrip(spark, tmp_path, docs):
     assert advanced == full
 
 
+def test_incremental_substring_store_roundtrip(spark, tmp_path, docs):
+    """Crawl-loop story for EXACTSUBSTR: persist the corpus gram-count
+    index as a store dimension, scrub an arriving batch against the STORED
+    index, then append the batch's delta counts; aggregating the
+    append-only rows at read must equal the full corpus re-indexed, and
+    the stored-index scrub must match the in-memory path exactly."""
+    from eth_indexer_spark.sinks.store import ParquetStore
+
+    small = docs.filter("doc_id < 120")
+    corpus = small.filter("doc_id % 4 != 0")
+    batch = small.filter("doc_id % 4 = 0")
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    store.update_dimension(
+        "substr_index", dedup.substring_gram_index(corpus, "text", "doc_id", min_len=5)
+    )
+
+    stored = store.read("substr_index")
+    got = {
+        (r["doc_id"], r["clean_text"], r["n_tokens_kept"])
+        for r in dedup.incremental_substring_dedup(
+            batch, stored, "text", "doc_id", min_len=5
+        ).collect()
+    }
+    direct = {
+        (r["doc_id"], r["clean_text"], r["n_tokens_kept"])
+        for r in dedup.incremental_substring_dedup(
+            batch,
+            dedup.substring_gram_index(corpus, "text", "doc_id", min_len=5),
+            "text",
+            "doc_id",
+            min_len=5,
+        ).collect()
+    }
+    assert got == direct
+
+    # advance: append the batch's delta rows; counts aggregate at read
+    store.append_dimension(
+        "substr_index", dedup.substring_gram_index(batch, "text", "doc_id", min_len=5)
+    )
+    advanced = {
+        (r["gdigest"], r["cnt"])
+        for r in store.read("substr_index")
+        .groupBy("gdigest")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    full = {
+        (r["gdigest"], r["cnt"])
+        for r in dedup.substring_gram_index(small, "text", "doc_id", min_len=5).collect()
+    }
+    assert advanced == full
+
+
 def test_incremental_minhash_empty_inputs(spark):
     """Empty batch, empty index, both empty, and sub-k documents all yield
     empty results without erroring — the crawl loop's first batch and idle
