@@ -215,6 +215,26 @@ def test_substring_dedup_never_pairwise(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_incremental_substring_joins_index_never_cartesian(spark):
+    """The online EXACTSUBSTR scrub must equi-join the batch's gram counts
+    to the stored index and LeftSemi back onto the gram stream — never a
+    cartesian/nested-loop join of batch text against the corpus index."""
+    plan = plan_of(extensions.x_substring_dedup_incremental(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_score_aggregates_before_joining(spark):
+    """The LM scorer must shuffle only (token) and (doc id) keyed rows:
+    a vocabulary HashAggregate feeding an equi-join of the token stream,
+    never a pairwise comparison of documents."""
+    plan = plan_of(extensions.x_lm_unigram_score(spark, SF))
+    assert "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pii_scrub_is_map_only(spark):
     """The PII scrub is one codegen'd projection over the scan: no exchange,
     no join, no aggregate anywhere in the plan."""
