@@ -174,12 +174,16 @@ def substring_dedup(
     # a small single-file corpus otherwise serializes both into one task
     # (no-op when the scan already parallelizes; see _spread)
     df = _spread(df, id_col)
-    words = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col), words.alias("__w"))
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
 
     # (id, start, digest) for every L-token gram; docs shorter than L have
-    # no grams and can never be excised from
-    grams = _substring_grams(df, text_col, id_col, L)
+    # no grams and can never be excised from. Pool-persisted: consumed by
+    # both the occurrence count and the LeftSemi back-probe, and the md5
+    # gram hashing is the CPU-heavy stage worth materializing (the same
+    # rationale as the MinHash rows persist below).
+    grams = persist_bounded(
+        "dedup.substring.grams", _substring_grams(df, text_col, id_col, L)
+    )
     hot = (
         grams.groupBy("__gdigest")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -191,7 +195,17 @@ def substring_dedup(
         .groupBy(id_col)
         .agg(F.collect_list("__spos").alias("__starts"))
     )
+    return _excise_covered_spans(base, dup_starts, id_col, L, out_col)
 
+
+def _excise_covered_spans(
+    base: DataFrame, dup_starts: DataFrame, id_col: str, L: int, out_col: str
+) -> DataFrame:
+    """Shared excision/reassembly tail of the batch and incremental
+    substring-dedup forms — ONE copy of the semantics-critical coverage
+    rule, so the property-tested batch==incremental equality cannot drift.
+    ``base`` is ``(id, __w)`` (the token arrays), ``dup_starts`` is
+    ``(id, __starts)`` (each doc's duplicated gram start offsets)."""
     joined = base.join(dup_starts, id_col, "left").withColumn(
         "__starts", F.coalesce("__starts", F.array().cast("array<int>"))
     )
@@ -241,18 +255,30 @@ def substring_gram_index(
     df: DataFrame, text_col: str, id_col: str, min_len: int = 50
 ) -> DataFrame:
     """The storable substring-dedup index: corpus-wide occurrence counts
-    ``(gdigest, cnt)`` of every ``min_len``-token gram. Persist this (e.g.
-    through the store's dimension path) and each new crawl batch is
-    scrubbed against the WHOLE corpus via
+    ``(gdigest, gram_len, cnt)`` of every ``min_len``-token gram. Persist
+    this (e.g. through the store's dimension path) and each new crawl
+    batch is scrubbed against the WHOLE corpus via
     :func:`incremental_substring_dedup` without re-reading corpus text.
     Advance it per batch by appending the batch's own index rows and
-    re-aggregating (``union → groupBy(gdigest).sum`` — or let the store
-    hold append-only delta rows and aggregate at read)."""
+    re-aggregating (``union → groupBy(gdigest, gram_len).sum`` — or let
+    the store hold append-only delta rows and aggregate at read).
+
+    ``gram_len`` records which span length the digests were built from:
+    one index table can hold several lengths, and the scrub reads only
+    the rows matching its own ``min_len`` — a mismatched index therefore
+    contributes nothing VISIBLY (the scrub degrades to within-batch
+    dedup) instead of silently under-excising against wrong-length
+    digests that could never match."""
+    L = int(min_len)
     return (
-        _substring_grams(_spread(df, id_col), text_col, id_col, int(min_len))
+        _substring_grams(_spread(df, id_col), text_col, id_col, L)
         .groupBy("__gdigest")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("__gdigest").alias("gdigest"), "cnt")
+        .select(
+            F.col("__gdigest").alias("gdigest"),
+            F.lit(L).cast("int").alias("gram_len"),
+            "cnt",
+        )
     )
 
 
@@ -282,15 +308,25 @@ def incremental_substring_dedup(
     keyed on the 128-bit digest (unhinted: AQE broadcasts a small index,
     shuffles a big one), a LeftSemi back onto the batch gram stream, and
     the same zero-further-shuffle array-expression excision as batch
-    mode."""
+    mode (one shared code path — :func:`_excise_covered_spans`).
+
+    The index's ``gram_len`` column is filtered to this call's
+    ``min_len``, so a multi-length index works and a wrong-length index
+    contributes nothing (legacy indexes without the column are accepted
+    as-is — their digests were necessarily built with SOME length, and
+    matching is still digest-exact)."""
     L = int(min_len)
     if L < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     batch = _spread(batch, id_col)
-    words = F.split(F.col(text_col), " ")
-    base = batch.select(F.col(id_col), words.alias("__w"))
-    grams = _substring_grams(batch, text_col, id_col, L)
+    base = batch.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+    # pool-persisted for the same two consumers as batch mode
+    grams = persist_bounded(
+        "dedup.substring_inc.grams", _substring_grams(batch, text_col, id_col, L)
+    )
 
+    if "gram_len" in index.columns:
+        index = index.filter(F.col("gram_len") == L)
     batch_counts = grams.groupBy("__gdigest").agg(F.count(F.lit(1)).alias("__bcnt"))
     hot = (
         batch_counts.join(
@@ -306,23 +342,7 @@ def incremental_substring_dedup(
         .groupBy(id_col)
         .agg(F.collect_list("__spos").alias("__starts"))
     )
-
-    joined = base.join(dup_starts, id_col, "left").withColumn(
-        "__starts", F.coalesce("__starts", F.array().cast("array<int>"))
-    )
-    kept = F.filter(
-        F.transform("__w", lambda tok, i: F.struct(tok.alias("tok"), i.alias("i"))),
-        lambda x: ~F.exists("__starts", lambda s: (s <= x["i"]) & (x["i"] < s + L)),
-    )
-    return (
-        joined.withColumn("__kept", kept)
-        .select(
-            F.col(id_col),
-            F.concat_ws(" ", F.transform("__kept", lambda x: x["tok"])).alias(out_col),
-            F.size("__kept").cast("long").alias("n_tokens_kept"),
-        )
-        .filter(F.col("n_tokens_kept") > 0)
-    )
+    return _excise_covered_spans(base, dup_starts, id_col, L, out_col)
 
 
 def word_shingles(text_col, k: int = 3) -> Column:

@@ -56,6 +56,7 @@ def unigram_lm_score(
     id_col: str,
     ref: DataFrame | None = None,
     bits: bool = False,
+    ref_text_col: str | None = None,
 ) -> DataFrame:
     """Language-model document scoring (the CCNet quality signal, Wenzek et
     al. 2020, with the external KenLM model replaced by unigram statistics
@@ -83,12 +84,17 @@ def unigram_lm_score(
     on the token for reference counts (vocabulary-sized — Zipf keeps the
     distinct count millions, not trillions), one join of the token stream
     to the counts (unhinted: AQE broadcasts a small vocabulary, shuffles a
-    pathological one), and a groupBy(id). No UDF, no driver-side state."""
+    pathological one), and a groupBy(id). No UDF, no driver-side state.
+
+    ``ref_text_col`` names the reference corpus's text column when it
+    differs from ``text_col`` (defaults to the same name)."""
     toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     ref_toks = (
         toks
         if ref is None
-        else ref.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        else ref.select(
+            F.explode(F.split(F.col(ref_text_col or text_col), " ")).alias("tok")
+        )
     )
     counts = ref_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
     joined = toks.join(counts, "tok", "left")
@@ -102,7 +108,7 @@ def unigram_lm_score(
     ]
     if bits:
         total = counts.agg(F.sum("__cnt").alias("__total"))
-        joined = joined.join(F.broadcast(total))
+        joined = joined.crossJoin(F.broadcast(total))
         aggs.append(
             F.round(
                 F.avg(-F.log2(F.coalesce("__cnt", F.lit(1)) / F.col("__total"))), 4

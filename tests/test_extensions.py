@@ -1071,7 +1071,7 @@ def test_incremental_substring_dedup_edges(spark):
     advanced = (
         dedup.substring_gram_index(d, "text", "doc_id", min_len=4)
         .unionByName(dedup.substring_gram_index(more, "text", "doc_id", min_len=4))
-        .groupBy("gdigest")
+        .groupBy("gdigest", "gram_len")
         .agg(F.sum("cnt").alias("cnt"))
     )
     scratch = dedup.substring_gram_index(
@@ -1080,6 +1080,17 @@ def test_incremental_substring_dedup_edges(spark):
     assert {(r["gdigest"], r["cnt"]) for r in advanced.collect()} == {
         (r["gdigest"], r["cnt"]) for r in scratch.collect()
     }
+    # an index built with a DIFFERENT gram length contributes nothing —
+    # the scrub degrades to within-batch dedup instead of silently probing
+    # digests that could never match
+    wrong = dedup.substring_gram_index(d, "text", "doc_id", min_len=5)
+    via_wrong = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.incremental_substring_dedup(
+            d, wrong, "text", "doc_id", min_len=4
+        ).collect()
+    }
+    assert via_wrong == got
 
 
 def test_unigram_lm_score_hand_computed(spark):

@@ -205,14 +205,18 @@ def test_line_dedup_is_anti_join_never_cartesian(spark):
 
 def test_substring_dedup_never_pairwise(spark):
     """EXACTSUBSTR must plan as digest aggregation + LeftSemi + one id join
-    with array-expression excision — never a cartesian/nested-loop join,
-    and the corpus text is never compared pairwise. Exactly two Generates
-    (the gram posexplode, duplicated into the semi-join's two consumers) —
-    the corpus is never token-exploded for reassembly."""
+    with array-expression excision — never a cartesian/nested-loop join.
+    Exactly ONE Generate (the gram posexplode, pool-persisted so both
+    consumers read the cached rows): the corpus is never token-exploded
+    for reassembly, and the gram hashing never runs twice."""
+    import re
+
     plan = plan_of(extensions.x_substring_dedup(spark, SF))
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert "InMemoryTableScan" in plan
 
 
 def test_incremental_substring_joins_index_never_cartesian(spark):
