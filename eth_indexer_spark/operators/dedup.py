@@ -251,6 +251,74 @@ def _substring_grams(df: DataFrame, text_col: str, id_col: str, L: int) -> DataF
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Audit form of :func:`substring_dedup`: instead of excising, REPORT
+    each document's maximal duplicated regions — the classic
+    interval-merge of the covered ``[start, start+min_len)`` windows, so a
+    pipeline can quantify and inspect what the scrub would remove before
+    committing to it. Returns ``(id, span_start, span_end, n_span_tokens,
+    span_text)`` with token positions 0-based and ``span_end`` exclusive;
+    overlapping or abutting windows merge into one span (their covered
+    token sets are contiguous).
+
+    Same candidate machinery as :func:`substring_dedup` (gram digests →
+    occurrence count → LeftSemi); the merge itself is one window pass
+    over the duplicated-start MINORITY partitioned by doc id (running
+    max-end → new-group flag → running group sum — bounded per document,
+    embarrassingly parallel across documents), then a groupBy(id, group)
+    and one join back to the token arrays for the span text."""
+    L = int(min_len)
+    if L < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    df = _spread(df, id_col)
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+    grams = persist_bounded(
+        "dedup.substring_spans.grams", _substring_grams(df, text_col, id_col, L)
+    )
+    hot = (
+        grams.groupBy("__gdigest")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("__gdigest")
+    )
+    dup = grams.join(hot, "__gdigest", "left_semi").select(
+        F.col(id_col), F.col("__spos"), (F.col("__spos") + L).alias("__e")
+    )
+
+    w = W.partitionBy(id_col).orderBy("__spos")
+    prev_max_end = F.max("__e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = dup.withColumn(
+        "__new_grp",
+        F.when(prev_max_end.isNull() | (F.col("__spos") > prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "__grp", F.sum("__new_grp").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = flagged.groupBy(id_col, "__grp").agg(
+        F.min("__spos").cast("long").alias("span_start"),
+        F.max("__e").cast("long").alias("span_end"),
+    )
+    return spans.join(base, id_col).select(
+        F.col(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("n_span_tokens"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "__w",
+                (F.col("span_start") + 1).cast("int"),
+                (F.col("span_end") - F.col("span_start")).cast("int"),
+            ),
+        ).alias("span_text"),
+    )
+
+
 def substring_gram_index(
     df: DataFrame, text_col: str, id_col: str, min_len: int = 50
 ) -> DataFrame:

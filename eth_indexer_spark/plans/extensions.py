@@ -1343,6 +1343,57 @@ def x_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_substring_spans",
+    """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, spos, array_to_string(w[spos+1 : spos+8], ' ') AS gram
+        FROM (
+            SELECT doc_id, w, unnest(range(0, len(w) - 8 + 1)) AS spos
+            FROM docs WHERE len(w) >= 8
+        )
+    ),
+    hot AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    dup AS (
+        SELECT doc_id, spos, spos + 8 AS e
+        FROM grams WHERE gram IN (SELECT gram FROM hot)
+    ),
+    m AS (
+        SELECT doc_id, spos, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY spos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pme
+        FROM dup
+    ),
+    g AS (
+        SELECT doc_id, spos, e,
+               SUM(CASE WHEN pme IS NULL OR spos > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY spos) AS grp
+        FROM m
+    ),
+    spans AS (
+        SELECT doc_id, grp, MIN(spos) AS span_start, MAX(e) AS span_end
+        FROM g GROUP BY doc_id, grp
+    )
+    SELECT s.doc_id,
+           CAST(s.span_start AS BIGINT) AS span_start,
+           CAST(s.span_end AS BIGINT) AS span_end,
+           CAST(s.span_end - s.span_start AS BIGINT) AS n_span_tokens,
+           array_to_string(d.w[s.span_start+1 : s.span_end], ' ') AS span_text
+    FROM spans s JOIN docs d USING (doc_id)
+    """,
+)
+def x_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span audit (operators/dedup.py:duplicated_spans): the
+    maximal merged regions substring dedup would excise, with their text —
+    the inspect-before-you-scrub report. Same gram machinery as
+    `x_substring_dedup`; the interval merge is one window pass over the
+    duplicated-start minority, parallel across documents."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.duplicated_spans(d, "text", "doc_id", min_len=8, min_count=2)
+
+
+@register(
     "x_substring_dedup_incremental",
     """
     WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1093,6 +1093,67 @@ def test_incremental_substring_dedup_edges(spark):
     assert via_wrong == got
 
 
+def test_duplicated_spans_hand_computed(spark):
+    """Overlapping duplicated windows merge into one maximal span; disjoint
+    regions stay separate; span_text matches the reported positions.
+    Duplicated 3-grams here: "a b c" (d1@0, d2@0), "b c d" (d1@1, d2@1,
+    d3@0), "c d e" (d1@2, d3@1), "x y z" (d1@6, d3@6)."""
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d e f x y z"),
+            (2, "a b c d q r s t u"),
+            (3, "b c d e m n x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_span_tokens"], r["span_text"])
+        for r in dedup.duplicated_spans(d, "text", "doc_id", min_len=3).collect()
+    }
+    assert got == {
+        (1, 0, 5, 5, "a b c d e"),  # starts {0,1,2} merged
+        (1, 6, 9, 3, "x y z"),
+        (2, 0, 4, 4, "a b c d"),  # starts {0,1} merged
+        (3, 0, 4, 4, "b c d e"),
+        (3, 6, 9, 3, "x y z"),
+    }
+
+
+def test_duplicated_spans_cover_exactly_what_dedup_excises(spark, docs):
+    """Cross-operator invariant: the reported spans' token positions are
+    EXACTLY the positions substring_dedup removes — reconstructing each
+    doc from (kept tokens) ∪ (span tokens) in position order yields the
+    original text."""
+    small = docs.filter(F.col("doc_id") < 150)
+    L = 6
+    spans = dedup.duplicated_spans(small, "text", "doc_id", min_len=L).collect()
+    covered: dict[int, set] = {}
+    for r in spans:
+        covered.setdefault(r["doc_id"], set()).update(
+            range(r["span_start"], r["span_end"])
+        )
+    kept = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.substring_dedup(small, "text", "doc_id", min_len=L).collect()
+    }
+    for row in small.collect():
+        toks = row["text"].split(" ")
+        cov = covered.get(row["doc_id"], set())
+        expect_kept = [t for i, t in enumerate(toks) if i not in cov]
+        if expect_kept:
+            assert kept[row["doc_id"]] == " ".join(expect_kept)
+        else:
+            assert row["doc_id"] not in kept  # fully-excised docs drop out
+        # spans never overlap and never touch (maximal merge)
+        ss = sorted(
+            (r["span_start"], r["span_end"])
+            for r in spans
+            if r["doc_id"] == row["doc_id"]
+        )
+        for (a1, a2), (b1, b2) in zip(ss, ss[1:]):
+            assert a2 < b1
+
+
 def test_unigram_lm_score_hand_computed(spark):
     """Self-referenced corpus: counts over {the:3, cat:2, sat:1, dog:1}.
     hapax = tokens with corpus count 1, avg_token_df = mean count, OOV
