@@ -366,3 +366,50 @@ def test_chunk_documents_matches_model(spark, n_tokens, chunk_tokens, overlap_ra
     for a in spans:
         for b in spans:
             assert a == b or not (b[0] <= a[0] and a[1] <= b[1])
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["r", "g", "b", "y"]), min_size=1, max_size=18
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    L=st.integers(min_value=1, max_value=6),
+    min_count=st.integers(min_value=2, max_value=3),
+)
+@_settings
+def test_substring_dedup_matches_model(spark, docs, L, min_count):
+    """EXACTSUBSTR gram form == the brute-force coverage model for ANY
+    corpus/L/min_count: token i removed iff inside some L-gram occurring
+    >= min_count times corpus-wide (within-doc repeats count); fully
+    covered docs drop out. A 4-letter vocabulary forces dense gram
+    collisions, L=1 degenerates to token-level dedup, and L beyond every
+    doc length must be the identity."""
+    from eth_indexer_spark.operators.dedup import substring_dedup
+
+    grams: dict[str, int] = {}
+    toks = {i: t.split(" ") for i, t in enumerate(docs)}
+    for w in toks.values():
+        for s in range(len(w) - L + 1):
+            g = " ".join(w[s : s + L])
+            grams[g] = grams.get(g, 0) + 1
+    want = {}
+    for i, w in toks.items():
+        covered = set()
+        for s in range(len(w) - L + 1):
+            if grams[" ".join(w[s : s + L])] >= min_count:
+                covered.update(range(s, s + L))
+        kept = [t for j, t in enumerate(w) if j not in covered]
+        if kept:
+            want[i] = (" ".join(kept), len(kept))
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_kept"])
+        for r in substring_dedup(
+            df, "text", "doc_id", min_len=L, min_count=min_count
+        ).collect()
+    }
+    assert got == want
