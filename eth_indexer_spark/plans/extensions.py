@@ -988,6 +988,24 @@ def x_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.unigram_lm_score(d, "text", "doc_id")
 
 
+@register("x_dsir_select")  # weights embed driver-side math.log literals →
+# rows-only check (DuckDB ln is not ulp-identical to Python's; pytest pins
+# the weights bit-exactly against a sequential Python model instead)
+def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR domain selection (operators/dsir.py, Xie et al. 2023): the 200
+    raw documents (source != 'src0') whose hashed-bigram distribution best
+    matches the src0 target domain, by add-one-smoothed log importance
+    weight. Two skinny bucket-count aggregations + a broadcast ratio map +
+    a map-only in-array-order weight sum; selection is
+    TakeOrderedAndProject."""
+    from eth_indexer_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    target = d.filter(F.col("source") == "src0").select("doc_id", "text")
+    raw = d.filter(F.col("source") != "src0").select("doc_id", "text")
+    return dsir_select(raw, target, "text", "doc_id", k=200, n=2, num_buckets=1024)
+
+
 @register(
     "x_sample_stratified",
     """

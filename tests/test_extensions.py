@@ -1154,6 +1154,118 @@ def test_duplicated_spans_cover_exactly_what_dedup_excises(spark, docs):
             assert a2 < b1
 
 
+def _dsir_model(raw_texts, tgt_texts, n, B):
+    """Sequential Python model of dsir_weights: md5 buckets, add-one
+    smoothed log-ratios, per-doc sum in gram order — the exact float
+    operations the Spark plan performs (driver-side math.log literals,
+    in-array-order accumulation), so equality is bit-for-bit."""
+    import hashlib
+    import math
+
+    def buckets(text):
+        w = text.split(" ")
+        grams = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B for g in grams
+        ]
+
+    def counts(texts):
+        c: dict[int, int] = {}
+        for t in texts:
+            for b in buckets(t):
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    tgt, rawc = counts(tgt_texts), counts(raw_texts)
+    t_total, r_total = sum(tgt.values()), sum(rawc.values())
+    ratio = {
+        b: math.log((tgt.get(b, 0) + 1) / (t_total + B))
+        - math.log((rawc.get(b, 0) + 1) / (r_total + B))
+        for b in range(B)
+    }
+    out = {}
+    for i, t in enumerate(raw_texts):
+        acc = 0.0
+        bs = buckets(t)
+        for b in bs:
+            acc = acc + ratio[b]
+        out[i] = (len(bs), acc)
+    return out
+
+
+def test_dsir_weights_match_python_model_exactly(spark):
+    """Spark DSIR weights == the sequential Python model bit-for-bit: same
+    md5 buckets, same driver-computed log-ratio literals, same in-order
+    double accumulation. No tolerance."""
+    import random
+
+    from eth_indexer_spark.operators.dsir import dsir_weights
+
+    rng = random.Random(614)
+    vocab_t = ["alpha", "beta", "gamma", "delta"]
+    vocab_r = ["delta", "eps", "zeta", "eta", "theta"]
+    tgt_texts = [
+        " ".join(rng.choice(vocab_t) for _ in range(rng.randint(1, 20)))
+        for _ in range(15)
+    ]
+    raw_texts = [
+        " ".join(rng.choice(vocab_r) for _ in range(rng.randint(1, 20)))
+        for _ in range(30)
+    ]
+    B, n = 64, 2
+    want = _dsir_model(raw_texts, tgt_texts, n, B)
+
+    raw = spark.createDataFrame(list(enumerate(raw_texts)), "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(i + 1000, t) for i, t in enumerate(tgt_texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logweight"])
+        for r in dsir_weights(raw, tgt, "text", "doc_id", n=n, num_buckets=B).collect()
+    }
+    assert got == want
+
+
+def test_dsir_select_recovers_planted_domain(spark):
+    """Raw docs written in the target's vocabulary must outrank raw docs
+    from a disjoint vocabulary — the top-k is exactly the planted
+    target-like set, deterministically ordered."""
+    from eth_indexer_spark.operators.dsir import dsir_select
+
+    tgt = spark.createDataFrame(
+        [(100 + i, "sun moon star sky sun moon star") for i in range(5)],
+        "doc_id long, text string",
+    )
+    likes = [(i, "moon star sky sun moon sun star sky") for i in range(10)]
+    unlikes = [(50 + i, "rock iron coal ore rock iron coal") for i in range(10)]
+    raw = spark.createDataFrame(likes + unlikes, "doc_id long, text string")
+    top = dsir_select(raw, tgt, "text", "doc_id", k=10, num_buckets=256)
+    ids = [r["doc_id"] for r in top.collect()]
+    assert set(ids) == set(range(10))
+    # deterministic: a second run returns the identical ordered result
+    again = [
+        r["doc_id"]
+        for r in dsir_select(raw, tgt, "text", "doc_id", k=10, num_buckets=256).collect()
+    ]
+    assert ids == again
+
+
+def test_dsir_short_docs_kept_with_zero_weight(spark):
+    """Documents shorter than n words carry no feature: weight 0.0 and
+    n_grams 0, KEPT in the weight table (selection decides, not the
+    featurizer)."""
+    from eth_indexer_spark.operators.dsir import dsir_weights
+
+    raw = spark.createDataFrame([(1, "solo"), (2, "two words")], "doc_id long, text string")
+    tgt = spark.createDataFrame([(9, "two words here")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logweight"])
+        for r in dsir_weights(raw, tgt, "text", "doc_id", num_buckets=32).collect()
+    }
+    assert got[1] == (0, 0.0)
+    assert got[2][0] == 1
+
+
 def test_unigram_lm_score_hand_computed(spark):
     """Self-referenced corpus: counts over {the:3, cat:2, sat:1, dog:1}.
     hapax = tokens with corpus count 1, avg_token_df = mean count, OOV

@@ -245,6 +245,21 @@ def test_lm_score_aggregates_before_joining(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dsir_weight_pass_is_map_only_topk(spark):
+    """DSIR's two model aggregations run eagerly at build time (bounded
+    driver collect — the literal-centroid pattern); the RETURNED plan must
+    be scan → one-row broadcast ratio map → pure array-expression weight →
+    TakeOrderedAndProject. No Generate (the corpus is never gram-exploded
+    for weighting), no sort-merge join, no cartesian product."""
+    import re
+
+    plan = plan_of(extensions.x_dsir_select(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 0, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pii_scrub_is_map_only(spark):
     """The PII scrub is one codegen'd projection over the scan: no exchange,
     no join, no aggregate anywhere in the plan."""
