@@ -26,10 +26,12 @@ Method, re-expressed Spark-first:
    sequential Python model in tests). Map-only: zero shuffle beyond the
    two model aggregations.
 5. **Selection**: top-k by (weight, id) — TakeOrderedAndProject, never a
-   global sort. The paper resamples with Gumbel noise; the deterministic
-   top-k form is the reproducible-pipeline variant (a seeded Gumbel can be
-   layered on the weight column by the caller if sampling variance is
-   wanted).
+   global sort. ``seed`` switches to the paper's actual procedure —
+   Gumbel-top-k resampling (top-k of ``logweight + Gumbel`` ≡ sampling k
+   items without replacement ∝ exp(logweight)) — with the Gumbel noise
+   derived from md5(seed, id), so even the "random" form is RNG-free,
+   re-run-stable, and engine-portable (the repo-wide sampling
+   convention, operators/sampling.py).
 
 Registered as ``x_dsir_select`` (rows-only: the weights embed driver-side
 ``math.log`` literals, which DuckDB's ``ln`` cannot be trusted to
@@ -125,9 +127,38 @@ def dsir_select(
     k: int,
     n: int = 2,
     num_buckets: int = 4096,
+    seed: str | None = None,
 ) -> DataFrame:
-    """The ``k`` most target-like raw documents by DSIR weight, id-tiebroken
-    for determinism — TakeOrderedAndProject over the weight column, never a
-    global sort."""
+    """The ``k`` selected raw documents — TakeOrderedAndProject over the
+    weight column, never a global sort.
+
+    ``seed=None``: deterministic top-k by (weight, id) — the
+    reproducible-pipeline variant. ``seed="..."``: the paper's
+    Gumbel-top-k resampling — top-k of ``logweight + Gumbel(0,1)``, which
+    draws k documents without replacement with probability ∝
+    exp(logweight). The Gumbel variate is ``−log(−log u)`` with ``u``
+    derived from md5(seed, id): a different seed is an independent
+    resample, the SAME seed is bit-reproducible, and no engine RNG is
+    involved."""
     w = dsir_weights(raw, target, text_col, id_col, n, num_buckets)
-    return w.orderBy(F.col("dsir_logweight").desc(), F.col(id_col)).limit(k)
+    score = F.col("dsir_logweight")
+    if seed is not None:
+        # u in (0, 1): (h + 1) / (2^60 + 1) over the 15-hex-digit md5 slice
+        # (h in [0, 2^60)), so neither log can hit log(0)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        u = (h + F.lit(1.0)) / F.lit(float(2**60) + 1.0)
+        score = score + (-F.log(-F.log(u)))
+    return (
+        w.withColumn("__dsir_score", score)
+        .orderBy(F.col("__dsir_score").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__dsir_score")
+    )

