@@ -46,6 +46,20 @@ def _is_cached(df: DataFrame) -> bool:
     return bool(lvl.useMemory or lvl.useDisk)
 
 
+def _safe_unpersist(frame: DataFrame) -> None:
+    """Unpersist ``frame`` ONLY if no frame still registered in the pool
+    shares its CacheManager entry (same object or same plan) — two sites
+    can legitimately hold same-plan frames (e.g. the substring scrub and
+    its span-audit sibling over the same corpus), and Spark deduplicates
+    them onto ONE cache entry; dropping it through one site would leave
+    the other site's consumers silently recomputing."""
+    with _LOCK:
+        remaining = list(_POOL.values())
+    if any(r is frame or _same_plan(r, frame) for r in remaining):
+        return
+    frame.unpersist(blocking=False)
+
+
 def persist_bounded(
     site: str,
     df: DataFrame,
@@ -55,16 +69,25 @@ def persist_bounded(
     previous frame (if any). Swap happens atomically under the lock; the
     unpersist runs outside it so concurrent callers cannot double-release.
 
-    Same-plan care: Spark's CacheManager deduplicates persists by logical
-    plan, so a new frame with the SAME plan as the site's current one (the
-    repeated-call shape this pool exists for) resolves to the previous
-    frame's cache entry. Unpersisting the previous frame would then drop
-    the entry the new frame believes it holds — every consumer silently
-    recomputes the "cached" lineage (observed as a 4-20× slowdown in
-    benchmark loops). So: a same-plan still-cached predecessor is reused
-    outright, and a same-plan predecessor is never unpersisted."""
+    Same-plan care — POOL-WIDE: Spark's CacheManager deduplicates persists
+    by logical plan across call sites, so a new frame whose plan matches
+    ANY pooled frame (same site on a repeated call, or a sibling operator
+    over the same input) resolves to that frame's cache entry.
+    Unpersisting such a shared entry through one site would leave every
+    other holder silently recomputing the "cached" lineage (observed as a
+    4-20× slowdown in benchmark loops). So: a same-plan still-cached frame
+    anywhere in the pool is reused outright, and no frame is unpersisted
+    while another pooled frame shares its entry."""
     with _LOCK:
         previous = _POOL.get(site)
+        others = [f for s, f in _POOL.items() if s != site]
+    for f in others:
+        if _same_plan(f, df) and _is_cached(f):
+            with _LOCK:
+                _POOL[site] = f
+            if previous is not None and previous is not f:
+                _safe_unpersist(previous)
+            return f  # share the sibling site's entry
     if previous is not None and _same_plan(previous, df):
         if _is_cached(previous):
             return previous  # one shared entry — nothing to swap
@@ -73,14 +96,15 @@ def persist_bounded(
     with _LOCK:
         prev2 = _POOL.get(site)
         _POOL[site] = df
-    if prev2 is not None and prev2 is not df and not _same_plan(prev2, df):
-        prev2.unpersist(blocking=False)
+    if prev2 is not None and prev2 is not df:
+        _safe_unpersist(prev2)
     return df
 
 
 def release_persisted(site: str | None = None) -> None:
     """Drop the frame cached for ``site``, or every pooled frame when
-    ``site`` is None."""
+    ``site`` is None. A frame whose cache entry another still-registered
+    site shares (same plan) is deregistered but not unpersisted."""
     with _LOCK:
         if site is None:
             frames = list(_POOL.values())
@@ -89,7 +113,7 @@ def release_persisted(site: str | None = None) -> None:
             f = _POOL.pop(site, None)
             frames = [f] if f is not None else []
     for f in frames:
-        f.unpersist(blocking=False)
+        _safe_unpersist(f)
 
 
 def pooled_sites() -> list[str]:

@@ -170,12 +170,29 @@ def substring_dedup(
     L = int(min_len)
     if L < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
-    # spread BEFORE the CPU-heavy gram hashing and excision expressions —
-    # a small single-file corpus otherwise serializes both into one task
-    # (no-op when the scan already parallelizes; see _spread)
+    base, dup = _dup_gram_candidates(df, text_col, id_col, L, min_count)
+    dup_starts = dup.groupBy(id_col).agg(F.collect_list("__spos").alias("__starts"))
+    return _excise_covered_spans(base, dup_starts, id_col, L, out_col)
+
+
+def _dup_gram_candidates(
+    df: DataFrame, text_col: str, id_col: str, L: int, min_count: int
+) -> tuple:
+    """Shared candidate stage of :func:`substring_dedup` and
+    :func:`duplicated_spans` — ONE copy of the hot-gram rule (corpus-wide
+    occurrence count ≥ ``min_count``, within-doc repeats counted), so the
+    tested invariant "span coverage == excised positions" cannot drift.
+    Returns ``(base, dup)``: the ``(id, __w)`` token arrays and the
+    ``(id, __spos)`` duplicated gram starts.
+
+    Spread BEFORE the CPU-heavy gram hashing and excision expressions — a
+    small single-file corpus otherwise serializes into one task (no-op when
+    the scan already parallelizes; see :func:`_spread`). The gram stream is
+    pool-persisted under ONE site for both callers: their plans coincide on
+    the same corpus, so they share a single cache entry (and the pool's
+    pool-wide same-plan protection keeps that sharing safe)."""
     df = _spread(df, id_col)
     base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
-
     # (id, start, digest) for every L-token gram; docs shorter than L have
     # no grams and can never be excised from. Pool-persisted: consumed by
     # both the occurrence count and the LeftSemi back-probe, and the md5
@@ -190,12 +207,8 @@ def substring_dedup(
         .filter(F.col("__n") >= min_count)
         .select("__gdigest")
     )
-    dup_starts = (
-        grams.join(hot, "__gdigest", "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_list("__spos").alias("__starts"))
-    )
-    return _excise_covered_spans(base, dup_starts, id_col, L, out_col)
+    dup = grams.join(hot, "__gdigest", "left_semi").select(F.col(id_col), "__spos")
+    return base, dup
 
 
 def _excise_covered_spans(
@@ -267,29 +280,19 @@ def duplicated_spans(
     overlapping or abutting windows merge into one span (their covered
     token sets are contiguous).
 
-    Same candidate machinery as :func:`substring_dedup` (gram digests →
-    occurrence count → LeftSemi); the merge itself is one window pass
-    over the duplicated-start MINORITY partitioned by doc id (running
-    max-end → new-group flag → running group sum — bounded per document,
-    embarrassingly parallel across documents), then a groupBy(id, group)
-    and one join back to the token arrays for the span text."""
+    Same candidate machinery as :func:`substring_dedup` — literally the
+    same code path, :func:`_dup_gram_candidates`, so the audited spans and
+    the scrub's excisions come from one hot-gram rule; the merge itself is
+    one window pass over the duplicated-start MINORITY partitioned by doc
+    id (running max-end → new-group flag → running group sum — bounded per
+    document, embarrassingly parallel across documents), then a
+    groupBy(id, group) and one join back to the token arrays for the span
+    text."""
     L = int(min_len)
     if L < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
-    df = _spread(df, id_col)
-    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
-    grams = persist_bounded(
-        "dedup.substring_spans.grams", _substring_grams(df, text_col, id_col, L)
-    )
-    hot = (
-        grams.groupBy("__gdigest")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= min_count)
-        .select("__gdigest")
-    )
-    dup = grams.join(hot, "__gdigest", "left_semi").select(
-        F.col(id_col), F.col("__spos"), (F.col("__spos") + L).alias("__e")
-    )
+    base, cand = _dup_gram_candidates(df, text_col, id_col, L, min_count)
+    dup = cand.select(F.col(id_col), F.col("__spos"), (F.col("__spos") + L).alias("__e"))
 
     w = W.partitionBy(id_col).orderBy("__spos")
     prev_max_end = F.max("__e").over(w.rowsBetween(W.unboundedPreceding, -1))

@@ -143,18 +143,22 @@ def dsir_select(
     w = dsir_weights(raw, target, text_col, id_col, n, num_buckets)
     score = F.col("dsir_logweight")
     if seed is not None:
-        # u in (0, 1): (h + 1) / (2^60 + 1) over the 15-hex-digit md5 slice
-        # (h in [0, 2^60)), so neither log can hit log(0)
+        # u strictly inside (0, 1): a 13-hex-digit slice gives h in
+        # [0, 2^52) — below 2^53, so h, h + 0.5, and the division are all
+        # EXACT in double; u ranges over [2^-53, 1 - 2^-53] and neither
+        # log can hit log(0). (A wider slice rounds: 15 hex digits cast to
+        # double round values near 2^60 UP, making u == 1.0 and the score
+        # silently NULL for ~2^-54 of ids.)
         h = F.conv(
             F.substring(
                 F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
                 1,
-                15,
+                13,
             ),
             16,
             10,
         ).cast("double")
-        u = (h + F.lit(1.0)) / F.lit(float(2**60) + 1.0)
+        u = (h + F.lit(0.5)) / F.lit(float(2**52))
         score = score + (-F.log(-F.log(u)))
     return (
         w.withColumn("__dsir_score", score)

@@ -208,15 +208,16 @@ def test_substring_dedup_never_pairwise(spark):
     with array-expression excision — never a cartesian/nested-loop join.
     Exactly ONE Generate (the gram posexplode, pool-persisted so both
     consumers read the cached rows): the corpus is never token-exploded
-    for reassembly, and the gram hashing never runs twice. The pool site
-    is released first — a MATERIALIZED cache entry left by an earlier
-    test renders its stored adaptive plan inside the explain, which
+    for reassembly, and the gram hashing never runs twice. The whole pool
+    is released first — a MATERIALIZED cache entry left by ANY earlier
+    test (the span audit shares this plan under CacheManager dedup)
+    renders its stored adaptive plan inside the explain, which
     double-counts nodes."""
     import re
 
     from eth_indexer_spark.operators._persist import release_persisted
 
-    release_persisted("dedup.substring.grams")
+    release_persisted()
     plan = plan_of(extensions.x_substring_dedup(spark, SF))
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan

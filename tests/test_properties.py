@@ -413,3 +413,31 @@ def test_substring_dedup_matches_model(spark, docs, L, min_count):
         ).collect()
     }
     assert got == want
+
+
+def test_bounded_persist_pool_cross_site_same_plan_shares_entry(spark):
+    """Two SITES registering same-plan frames (the substring scrub and its
+    span-audit sibling over one corpus) share one CacheManager entry: the
+    second site must reuse the first's frame; a swap or release through
+    ONE site must not drop the entry the other still holds; releasing the
+    LAST holder finally unpersists."""
+    from eth_indexer_spark.operators import _persist as P
+
+    df = spark.range(7).withColumnRenamed("id", "k")
+    a = P.persist_bounded("t.siteA", df)
+    a.count()
+    # same plan, different site → the pooled frame is shared outright
+    b = P.persist_bounded("t.siteB", spark.range(7).withColumnRenamed("id", "k"))
+    assert b is a
+    assert P.pooled_sites() == ["t.siteA", "t.siteB"]
+
+    # swapping siteA to a DIFFERENT plan must not unpersist the shared
+    # entry siteB still holds
+    other = P.persist_bounded("t.siteA", spark.range(3))
+    assert other is not a
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+
+    # releasing siteB — now the last holder — finally unpersists
+    P.release_persisted("t.siteB")
+    assert not a.storageLevel.useMemory and not a.storageLevel.useDisk
+    P.release_persisted()
