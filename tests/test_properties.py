@@ -423,6 +423,7 @@ def test_bounded_persist_pool_cross_site_same_plan_shares_entry(spark):
     LAST holder finally unpersists."""
     from eth_indexer_spark.operators import _persist as P
 
+    P.release_persisted()  # earlier tests may leave operator sites pooled
     df = spark.range(7).withColumnRenamed("id", "k")
     a = P.persist_bounded("t.siteA", df)
     a.count()
