@@ -540,11 +540,12 @@ class ParquetStore:
     # -- reads ---------------------------------------------------------------
 
     def read(self, table: str) -> DataFrame:
-        """Scan one table. Block-keyed tables come back with the physical
-        ``block_bucket`` partition column dropped — callers see the logical
-        schema; range predicates still prune because `read_range` injects
-        the bucket predicate."""
-        df = self.spark.read.parquet(self.path(table))
+        """Scan one table. Physical partition columns come back dropped —
+        ``block_bucket`` on block-keyed tables, ``ingest_delta`` on
+        delta-appended dimensions — so callers see the logical schema;
+        range predicates still prune because `read_range` injects the
+        bucket predicate."""
+        df = self.spark.read.parquet(self.path(table)).drop("ingest_delta")
         return df.drop(_BUCKET) if table in BLOCK_COLUMN else df
 
     def max_block(self, table: str) -> int | None:
@@ -1026,12 +1027,59 @@ class ParquetStore:
         """Append rows to a dimension (reorgs audit rows), dedup on key.
         The read-merge-swap runs under ONE lock acquisition (the flock is
         reentrant within the owning store), so the live rows read here
-        cannot be swapped out between the read and the commit."""
+        cannot be swapped out between the read and the commit.
+
+        Read-merge-swap is O(history) per call — right for small audit
+        dims, wrong for per-batch state that only grows (index tables in a
+        crawl loop): use :meth:`append_dimension_delta` there."""
         if self.exists(table):
             merged = self.read(table).unionByName(df)
         else:
             merged = df
         self.update_dimension(table, merged)
+
+    @_locked
+    def append_dimension_delta(self, table: str, df: DataFrame, delta: str) -> None:
+        """O(batch) append: land ``df`` as one immutable delta partition of
+        ``table`` (directory ``ingest_delta=<delta>``), atomically — the rows are
+        staged to a tmp dir and made visible by ONE directory rename, so a
+        concurrent reader sees the whole delta or none of it.
+
+        **Replay-idempotent by construction**: re-appending an existing
+        ``delta`` name is a no-op, so a ``foreachBatch`` caller that names
+        deltas by batch id gets exactly-once appends across restarts AND
+        mid-batch crash replays — stronger than a progress marker, which
+        only covers fully-applied batches. An empty ``df`` is skipped
+        entirely (a part-less delta dir would poison the table scan).
+
+        A delta table must be delta-only: mixing root-level files written
+        by :meth:`update_dimension` with ``ingest_delta=`` partition dirs breaks
+        Spark's partition discovery. :meth:`read` strips the ``ingest_delta``
+        column, so consumers see the logical schema. Crash before the
+        rename leaves only a tmp dir that the next attempt of the SAME
+        (table, delta) clears; a permanently abandoned attempt leaves one
+        orphan ``__tmp_delta_*`` dir (never visible to readers)."""
+        dest = os.path.join(self.path(table), f"ingest_delta={delta}")
+        if os.path.isdir(dest):
+            return
+        tmp = os.path.join(self.root, f"__tmp_delta_{table}_{delta}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        if not any(f.startswith("part-") for f in os.listdir(tmp)):
+            shutil.rmtree(tmp, ignore_errors=True)  # empty delta: nothing to land
+            return
+        os.makedirs(self.path(table), exist_ok=True)
+        os.rename(tmp, dest)
+
+    def read_deltas(self, table: str) -> DataFrame:
+        """Scan a delta-appended dimension WITH its ``ingest_delta`` partition
+        column. The replay-correctness primitive: a replayed batch must
+        read its PRIOR state — every delta EXCEPT its own — or its own
+        half-landed contribution would masquerade as pre-existing corpus
+        (e.g. the batch's digests would mark its documents as "already
+        deduped" and they would vanish). Filter ``ingest_delta != <own>`` and
+        recompute; appends then converge (existing deltas no-op)."""
+        return self.spark.read.parquet(self.path(table))
 
 
 class StoreSnapshot:

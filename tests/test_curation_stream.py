@@ -1,0 +1,129 @@
+"""Streaming curation shell scenarios: the incremental dedup family bound
+to foreachBatch against the store (streaming/curation.py), plus the
+store's delta-append primitive it rides on."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from eth_indexer_spark.sinks.store import ParquetStore
+from eth_indexer_spark.streaming.curation import make_curation_batch_fn
+
+S = "red gold blue gray"  # the planted duplicated 4-token span
+
+
+def _batches(spark):
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    b0 = mk([(1, "hello world one two"), (2, "hello world one two"),
+             (3, f"{S} tail3")])
+    b1 = mk([(4, "hello world one two"), (5, f"head5 {S}"),
+             (6, "six unique tokens here")])
+    b2 = mk([(7, f"{S} tail7")])
+    return [b0, b1, b2]
+
+
+EXPECT = {
+    1: "hello world one two",   # within-batch exact dup of 2: min id wins
+    3: f"{S} tail3",            # S count 1 at b0 — kept whole (forward-only)
+    5: "head5",                 # S's 2nd occurrence: excised
+    6: "six unique tokens here",
+    7: "tail7",                 # S's 3rd occurrence: excised
+}
+
+
+def _curated(store):
+    return {
+        r["doc_id"]: r["clean_text"]
+        for r in store.read("curated_documents").collect()
+    }
+
+
+def test_curation_stream_end_to_end(spark, tmp_path):
+    """Three micro-batches through the shell: cross-batch exact dups drop,
+    the duplicated span is excised from its 2nd occurrence onward, earlier
+    landed docs are not retroactively re-scrubbed, and the stored indexes
+    advance to exactly the from-scratch state of the kept raw docs."""
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    fn = make_curation_batch_fn(store, min_len=4)
+    for i, b in enumerate(_batches(spark)):
+        fn(b, i)
+
+    assert _curated(store) == EXPECT
+
+    # digest index = one row per distinct kept text
+    digests = store.read("digest_index").collect()
+    assert {r["keep_id"] for r in digests} == {1, 3, 5, 6, 7}
+
+    # gram index aggregates to the from-scratch counts over the kept RAW
+    # docs (pre-scrub text — S must stay indexed after its first excision)
+    from eth_indexer_spark.operators.dedup import substring_gram_index
+
+    kept_raw = spark.createDataFrame(
+        [(1, "hello world one two"), (3, f"{S} tail3"), (5, f"head5 {S}"),
+         (6, "six unique tokens here"), (7, f"{S} tail7")],
+        "doc_id long, text string",
+    )
+    stored = {
+        (r["gdigest"], r["cnt"])
+        for r in store.read("substring_gram_index")
+        .groupBy("gdigest", "gram_len")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    scratch = {
+        (r["gdigest"], r["cnt"])
+        for r in substring_gram_index(kept_raw, "text", "doc_id", min_len=4).collect()
+    }
+    assert stored == scratch
+
+
+def test_curation_stream_replay_is_exactly_once(spark, tmp_path):
+    """Full replay of a completed batch is a no-op, and a mid-crash replay
+    (docs delta lost, state deltas landed) reconstructs the identical docs
+    delta — no duplicates, no lost documents."""
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    fn = make_curation_batch_fn(store, min_len=4)
+    batches = _batches(spark)
+    for i, b in enumerate(batches):
+        fn(b, i)
+    before = _curated(store)
+    n_digest = store.read("digest_index").count()
+
+    # full replay of batch 1: every delta exists → pure no-op
+    fn(batches[1], 1)
+    assert _curated(store) == before
+    assert store.read("digest_index").count() == n_digest
+
+    # mid-crash replay: batch 1's docs delta vanishes (crash before the
+    # rename), its digest/gram deltas survived; the replay must read PRIOR
+    # state (not its own digests!) and land the identical docs again
+    docs_delta = os.path.join(store.path("curated_documents"), "ingest_delta=b1")
+    shutil.rmtree(docs_delta)
+    assert {5, 6} - set(_curated(store)) == {5, 6}
+    fn(batches[1], 1)
+    assert _curated(store) == before
+    assert store.read("digest_index").count() == n_digest
+
+
+def test_append_dimension_delta_idempotent_and_clean_schema(spark, tmp_path):
+    """Delta appends: re-appending an existing delta name is a no-op, an
+    empty frame adds no rows and poisons nothing, read() hides the
+    ingest_delta partition column while read_deltas() exposes it."""
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    store.append_dimension_delta("t", df, "b0")
+    store.append_dimension_delta("t", spark.createDataFrame([(9, "z")], "k long, v string"), "b0")
+    assert [(r["k"], r["v"]) for r in store.read("t").collect()] == [(1, "a")]
+    assert store.read("t").columns == ["k", "v"]
+    assert set(store.read_deltas("t").columns) == {"k", "v", "ingest_delta"}
+
+    # an empty frame adds no rows whether its write emits an empty part
+    # file (limit(0)) or no part files at all (the skip guard)
+    store.append_dimension_delta("t", df.limit(0), "b1")
+    assert store.read("t").count() == 1
+
+    store.append_dimension_delta("t", spark.createDataFrame([(2, "b")], "k long, v string"), "b2")
+    assert store.read("t").count() == 2
