@@ -545,7 +545,9 @@ class ParquetStore:
         delta-appended dimensions — so callers see the logical schema;
         range predicates still prune because `read_range` injects the
         bucket predicate."""
-        df = self.spark.read.parquet(self.path(table)).drop("ingest_delta")
+        df = self.spark.read.parquet(self.path(table))
+        if self._is_delta_table(table):
+            df = df.drop("ingest_delta")
         return df.drop(_BUCKET) if table in BLOCK_COLUMN else df
 
     def max_block(self, table: str) -> int | None:
@@ -1054,12 +1056,36 @@ class ParquetStore:
 
         A delta table must be delta-only: mixing root-level files written
         by :meth:`update_dimension` with ``ingest_delta=`` partition dirs breaks
-        Spark's partition discovery. :meth:`read` strips the ``ingest_delta``
-        column, so consumers see the logical schema. Crash before the
-        rename leaves only a tmp dir that the next attempt of the SAME
-        (table, delta) clears; a permanently abandoned attempt leaves one
-        orphan ``__tmp_delta_*`` dir (never visible to readers)."""
-        dest = os.path.join(self.path(table), f"ingest_delta={delta}")
+        Spark's partition discovery — enforced here (fail at the append,
+        not at some later read far from the misuse). :meth:`read` strips
+        the ``ingest_delta`` column, so consumers see the logical schema.
+        Crash before the rename leaves only a tmp dir that the next
+        attempt of the SAME (table, delta) clears; a permanently abandoned
+        attempt leaves one orphan ``__tmp_delta_*`` dir (never visible to
+        readers).
+
+        ``delta`` is restricted to ``[A-Za-z0-9_.-]``: Spark URL-escapes
+        partition values, so a name containing ``%``/``/``/``=`` would
+        read back as a DIFFERENT ``ingest_delta`` value than was written
+        and silently break the replay-idempotence filter."""
+        if not delta or not all(
+            c.isalnum() or c in "_.-" for c in delta
+        ):
+            raise ValueError(
+                f"delta name {delta!r} must be non-empty [A-Za-z0-9_.-]: "
+                "Spark escapes other chars in partition values, breaking "
+                "replay idempotence"
+            )
+        root = self.path(table)
+        if os.path.isdir(root) and any(
+            n.startswith("part-") for n in os.listdir(root)
+        ):
+            raise ValueError(
+                f"table {table!r} holds root-level files written by "
+                "update_dimension/append_dimension; a delta-appended table "
+                "must be delta-only (mixed layouts break partition discovery)"
+            )
+        dest = os.path.join(root, f"ingest_delta={delta}")
         if os.path.isdir(dest):
             return
         tmp = os.path.join(self.root, f"__tmp_delta_{table}_{delta}")
@@ -1068,8 +1094,18 @@ class ParquetStore:
         if not any(f.startswith("part-") for f in os.listdir(tmp)):
             shutil.rmtree(tmp, ignore_errors=True)  # empty delta: nothing to land
             return
-        os.makedirs(self.path(table), exist_ok=True)
+        os.makedirs(root, exist_ok=True)
         os.rename(tmp, dest)
+
+    def _is_delta_table(self, table: str) -> bool:
+        """True when ``table`` is laid out as delta partitions (has at least
+        one ``ingest_delta=`` dir) — gates the ``ingest_delta`` column drop
+        in :meth:`read` so the name is not silently reserved on plain
+        dimensions whose DATA may legitimately contain such a column."""
+        p = self.path(table)
+        return os.path.isdir(p) and any(
+            n.startswith("ingest_delta=") for n in os.listdir(p)
+        )
 
     def read_deltas(self, table: str) -> DataFrame:
         """Scan a delta-appended dimension WITH its ``ingest_delta`` partition

@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from eth_indexer_spark.operators._persist import persist_bounded
 from eth_indexer_spark.operators.dedup import (
     incremental_dedup,
     incremental_substring_dedup,
@@ -83,9 +84,17 @@ def make_curation_batch_fn(
             )
 
         digest_idx = prior(digest_table, "digest string, keep_id long")
-        keep = incremental_dedup(batch, digest_idx, text_col, id_col)
-        fresh = batch.join(
-            keep.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+        # pool-persisted: the three append jobs below each execute their
+        # full upstream otherwise — the batch scan, the digest-index read,
+        # and both dedup joins would run three times per micro-batch
+        keep = persist_bounded(
+            "curation.keep", incremental_dedup(batch, digest_idx, text_col, id_col)
+        )
+        fresh = persist_bounded(
+            "curation.fresh",
+            batch.join(
+                keep.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+            ),
         )
 
         # delta rows aggregate at read: one immutable partition per batch

@@ -127,3 +127,34 @@ def test_append_dimension_delta_idempotent_and_clean_schema(spark, tmp_path):
 
     store.append_dimension_delta("t", spark.createDataFrame([(2, "b")], "k long, v string"), "b2")
     assert store.read("t").count() == 2
+
+
+def test_append_dimension_delta_rejects_unsafe_names_and_mixed_layout(spark, tmp_path):
+    """Delta names outside [A-Za-z0-9_.-] would read back URL-unescaped as
+    a DIFFERENT partition value (breaking replay idempotence) — rejected at
+    the append; so is appending a delta to a table holding root-level
+    update_dimension files (mixed layouts break partition discovery at
+    some LATER read, far from the misuse)."""
+    import pytest
+
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    for bad in ("a%20b", "a/b", "a=b", "", "a b"):
+        with pytest.raises(ValueError, match="delta name"):
+            store.append_dimension_delta("t", df, bad)
+
+    store.update_dimension("dim", df)
+    with pytest.raises(ValueError, match="delta-only"):
+        store.append_dimension_delta("dim", df, "b0")
+
+
+def test_read_keeps_real_ingest_delta_columns_on_plain_dims(spark, tmp_path):
+    """The ingest_delta drop is gated on the table actually being
+    delta-partitioned: a plain dimension whose DATA has an ingest_delta
+    column round-trips intact."""
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame([(1, "b7")], "k long, ingest_delta string")
+    store.update_dimension("audit", df)
+    got = store.read("audit")
+    assert set(got.columns) == {"k", "ingest_delta"}
+    assert got.collect()[0]["ingest_delta"] == "b7"
