@@ -108,6 +108,50 @@ def test_curation_stream_replay_is_exactly_once(spark, tmp_path):
     assert store.read("digest_index").count() == n_digest
 
 
+def test_curation_under_real_structured_streaming(spark, tmp_path):
+    """The shell wired to an ACTUAL Structured Streaming query — file
+    source, maxFilesPerTrigger=1 (one micro-batch per staged file, mtimes
+    pinning arrival order), foreachBatch, checkpointing, availableNow —
+    must land the same curated state as direct invocation."""
+    import glob
+
+    d = tmp_path / "in"
+    d.mkdir()
+    for i, b in enumerate(_batches(spark)):
+        stage = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = str(d / f"b{i}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream.writeStream.foreachBatch(make_curation_batch_fn(store, min_len=4))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _curated(store) == EXPECT
+
+    # restart over the same source + checkpoint: nothing new to process,
+    # state unchanged (the checkpoint + delta idempotence compose)
+    q2 = (
+        stream.writeStream.foreachBatch(make_curation_batch_fn(store, min_len=4))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert _curated(store) == EXPECT
+
+
 def test_append_dimension_delta_idempotent_and_clean_schema(spark, tmp_path):
     """Delta appends: re-appending an existing delta name is a no-op, an
     empty frame adds no rows and poisons nothing, read() hides the
