@@ -1088,3 +1088,49 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
         .join(cc, "doc", "left")
         .select("doc", F.coalesce("cluster", F.col("doc")).alias("cluster"))
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    id_col: str = "doc",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Canonical-document selection — the step between clustering and the
+    final corpus: for each duplicate cluster keep the HIGHEST-scoring
+    member (ties broken to the smallest id), instead of the arbitrary
+    min-id convention. This is how production dedup pipelines pick which
+    copy of a near-dup family survives: score by quality and keep the best
+    page, not the first-crawled one.
+
+    ``clusters`` is ``(id_col, cluster_col)`` (the
+    :func:`dedup_clusters` output); ``scores`` is ``(id_col, score_col)``
+    — e.g. ``functions.text.quality_score``. Returns
+    ``(cluster, keep_id, best_score, n_members)``.
+
+    100 TB shape: deliberately NOT a window — ``row_number() OVER
+    (PARTITION BY cluster)`` puts an entire cluster in one task, and the
+    boilerplate mega-cluster every web corpus contains would be a straggler.
+    Instead a single ``max(struct(score, -id, id))`` aggregation: map-side
+    partial combine shrinks each cluster to one candidate per task BEFORE
+    the one shuffle, so even a cluster spanning the whole corpus costs
+    O(#partitions) reduce-side work."""
+    joined = clusters.join(scores.select(F.col(id_col), F.col(score_col)), id_col)
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"),
+            (-F.col(id_col)).alias("neg"),
+            F.col(id_col).alias("kid"),
+        )
+    )
+    return (
+        joined.groupBy(cluster_col)
+        .agg(best.alias("__b"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            F.col(cluster_col),
+            F.col("__b.kid").alias("keep_id"),
+            F.col("__b.s").alias("best_score"),
+            F.col("n_members"),
+        )
+    )

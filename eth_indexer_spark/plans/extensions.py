@@ -988,6 +988,217 @@ def x_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.unigram_lm_score(d, "text", "doc_id")
 
 
+@register(
+    "x_quality_gopher",
+    """
+    WITH m AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS w,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) > 0 THEN len(w) ELSE 0 END AS n_words,
+               list_sum(list_transform(w, x -> length(x))) AS char_sum,
+               length(text) - length(replace(text, '#', ''))
+                 + len(regexp_extract_all(text, '\\.{3}'))
+                 + length(text) - length(replace(text, '…', '')) AS n_symbols,
+               len(list_filter(lines,
+                   l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+               len(list_filter(lines,
+                   l -> l LIKE '%...' OR l LIKE '%…')) AS n_ellip,
+               len(lines) AS n_lines,
+               len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+               len(list_intersect(
+                   list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                   ['the', 'a'])) AS n_req_stopwords
+        FROM m
+    ),
+    r AS (
+        SELECT doc_id, n_words,
+               CASE WHEN n_words > 0
+                    THEN ROUND(char_sum * 1.0 / n_words, 4) ELSE 0.0 END
+                   AS mean_word_len,
+               CASE WHEN n_words > 0
+                    THEN ROUND(n_symbols * 1.0 / n_words, 4) ELSE 0.0 END
+                   AS symbol_ratio,
+               CASE WHEN n_lines > 0
+                    THEN ROUND(n_bullet * 1.0 / n_lines, 4) ELSE 0.0 END
+                   AS bullet_line_frac,
+               CASE WHEN n_lines > 0
+                    THEN ROUND(n_ellip * 1.0 / n_lines, 4) ELSE 0.0 END
+                   AS ellipsis_line_frac,
+               CASE WHEN n_words > 0
+                    THEN ROUND(n_alpha * 1.0 / n_words, 4) ELSE 0.0 END
+                   AS alpha_word_frac,
+               n_req_stopwords
+        FROM s
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+           ellipsis_line_frac, alpha_word_frac, n_req_stopwords,
+           (n_words >= 30 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+            AND n_req_stopwords >= 2) AS keep
+    FROM r
+    """,
+)
+def x_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-battery quality filter (operators/quality.py:
+    gopher_rules — Rae et al. 2021 §A.1.1): word-count / mean-word-length /
+    symbol-ratio / bullet / ellipsis / alpha-word / stopword rules with
+    per-rule evidence columns and the keep verdict. Pure Column
+    expressions — map-only, zero shuffle. The stopword set is adapted to
+    the synthetic corpus's vocabulary ('the', 'a'); thresholds otherwise
+    Gopher defaults except min_words=30 (the corpus median is ~50 words,
+    so the default 50 would make the rule one-sided)."""
+    from eth_indexer_spark.operators import quality
+
+    d = _t(spark, sf_dir, "documents")
+    return quality.gopher_rules(
+        d, "text", "doc_id", min_words=30,
+        required_stopwords=("the", "a"), min_required_stopwords=2,
+    )
+
+
+@register(
+    "x_c4_clean",
+    """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    lines AS (
+        SELECT doc_id,
+               [array_to_string(w[st+1 : st+4], ' ')
+                  || (CASE WHEN st % 12 < 8 THEN '.' ELSE '' END)
+                for st in range(0, len(w), 4)] AS ls
+        FROM docs
+    ),
+    kept AS (
+        SELECT doc_id,
+               list_filter(ls, x ->
+                   (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR x LIKE '%"')
+                   AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3
+                   AND NOT contains(lower(x), 'javascript')) AS ks,
+               array_to_string(ls, chr(10)) AS full_text
+        FROM lines
+    )
+    SELECT doc_id, array_to_string(ks, chr(10)) AS clean_text,
+           len(ks) AS n_lines_kept
+    FROM kept
+    WHERE len(ks) >= 3
+      AND NOT contains(lower(full_text), 'lorem ipsum')
+      AND NOT contains(full_text, '{')
+    """,
+)
+def x_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (operators/quality.py:c4_line_filter —
+    Raffel et al. 2020 §2.2): terminal-punctuation + min-words-per-line +
+    banned-token line rules, then the doc-level min-lines / lorem-ipsum /
+    curly-brace drops. The corpus is single-line word soup, so the query
+    segments each doc into 4-word lines and deterministically punctuates
+    two of every three (st % 12 < 8 — the same synthesized-lines trick as
+    x_line_dedup), giving every rule real work. Map-only, zero shuffle."""
+    from eth_indexer_spark.operators import quality
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(4))
+    mk = lambda st: F.concat(  # noqa: E731
+        F.concat_ws(" ", F.slice(words, st + 1, 4)),
+        F.when(st % 12 < 8, F.lit(".")).otherwise(F.lit("")),
+    )
+    d2 = d.select(
+        "doc_id", F.array_join(F.transform(starts, mk), "\n").alias("text")
+    )
+    return quality.c4_line_filter(d2, "text", "doc_id")
+
+
+@register(
+    "x_cluster_keep_best",
+    """
+    WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM docs WHERE len(w) >= 3
+    ),
+    e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    keep AS (SELECT s FROM e0 GROUP BY s HAVING COUNT(*) <= 5),
+    e AS (SELECT e0.doc_id, e0.s FROM e0 JOIN keep USING (s)),
+    co AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+    pairs AS (
+        SELECT i, j
+        FROM co JOIN sizes si ON i = si.doc_id JOIN sizes sj ON j = sj.doc_id
+        WHERE inter * 1.0 / (si.n + sj.n - inter) >= 0.5
+    ),
+    ed AS (SELECT i AS u, j AS v FROM pairs UNION ALL SELECT j AS u, i AS v FROM pairs),
+    reach(src, dst) AS (
+        SELECT u, v FROM ed
+        UNION
+        SELECT r.src, ed.v FROM reach r JOIN ed ON r.dst = ed.u
+    ),
+    cl AS (SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src),
+    allc AS (
+        SELECT d.doc_id AS doc, COALESCE(cl.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc
+    ),
+    qm AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(text, '\\s+')) AS t,
+               len(regexp_extract_all(text, '[a-zA-Z]')) * 1.0 / length(text) AS alpha,
+               len(list_filter(string_split(lower(text), ' '),
+                               w -> w IN ('the','a','and','of','to','in','is','it','that','for'))) * 1.0
+               / len(string_split(lower(text), ' ')) AS stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               ROUND(0.4 * LEAST(t / 64.0, 1.0)
+                     + 0.4 * ROUND(alpha, 4)
+                     + 0.2 * LEAST(ROUND(stop, 4) * 5, 1.0), 5) AS quality
+        FROM qm
+    ),
+    r AS (
+        SELECT a.cluster, a.doc, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY a.cluster
+                                  ORDER BY q.quality DESC, a.doc ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY a.cluster) AS n_members
+        FROM allc a JOIN q ON a.doc = q.doc_id
+    )
+    SELECT cluster, doc AS keep_id, quality AS best_quality, n_members
+    FROM r WHERE rk = 1
+    """,
+)
+def x_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per duplicate cluster
+    (operators/dedup.py:cluster_representatives): the same capped
+    ngram-Jaccard pairs + connected components as x_dedup_clusters, then
+    keep the highest-quality member of each cluster (ties to the smallest
+    id) instead of the arbitrary min-id. One max(struct) aggregation with
+    map-side combine — deliberately not a window, so a boilerplate
+    mega-cluster cannot straggle a single task. Fully oracle-checked
+    (recursive-CTE closure + window argmax on the DuckDB side)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_capped(
+        d, "text", "doc_id", k=3, threshold=0.5, max_df=5
+    )
+    cl = dedup.dedup_clusters(d, pairs, "doc_id")
+    scores = d.select(
+        F.col("doc_id").cast("long").alias("doc"),
+        tx.quality_score("text").alias("quality"),
+    )
+    return dedup.cluster_representatives(
+        cl, scores, "quality", id_col="doc"
+    ).withColumnRenamed("best_score", "best_quality")
+
+
 @register("x_dsir_select")  # weights embed driver-side math.log literals →
 # rows-only check (DuckDB ln is not ulp-identical to Python's; pytest pins
 # the weights bit-exactly against a sequential Python model instead)

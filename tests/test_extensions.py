@@ -1632,3 +1632,98 @@ def test_rhp_ann_probe_hamming_two_probes_wider(emb):
     assert n0 <= n1 <= n2 <= nall
     assert n2 > n1 or n1 == nall  # distance-2 buckets genuinely probed
     assert nall == emb.count()
+
+
+def test_gopher_rules_hand_computed(spark):
+    """One document per rule, thresholds chosen so exactly that rule fires:
+    min/max word count, mean word length, symbol ratio, ellipsis lines,
+    bullet lines, alpha-word fraction, required stopwords — plus a clean
+    pass and the empty-document edge."""
+    from eth_indexer_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat mat"),                                   # pass
+            (2, "the"),                                               # min_words
+            (3, "the aa bb cc dd ee ff gg hh ii jj kk ll"),           # max_words
+            (4, "a b c the"),                                         # mean len low
+            (5, "the cat ### sat"),                                   # symbols
+            (6, "the cat sat...\nand dog ran..."),                    # ellipsis lines
+            (7, "- the cat\n- and dog\nplain line here"),             # bullet lines
+            (8, "the 123 456 789"),                                   # alpha words
+            (9, "cat dog sat mat"),                                   # stopwords
+            (10, ""),                                                 # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality.gopher_rules(
+            df, "text", "doc_id",
+            min_words=3, max_words=12,
+            min_mean_word_len=2.0, max_mean_word_len=5.0,
+            max_symbol_ratio=0.4,
+            max_bullet_line_frac=0.5, max_ellipsis_line_frac=0.5,
+            min_alpha_word_frac=0.6,
+            required_stopwords=("the", "and"), min_required_stopwords=1,
+        ).collect()
+    }
+    assert {k for k, r in out.items() if r["keep"]} == {1}
+    assert out[1]["mean_word_len"] == 3.0
+    assert out[2]["n_words"] == 1
+    assert out[3]["n_words"] == 13
+    assert out[4]["mean_word_len"] == 1.5
+    assert out[5]["symbol_ratio"] == 0.75
+    assert out[6]["ellipsis_line_frac"] == 1.0
+    assert out[6]["symbol_ratio"] == 0.3333  # two '...' over six words: passes
+    assert out[7]["bullet_line_frac"] == 0.6667
+    assert out[8]["alpha_word_frac"] == 0.25
+    assert out[9]["n_req_stopwords"] == 0
+    assert out[10]["n_words"] == 0 and not out[10]["keep"]
+
+
+def test_c4_line_filter_hand_computed(spark):
+    """Line rules: terminal punctuation, >=3 words, no 'javascript';
+    doc rules: >=3 surviving lines, no 'lorem ipsum', no '{'."""
+    from eth_indexer_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [
+            (1, "This is good.\nbad line\nAlso quite good!\nIs it ok?\nShort."),
+            (2, "Enable javascript to view.\nThe second line stays.\n"
+                "And the third line stays.\nFourth good line here."),
+            (3, "One good line here.\nTwo good lines here."),
+            (4, "Contains lorem ipsum filler.\nGood line number two.\n"
+                "Good line number three."),
+            (5, "var x = {.\nGood line two here.\nGood line three here."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality.c4_line_filter(df, "text", "doc_id").collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["clean_text"] == "This is good.\nAlso quite good!\nIs it ok?"
+    assert out[1]["n_lines_kept"] == 3
+    assert out[2]["n_lines_kept"] == 3
+    assert "javascript" not in out[2]["clean_text"]
+
+
+def test_cluster_representatives_hand_computed(spark):
+    """Argmax-quality doc per cluster, ties to the smallest id; singleton
+    clusters keep themselves."""
+    from eth_indexer_spark.operators import dedup
+
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)], "doc long, cluster long"
+    )
+    sc = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7), (4, 0.7), (5, 0.2)],
+        "doc long, quality double",
+    )
+    out = {
+        r["cluster"]: (r["keep_id"], r["best_score"], r["n_members"])
+        for r in dedup.cluster_representatives(cl, sc, "quality").collect()
+    }
+    assert out == {1: (2, 0.9, 2), 3: (3, 0.7, 2), 5: (5, 0.2, 1)}

@@ -288,3 +288,24 @@ def test_incremental_minhash_prunes_corpus_with_semi_joins(spark):
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_and_c4_are_map_only(spark):
+    """Gopher rules and C4 line cleaning are pure Column expressions: any
+    Exchange means a per-document filter regressed into a corpus shuffle."""
+    for fn in (extensions.x_quality_gopher, extensions.x_c4_clean):
+        plan = plan_of(fn(spark, SF))
+        assert "Exchange" not in plan, fn.__name__
+
+
+def test_cluster_representatives_is_aggregation_not_window(spark):
+    """Canonical selection must stay a max(struct) aggregation with a
+    map-side partial phase: a row_number window would serialize each
+    cluster into one task and a boilerplate mega-cluster would straggle."""
+    from eth_indexer_spark.operators import dedup
+
+    cl = spark.createDataFrame([(1, 1), (2, 1)], "doc long, cluster long")
+    sc = spark.createDataFrame([(1, 0.5), (2, 0.9)], "doc long, quality double")
+    plan = plan_of(dedup.cluster_representatives(cl, sc, "quality"))
+    assert "Window" not in plan
+    assert "partial_max" in plan
