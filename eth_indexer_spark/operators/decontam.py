@@ -89,6 +89,60 @@ def contamination_flags(
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 13,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Contamination SEVERITY per document: ``(id, n_grams, n_hit_grams,
+    overlap_frac, contaminated)`` — the inspect-before-you-scrub report
+    (the :func:`~eth_indexer_spark.operators.dedup.duplicated_spans`
+    analog for decontamination). A binary flag treats a document sharing 1
+    of its 500 k-grams with the benchmark the same as a verbatim eval-set
+    copy; the overlap fraction is what lets a pipeline pick the drop
+    threshold (GPT-3 App. C-style conservative vs aggressive cleaning)
+    before committing to a cut.
+
+    Same scale shape as :func:`contamination_flags`: the benchmark gram
+    set is broadcast (map-only corpus scan), the hit marking rides the
+    SAME exploded gram stream as the total count (one left join + one
+    groupBy on the doc id), and the corpus is scanned exactly ONCE:
+    ``explode_outer`` keeps documents shorter than ``k`` words as a
+    null-gram row — ``count(gram)`` ignores it, so they come back with
+    zero counts instead of vanishing, with no second id-restore scan
+    (plan-audited)."""
+    grams = benchmark_ngrams(bench, text_col, k).withColumn("__bench", F.lit(True))
+    if broadcast_bench:
+        grams = F.broadcast(grams)
+    doc_grams = docs.select(
+        F.col(id_col), F.explode_outer(word_shingles(text_col, k)).alias("gram")
+    )
+    per = (
+        doc_grams.join(grams, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gram").alias("__n"),
+            F.sum(F.when(F.col("__bench"), 1).otherwise(0))
+            .cast("long")
+            .alias("__hit"),
+        )
+    )
+    n_grams = F.col("__n")
+    n_hits = F.coalesce("__hit", F.lit(0)).cast("long")
+    return per.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        n_hits.alias("n_hit_grams"),
+        F.when(n_grams > 0, F.round(n_hits.cast("double") / n_grams, 4))
+        .otherwise(F.lit(0.0))
+        .alias("overlap_frac"),
+        (n_hits > 0).alias("contaminated"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,

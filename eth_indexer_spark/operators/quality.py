@@ -141,6 +141,7 @@ def gopher_rules(
     min_alpha_word_frac: float = 0.8,
     required_stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
     min_required_stopwords: int = 2,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher/MassiveText quality-rule filter (Rae et al. 2021 §A.1.1) —
     the standard rule battery applied to every web-scale English corpus
@@ -163,6 +164,11 @@ def gopher_rules(
 
     Words are whitespace runs (``\\s+`` on the trimmed text), lines are
     ``\\n``-separated; empty documents yield 0 words and ``keep = false``.
+
+    ``passthrough`` names input columns to carry into the output, so a
+    pipeline can filter on ``keep`` without re-joining the metrics back to
+    the corpus on the id (which would turn a map-only stage into a
+    shuffle).
     """
     c = F.col(text_col)
     words = F.split(F.trim(c), r"\s+")
@@ -222,6 +228,7 @@ def gopher_rules(
 
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n_words.alias("n_words"),
         mean_word_len.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),

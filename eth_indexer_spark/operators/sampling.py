@@ -99,6 +99,68 @@ def stratified_sample(
     return out.withColumnRenamed("__rn", rank_col)
 
 
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.3,
+    target_fraction: float = 1.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual sampling
+    standard (mT5 / XLM-R style): sample groups proportional to
+    ``p_g^alpha`` so low-resource sources are up-weighted relative to
+    their share (``alpha=1`` keeps natural proportions, ``alpha→0``
+    approaches uniform-over-groups). ``target_fraction`` is the overall
+    share of the corpus to keep.
+
+    Per-group keep rates are derived by deterministic water-filling: a
+    group whose temperature share exceeds its size keeps everything (rate
+    capped at 1) and its excess budget is redistributed over the remaining
+    groups — iterated to a fixpoint, in sorted group order so the float
+    accumulation is bit-reproducible run-to-run. The actual row filter is
+    :func:`weighted_mix` (md5 bucket < quantized threshold): zero-shuffle,
+    RNG-free, nested across sweeps of ``alpha``.
+
+    Scale shape: ONE skinny groupBy for the per-group counts (bounded
+    collect — sources/languages are low-cardinality by nature, the same
+    driver-side-literal pattern as k-means centroids), then a map-only
+    filter. Rates embed driver-computed ``**alpha`` float literals, so the
+    registered query is rows-only checked; pytest pins the kept set
+    bit-exactly against a sequential Python model instead (the DSIR
+    convention)."""
+    if not 0.0 <= target_fraction <= 1.0:
+        raise ValueError(f"target_fraction must be in [0, 1], got {target_fraction}")
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["g"] is not None
+    }
+    total = sum(counts[g] for g in sorted(counts))
+    if total == 0:
+        return df.filter(F.lit(False))
+    weights = {g: (counts[g] / total) ** alpha for g in counts}
+    budget = target_fraction * total
+    rates: dict[str, float] = {}
+    remaining = dict(weights)
+    while remaining:
+        z = sum(remaining[g] for g in sorted(remaining))
+        capped = {g for g in remaining if budget * remaining[g] / z >= counts[g]}
+        if not capped:
+            for g in remaining:
+                rates[g] = (budget * remaining[g] / z) / counts[g]
+            break
+        for g in sorted(capped):
+            rates[g] = 1.0
+            budget -= counts[g]
+            del remaining[g]
+    return weighted_mix(df, id_col, group_col, rates, buckets=buckets)
+
+
 def shuffle_order(df: DataFrame, id_col: str, pos_col: str = "shuffle_pos") -> DataFrame:
     """Deterministic global corpus shuffle: append a 1-based training-order
     position obtained by ranking on ``md5(id)`` (id appended as the unique
@@ -113,6 +175,10 @@ def shuffle_order(df: DataFrame, id_col: str, pos_col: str = "shuffle_pos") -> D
     the oracle expresses it, and exactly what a 100 TB corpus cannot run)."""
     from eth_indexer_spark.operators.prefix_sum import global_running_sum
 
+    if pos_col in ("__shuffle_key", "__pos"):
+        # internal names: the cleanup drop below would silently remove the
+        # caller's output column
+        raise ValueError(f"pos_col {pos_col!r} collides with an internal column")
     c = F.col(id_col)
     keyed = df.withColumn(
         "__shuffle_key", F.concat(F.md5(c.cast("string")), c.cast("string"))

@@ -819,6 +819,24 @@ def x_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x_temperature_mix")  # per-group rates embed driver-side **alpha
+# float literals → rows-only check (the DSIR convention); pytest pins the
+# kept set bit-exactly against a sequential Python model instead
+def x_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (operators/sampling.py:
+    temperature_mix — the mT5/XLM-R multilingual sampling standard): keep
+    half the corpus with per-source shares proportional to p^0.5, so
+    small sources are up-weighted. One skinny source-count groupBy
+    (bounded collect), deterministic water-filling for capped groups,
+    then the zero-shuffle md5-threshold filter."""
+    from eth_indexer_spark.operators.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mix(
+        d, "doc_id", "source", alpha=0.5, target_fraction=0.5
+    )
+
+
 @register(
     "x_pack_sequences",
     """
@@ -926,6 +944,49 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.select(
         "doc_id", F.col("contaminated").cast("int").alias("contaminated")
     )
+
+
+@register(
+    "x_contamination_report",
+    """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                              for i in range(1, len(w) - 2)]) AS g
+        FROM docs WHERE len(w) >= 4
+    ),
+    bench AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0),
+    e AS (SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 97 <> 0),
+    per AS (
+        SELECT e.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM e LEFT JOIN bench b USING (gram) GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(per.n_hit, 0) AS BIGINT) AS n_hit_grams,
+           CASE WHEN COALESCE(per.n_grams, 0) > 0
+                THEN ROUND(per.n_hit * 1.0 / per.n_grams, 4) ELSE 0.0 END
+               AS overlap_frac,
+           COALESCE(per.n_hit, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN per USING (doc_id)
+    """,
+)
+def x_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination severity report (operators/decontam.py:
+    contamination_report): per-document benchmark-overlap fraction — the
+    threshold-picking audit that precedes the binary decontaminate drop.
+    Same benchmark stand-in and gram size as x_decontaminate (4-grams,
+    doc_id % 97 slice); the hit marking rides the single exploded gram
+    stream, so the corpus is scanned once."""
+    from eth_indexer_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    return decontam.contamination_report(corpus, bench, "text", "doc_id", k=4)
 
 
 @register(
@@ -1569,6 +1630,152 @@ def x_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("avg_token_df") >= 810.0)
         .select("doc_id", "clean_text", "n_tokens_kept", "avg_token_df")
     )
+
+
+@register(
+    "x_curation_v4",
+    """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    lines AS (
+        SELECT doc_id,
+               [array_to_string(w[st+1 : st+4], ' ')
+                  || (CASE WHEN st % 12 < 8 THEN '.' ELSE '' END)
+                for st in range(0, len(w), 4)] AS ls
+        FROM docs
+    ),
+    keptl AS (
+        SELECT doc_id,
+               list_filter(ls, x ->
+                   (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR x LIKE '%"')
+                   AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3
+                   AND NOT contains(lower(x), 'javascript')) AS ks,
+               array_to_string(ls, chr(10)) AS full_text
+        FROM lines
+    ),
+    c4 AS (
+        SELECT doc_id, array_to_string(ks, chr(10)) AS ct, len(ks) AS n_lines_kept
+        FROM keptl
+        WHERE len(ks) >= 3
+          AND NOT contains(lower(full_text), 'lorem ipsum')
+          AND NOT contains(full_text, '{')
+    ),
+    gm AS (
+        SELECT doc_id, ct, n_lines_kept,
+               regexp_split_to_array(trim(ct), '\\s+') AS w2,
+               string_split(ct, chr(10)) AS ls2
+        FROM c4
+    ),
+    gs AS (
+        SELECT doc_id, ct, n_lines_kept,
+               CASE WHEN length(trim(ct)) > 0 THEN len(w2) ELSE 0 END AS n_words,
+               list_sum(list_transform(w2, x -> length(x))) AS char_sum,
+               length(ct) - length(replace(ct, '#', ''))
+                 + len(regexp_extract_all(ct, '\\.{3}'))
+                 + length(ct) - length(replace(ct, '…', '')) AS n_symbols,
+               len(list_filter(ls2, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+               len(list_filter(ls2, l -> l LIKE '%...' OR l LIKE '%…')) AS n_ellip,
+               len(ls2) AS n_lines,
+               len(list_filter(w2, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+               len(list_intersect(
+                   list_distinct(regexp_split_to_array(trim(lower(ct)), '\\s+')),
+                   ['the', 'a'])) AS n_req
+        FROM gm
+    ),
+    gr AS (
+        SELECT doc_id, ct, n_lines_kept, n_words FROM (
+            SELECT *,
+                CASE WHEN n_words > 0 THEN ROUND(char_sum * 1.0 / n_words, 4) ELSE 0.0 END AS mwl,
+                CASE WHEN n_words > 0 THEN ROUND(n_symbols * 1.0 / n_words, 4) ELSE 0.0 END AS sr,
+                CASE WHEN n_lines > 0 THEN ROUND(n_bullet * 1.0 / n_lines, 4) ELSE 0.0 END AS bf,
+                CASE WHEN n_lines > 0 THEN ROUND(n_ellip * 1.0 / n_lines, 4) ELSE 0.0 END AS ef,
+                CASE WHEN n_words > 0 THEN ROUND(n_alpha * 1.0 / n_words, 4) ELSE 0.0 END AS af
+            FROM gs
+        )
+        WHERE n_words >= 20 AND n_words <= 100000
+          AND mwl >= 3.0 AND mwl <= 10.0 AND sr <= 0.1
+          AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 AND n_req >= 1
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([wc[i] || ' ' || wc[i+1] || ' ' || wc[i+2]
+                              for i in range(1, len(wc) - 1)]) AS g4
+        FROM (SELECT doc_id,
+                     string_split(replace(replace(ct, '.', ''), chr(10), ' '), ' ') AS wc
+              FROM gr)
+        WHERE len(wc) >= 3
+    ),
+    bench AS (SELECT DISTINCT unnest(g4) AS gram FROM sh WHERE doc_id % 97 = 0),
+    e AS (SELECT doc_id, unnest(g4) AS gram FROM sh WHERE doc_id % 97 <> 0),
+    per AS (
+        SELECT e.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM e LEFT JOIN bench b USING (gram) GROUP BY e.doc_id
+    )
+    SELECT g.doc_id, g.n_lines_kept, g.n_words,
+           CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+           CASE WHEN COALESCE(per.n_grams, 0) > 0
+                THEN ROUND(per.n_hit * 1.0 / per.n_grams, 4) ELSE 0.0 END
+               AS overlap_frac
+    FROM gr g LEFT JOIN per USING (doc_id)
+    WHERE g.doc_id % 97 <> 0
+      AND (CASE WHEN COALESCE(per.n_grams, 0) > 0
+                THEN ROUND(per.n_hit * 1.0 / per.n_grams, 4) ELSE 0.0 END) <= 0.02
+    """,
+)
+def x_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 extended-session curation composition, built from this
+    round's new operators: C4 line cleaning (on the synthesized punctuated
+    4-word lines — same trick as x_c4_clean) → Gopher rule battery on the
+    CLEANED text (zero-shuffle via the passthrough columns, no metrics
+    re-join) → contamination severity vs the doc_id % 97 eval slice of the
+    same cleaned corpus, keeping docs with ≤ 2% benchmark 3-gram overlap.
+    Stage order is the 100 TB order: both map-only text filters cut the
+    corpus BEFORE the one shuffle (the contamination gram aggregation),
+    and the severity threshold demonstrates the report form doing what the
+    binary decontaminate cannot — tolerating incidental overlap while
+    dropping wholesale copies. Every stage is an already-oracle-checked
+    operator; this query pins their composition end-to-end."""
+    from eth_indexer_spark.operators import decontam, quality
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(4))
+    mk = lambda st: F.concat(  # noqa: E731
+        F.concat_ws(" ", F.slice(words, st + 1, 4)),
+        F.when(st % 12 < 8, F.lit(".")).otherwise(F.lit("")),
+    )
+    lined = d.select(
+        "doc_id", F.array_join(F.transform(starts, mk), "\n").alias("text")
+    )
+    cleaned = quality.c4_line_filter(lined, "text", "doc_id").withColumnRenamed(
+        "clean_text", "text"
+    )
+    g = quality.gopher_rules(
+        cleaned, "text", "doc_id",
+        min_words=20, required_stopwords=("the", "a"), min_required_stopwords=1,
+        passthrough=("text", "n_lines_kept"),
+    )
+    kept = persist_bounded(
+        "extensions.curation_v4.kept",
+        g.where(F.col("keep")).select("doc_id", "text", "n_lines_kept", "n_words"),
+    )
+    # gram comparison runs on punctuation/newline-normalized text: the
+    # synthesized line punctuation is position-dependent, so raw cleaned
+    # text would never share a 4-gram across documents
+    norm = F.replace(
+        F.replace(F.col("text"), F.lit("."), F.lit("")), F.lit("\n"), F.lit(" ")
+    ).alias("text")
+    bench = kept.filter(F.col("doc_id") % 97 == 0).select("doc_id", norm)
+    corpus = kept.filter(F.col("doc_id") % 97 != 0)
+    rep = decontam.contamination_report(
+        corpus.select("doc_id", norm), bench, "text", "doc_id", k=3
+    )
+    return corpus.join(
+        rep.where(F.col("overlap_frac") <= 0.02).select(
+            "doc_id", "n_grams", "overlap_frac"
+        ),
+        "doc_id",
+    ).select("doc_id", "n_lines_kept", "n_words", "n_grams", "overlap_frac")
 
 
 @register(

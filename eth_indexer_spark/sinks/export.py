@@ -1,0 +1,96 @@
+"""Training-shard export: the last stage of a curation pipeline — write the
+curated corpus as N deterministic shards in epoch-shuffle order, the layout
+a training data-loader consumes (contiguous global-order blocks, one file
+per shard; Megatron/WebDataset-style sharding).
+
+Design:
+
+- **Order** comes from :func:`~eth_indexer_spark.operators.sampling.
+  shuffle_order` (md5-ranked distributed prefix sum) unless the caller
+  already carries a position column — so a re-export of the same corpus
+  produces byte-identical shard membership and in-shard order (resumable
+  training needs the epoch order to be a pure function of the data).
+- **Shard assignment** is exact, not sampled: ``shard = floor((pos-1) *
+  num_shards / N)`` gives contiguous global-order blocks whose sizes
+  differ by at most 1. (``repartitionByRange`` would sample boundaries —
+  close to balanced but not reproducible row-for-row across runs.)
+- **Layout**: one shuffle hash-partitioned on the shard id, rows sorted by
+  position within each task, written ``partitionBy("shard")`` — exactly
+  one file per shard directory, rows in training order inside the file.
+  At 100 TB you export thousands of shards, so the one shuffle's
+  parallelism is the shard count — the natural unit of write parallelism.
+- A ``_EXPORT_MANIFEST.json`` records ``num_shards`` / ``total_rows`` /
+  ``format`` so the loader (and :func:`read_shard`) never has to infer the
+  layout from directory listings.
+
+The reference's sink surface is row-store tables (store/store.go); shard
+export is the training-pipeline-native sink the brief adds on top.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_EXPORT_MANIFEST.json"
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    id_col: str,
+    fmt: str = "parquet",
+    pos_col: str | None = None,
+) -> dict:
+    """Write ``df`` as ``num_shards`` deterministic training shards under
+    ``path`` (``shard=<i>/`` directories, one file each, rows in epoch
+    order). Returns the manifest dict. ``fmt`` is ``parquet`` or ``json``
+    (JSON-lines). Pass ``pos_col`` to export an existing 1-based order
+    instead of deriving the md5 epoch shuffle."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"unsupported export format: {fmt}")
+    if pos_col is None:
+        from eth_indexer_spark.operators.sampling import shuffle_order
+
+        # NB: not "__pos" — that name is shuffle_order's internal output
+        # column, and pos_col == "__pos" would be dropped by its cleanup.
+        df = shuffle_order(df, id_col, pos_col="__export_pos")
+        pos_col = "__export_pos"
+    total = df.count()
+    shard = F.floor(
+        (F.col(pos_col) - 1).cast("decimal(38,0)") * num_shards / F.lit(total)
+    ).cast("int")
+    out = (
+        df.withColumn("shard", shard)
+        .repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", pos_col)
+        .withColumnRenamed(pos_col, "epoch_pos")
+    )
+    writer = out.write.mode("overwrite").partitionBy("shard")
+    getattr(writer, fmt)(path)
+    manifest = {
+        "num_shards": num_shards,
+        "total_rows": total,
+        "format": fmt,
+        "order": "epoch_pos",
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def read_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
+    """One shard back in training order (what a data-loader worker reads)."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        manifest = json.load(f)
+    reader = getattr(spark.read, manifest["format"])
+    return (
+        reader(os.path.join(path, f"shard={shard}"))
+        .orderBy("epoch_pos")
+    )

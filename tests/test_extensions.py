@@ -1727,3 +1727,98 @@ def test_cluster_representatives_hand_computed(spark):
         for r in dedup.cluster_representatives(cl, sc, "quality").collect()
     }
     assert out == {1: (2, 0.9, 2), 3: (3, 0.7, 2), 5: (5, 0.2, 1)}
+
+
+def test_contamination_report_hand_computed(spark):
+    """Overlap fractions over DISTINCT 4-grams: doc 1 has 5 grams of which
+    exactly one is the planted bench gram; doc 2 has zero hits; a 3-word
+    doc has no 4-grams and reports zeros instead of vanishing."""
+    from eth_indexer_spark.operators import decontam
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z alpha beta gamma delta q"),   # 5 distinct 4-grams, 1 hit
+            (2, "totally unrelated words here now"),  # 2 grams, 0 hits
+            (3, "too short doc"),                     # no 4-grams at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontam.contamination_report(
+            docs, bench, "text", "doc_id", k=4
+        ).collect()
+    }
+    assert (out[1]["n_grams"], out[1]["n_hit_grams"], out[1]["overlap_frac"],
+            out[1]["contaminated"]) == (5, 1, 0.2, True)
+    assert (out[2]["n_grams"], out[2]["n_hit_grams"], out[2]["contaminated"]) == (2, 0, False)
+    assert (out[3]["n_grams"], out[3]["n_hit_grams"], out[3]["overlap_frac"],
+            out[3]["contaminated"]) == (0, 0, 0.0, False)
+    # flags agree with the binary form
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontam.contamination_flags(docs, bench, "text", "doc_id", k=4).collect()
+    }
+    assert {k: r["contaminated"] for k, r in out.items()} == flags
+
+
+def test_temperature_mix_matches_python_model_exactly(spark):
+    """The kept set is pinned BIT-EXACTLY against a sequential Python model
+    replicating the water-filling rate derivation and the md5 bucket
+    threshold (the DSIR convention for driver-side float literals). Skewed
+    sources: alpha=0.5 up-weights the small source's keep RATE above the
+    large one's; alpha=1 keeps natural proportions (uniform rate)."""
+    import hashlib
+
+    from eth_indexer_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 1800 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+
+    def model(alpha, target, buckets=10_000):
+        counts = {"big": 1800, "small": 200}
+        total = 2000
+        weights = {g: (counts[g] / total) ** alpha for g in counts}
+        budget = target * total
+        rates, remaining = {}, dict(weights)
+        while remaining:
+            z = sum(remaining[g] for g in sorted(remaining))
+            capped = {g for g in remaining if budget * remaining[g] / z >= counts[g]}
+            if not capped:
+                for g in remaining:
+                    rates[g] = (budget * remaining[g] / z) / counts[g]
+                break
+            for g in sorted(capped):
+                rates[g] = 1.0
+                budget -= counts[g]
+                del remaining[g]
+        kept = set()
+        for i, src in rows:
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % buckets
+            if b < int(round(rates[src] * buckets)):
+                kept.add(i)
+        return rates, kept
+
+    for alpha, target in ((0.5, 0.5), (1.0, 0.5), (0.0, 0.3), (0.3, 1.0)):
+        rates, expect = model(alpha, target)
+        got = {
+            r["doc_id"]
+            for r in temperature_mix(
+                df, "doc_id", "src", alpha=alpha, target_fraction=target
+            ).collect()
+        }
+        assert got == expect, (alpha, target)
+
+    # alpha=0.5 boosts the small source's keep rate above the big one's
+    rates_half, _ = model(0.5, 0.5)
+    assert rates_half["small"] > rates_half["big"]
+    # alpha=1 → natural proportions → equal rates
+    rates_nat, _ = model(1.0, 0.5)
+    assert abs(rates_nat["small"] - rates_nat["big"]) < 1e-12
+    # target_fraction=1 with alpha<1 saturates the small source at 1.0
+    rates_full, kept_full = model(0.3, 1.0)
+    assert rates_full["small"] == 1.0
+    assert {i for i, s in rows if s == "small"} <= kept_full

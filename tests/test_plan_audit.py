@@ -309,3 +309,36 @@ def test_cluster_representatives_is_aggregation_not_window(spark):
     plan = plan_of(dedup.cluster_representatives(cl, sc, "quality"))
     assert "Window" not in plan
     assert "partial_max" in plan
+
+
+def test_contamination_report_single_corpus_scan(spark):
+    """The severity report rides one exploded gram stream: exactly two
+    parquet scans total (benchmark slice + corpus — a third means the
+    id-restore join regressed into a second corpus pass), the benchmark
+    gram set broadcast."""
+    import re
+
+    plan = plan_of(extensions.x_contamination_report(spark, SF))
+    # numbered tree nodes only — the formatted details section repeats each
+    scans = re.findall(r"Scan parquet\s+\(\d+\)", plan)
+    assert len(scans) == 2, plan
+    assert "BroadcastExchange" in plan
+
+
+def test_temperature_mix_filter_is_zero_shuffle(spark):
+    """temperature_mix's returned frame is a pure md5-threshold filter
+    (the rate derivation runs as its own bounded groupBy job at call
+    time): any Exchange in the RESULT plan means the mixing filter
+    regressed into a corpus shuffle."""
+    plan = plan_of(extensions.x_temperature_mix(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_curation_v4_single_shuffle_region(spark):
+    """v4's two text filters are map-only; the only shuffles belong to the
+    contamination gram aggregation and its id join — and the benchmark
+    gram set must arrive by broadcast, never a cartesian or a corpus
+    repartition by gram."""
+    plan = plan_of(extensions.x_curation_v4(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
