@@ -1109,6 +1109,14 @@ def cluster_representatives(
     — e.g. ``functions.text.quality_score``. Returns
     ``(cluster, keep_id, best_score, n_members)``.
 
+    ``scores`` may cover only part of the corpus (quality is often
+    computed on an already-filtered subset): cluster members without a
+    score row still COUNT in ``n_members`` and rank below every scored
+    member (ties to smallest id), so a fully-unscored cluster keeps its
+    min-id member instead of vanishing — dropping every copy of a dup
+    family because its scores were filtered away would be silent data
+    loss. ``best_score`` is NULL when the winner was unscored.
+
     100 TB shape: deliberately NOT a window — ``row_number() OVER
     (PARTITION BY cluster)`` puts an entire cluster in one task, and the
     boilerplate mega-cluster every web corpus contains would be a straggler.
@@ -1116,12 +1124,17 @@ def cluster_representatives(
     partial combine shrinks each cluster to one candidate per task BEFORE
     the one shuffle, so even a cluster spanning the whole corpus costs
     O(#partitions) reduce-side work."""
-    joined = clusters.join(scores.select(F.col(id_col), F.col(score_col)), id_col)
+    joined = clusters.join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col, "left"
+    )
     best = F.max(
         F.struct(
-            F.col(score_col).alias("s"),
+            # unscored members sort below every real score (scores are
+            # finite by construction; -inf never ties a real one)
+            F.coalesce(F.col(score_col), F.lit(float("-inf"))).alias("s"),
             (-F.col(id_col)).alias("neg"),
             F.col(id_col).alias("kid"),
+            F.col(score_col).alias("orig"),
         )
     )
     return (
@@ -1130,7 +1143,7 @@ def cluster_representatives(
         .select(
             F.col(cluster_col),
             F.col("__b.kid").alias("keep_id"),
-            F.col("__b.s").alias("best_score"),
+            F.col("__b.orig").alias("best_score"),
             F.col("n_members"),
         )
     )

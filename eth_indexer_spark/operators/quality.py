@@ -280,10 +280,12 @@ def c4_line_filter(
     lines = F.split(c, "\n")
 
     def line_ok(l):
-        ends = None
-        for p in terminal_punct:
+        # empty terminal_punct = rule disabled (None & col would yield a
+        # NULL boolean that silently drops every line)
+        ends = F.lit(True)
+        for i, p in enumerate(terminal_punct):
             e = l.endswith(p)
-            ends = e if ends is None else (ends | e)
+            ends = e if i == 0 else (ends | e)
         ok = ends & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
         for b in line_bans:
             ok = ok & ~F.lower(l).contains(b.lower())

@@ -138,8 +138,15 @@ def temperature_mix(
         for r in df.groupBy(F.col(group_col).alias("g"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
-        if r["g"] is not None
     }
+    if None in counts:
+        # weighted_mix's when-chain would silently assign NULL groups the
+        # default threshold 0 — deleting them while target_fraction claims
+        # to be honored; fail loudly instead
+        raise ValueError(
+            f"temperature_mix: {counts[None]} rows have a NULL {group_col!r}; "
+            "assign them a source before mixing"
+        )
     total = sum(counts[g] for g in sorted(counts))
     if total == 0:
         return df.filter(F.lit(False))

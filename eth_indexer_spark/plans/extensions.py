@@ -1124,10 +1124,12 @@ def x_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x_c4_clean",
-    """
-    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+#: Shared synthesized-lines + C4 SQL prefix (docs → punctuated 4-word
+#: lines → line filter → doc-level drops, ending in CTE ``c4 (doc_id, ct,
+#: n_lines_kept)``) — interpolated into every oracle that consumes the
+#: cleaned corpus so the line-synthesis scheme cannot drift between the
+#: standalone query and compositions.
+_C4_SQL_PREFIX = """docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     lines AS (
         SELECT doc_id,
                [array_to_string(w[st+1 : st+4], ' ')
@@ -1135,7 +1137,7 @@ def x_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for st in range(0, len(w), 4)] AS ls
         FROM docs
     ),
-    kept AS (
+    keptl AS (
         SELECT doc_id,
                list_filter(ls, x ->
                    (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR x LIKE '%"')
@@ -1143,13 +1145,37 @@ def x_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AND NOT contains(lower(x), 'javascript')) AS ks,
                array_to_string(ls, chr(10)) AS full_text
         FROM lines
+    ),
+    c4 AS (
+        SELECT doc_id, array_to_string(ks, chr(10)) AS ct, len(ks) AS n_lines_kept
+        FROM keptl
+        WHERE len(ks) >= 3
+          AND NOT contains(lower(full_text), 'lorem ipsum')
+          AND NOT contains(full_text, '{')
+    )"""
+
+
+def _synthesized_lines(d: DataFrame) -> DataFrame:
+    """documents → deterministic punctuated 4-word "lines": the corpus is
+    single-line word soup, so queries exercising line rules segment each
+    doc into 4-word lines and punctuate two of every three (st % 12 < 8 —
+    the same trick as x_line_dedup). Shared by x_c4_clean and
+    x_curation_v4 so the scheme cannot drift from the oracles'."""
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(4))
+    mk = lambda st: F.concat(  # noqa: E731
+        F.concat_ws(" ", F.slice(words, st + 1, 4)),
+        F.when(st % 12 < 8, F.lit(".")).otherwise(F.lit("")),
     )
-    SELECT doc_id, array_to_string(ks, chr(10)) AS clean_text,
-           len(ks) AS n_lines_kept
-    FROM kept
-    WHERE len(ks) >= 3
-      AND NOT contains(lower(full_text), 'lorem ipsum')
-      AND NOT contains(full_text, '{')
+    return d.select(
+        "doc_id", F.array_join(F.transform(starts, mk), "\n").alias("text")
+    )
+
+
+@register(
+    "x_c4_clean",
+    "WITH " + _C4_SQL_PREFIX + """
+    SELECT doc_id, ct AS clean_text, n_lines_kept FROM c4
     """,
 )
 def x_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,16 +1189,7 @@ def x_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eth_indexer_spark.operators import quality
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), " ")
-    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(4))
-    mk = lambda st: F.concat(  # noqa: E731
-        F.concat_ws(" ", F.slice(words, st + 1, 4)),
-        F.when(st % 12 < 8, F.lit(".")).otherwise(F.lit("")),
-    )
-    d2 = d.select(
-        "doc_id", F.array_join(F.transform(starts, mk), "\n").alias("text")
-    )
-    return quality.c4_line_filter(d2, "text", "doc_id")
+    return quality.c4_line_filter(_synthesized_lines(d), "text", "doc_id")
 
 
 @register(
@@ -1634,31 +1651,7 @@ def x_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_curation_v4",
-    """
-    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    lines AS (
-        SELECT doc_id,
-               [array_to_string(w[st+1 : st+4], ' ')
-                  || (CASE WHEN st % 12 < 8 THEN '.' ELSE '' END)
-                for st in range(0, len(w), 4)] AS ls
-        FROM docs
-    ),
-    keptl AS (
-        SELECT doc_id,
-               list_filter(ls, x ->
-                   (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR x LIKE '%"')
-                   AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3
-                   AND NOT contains(lower(x), 'javascript')) AS ks,
-               array_to_string(ls, chr(10)) AS full_text
-        FROM lines
-    ),
-    c4 AS (
-        SELECT doc_id, array_to_string(ks, chr(10)) AS ct, len(ks) AS n_lines_kept
-        FROM keptl
-        WHERE len(ks) >= 3
-          AND NOT contains(lower(full_text), 'lorem ipsum')
-          AND NOT contains(full_text, '{')
-    ),
+    "WITH " + _C4_SQL_PREFIX + """,
     gm AS (
         SELECT doc_id, ct, n_lines_kept,
                regexp_split_to_array(trim(ct), '\\s+') AS w2,
@@ -1738,16 +1731,9 @@ def x_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eth_indexer_spark.operators import decontam, quality
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), " ")
-    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(4))
-    mk = lambda st: F.concat(  # noqa: E731
-        F.concat_ws(" ", F.slice(words, st + 1, 4)),
-        F.when(st % 12 < 8, F.lit(".")).otherwise(F.lit("")),
-    )
-    lined = d.select(
-        "doc_id", F.array_join(F.transform(starts, mk), "\n").alias("text")
-    )
-    cleaned = quality.c4_line_filter(lined, "text", "doc_id").withColumnRenamed(
+    cleaned = quality.c4_line_filter(
+        _synthesized_lines(d), "text", "doc_id"
+    ).withColumnRenamed(
         "clean_text", "text"
     )
     g = quality.gopher_rules(

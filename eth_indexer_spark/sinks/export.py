@@ -35,6 +35,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eth_indexer_spark.operators._persist import persist_bounded
+
 MANIFEST = "_EXPORT_MANIFEST.json"
 
 
@@ -50,11 +52,21 @@ def export_training_shards(
     ``path`` (``shard=<i>/`` directories, one file each, rows in epoch
     order). Returns the manifest dict. ``fmt`` is ``parquet`` or ``json``
     (JSON-lines). Pass ``pos_col`` to export an existing 1-based order
-    instead of deriving the md5 epoch shuffle."""
+    instead of deriving the md5 epoch shuffle.
+
+    Requires ``num_shards <= total rows`` (every shard directory must
+    exist on disk — ``partitionBy`` never writes empty ones, and a loader
+    iterating the manifest's ``num_shards`` must not hit a missing path).
+    Reserved output names ``shard`` / ``epoch_pos`` must not collide with
+    input columns."""
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
     if fmt not in ("parquet", "json"):
         raise ValueError(f"unsupported export format: {fmt}")
+    if "shard" in df.columns or pos_col == "shard":
+        raise ValueError("input must not carry a 'shard' column (reserved)")
+    if "epoch_pos" in df.columns and pos_col != "epoch_pos":
+        raise ValueError("input must not carry an 'epoch_pos' column (reserved)")
     if pos_col is None:
         from eth_indexer_spark.operators.sampling import shuffle_order
 
@@ -62,15 +74,28 @@ def export_training_shards(
         # column, and pos_col == "__pos" would be dropped by its cleanup.
         df = shuffle_order(df, id_col, pos_col="__export_pos")
         pos_col = "__export_pos"
+    # one materialization serves both the count and the write — without it
+    # the md5 prefix-sum lineage (itself multi-pass) re-executes per action
+    df = persist_bounded("sinks.export.ordered", df)
     total = df.count()
-    shard = F.floor(
-        (F.col(pos_col) - 1).cast("decimal(38,0)") * num_shards / F.lit(total)
-    ).cast("int")
+    if total == 0:
+        raise ValueError("cannot export an empty corpus")
+    if num_shards > total:
+        raise ValueError(
+            f"num_shards={num_shards} exceeds total rows={total}: "
+            "every shard must be non-empty"
+        )
+    ordered = df.withColumnRenamed(pos_col, "epoch_pos")
+    # exact integer arithmetic: decimal division would round HALF_UP at
+    # scale 6 BEFORE floor, mis-sharding boundary rows (and pushing the
+    # last row into shard == num_shards) once total reaches ~2M
+    shard = F.expr(
+        f"CAST(((epoch_pos - 1) * {int(num_shards)}) DIV {int(total)} AS INT)"
+    )
     out = (
-        df.withColumn("shard", shard)
+        ordered.withColumn("shard", shard)
         .repartition(num_shards, "shard")
-        .sortWithinPartitions("shard", pos_col)
-        .withColumnRenamed(pos_col, "epoch_pos")
+        .sortWithinPartitions("shard", "epoch_pos")
     )
     writer = out.write.mode("overwrite").partitionBy("shard")
     getattr(writer, fmt)(path)

@@ -58,3 +58,46 @@ def test_export_shards_deterministic_and_jsonl(spark, tmp_path):
     with open(f) as fh:
         first = fh.readline()
     assert first.startswith("{") and first.rstrip().endswith("}")
+
+
+def test_export_shards_contract_errors(spark, tmp_path):
+    """Loud failures instead of silent data loss: more shards than rows
+    (partitionBy would leave holes in the manifest's range), empty corpus,
+    and reserved-column collisions."""
+    import pytest
+
+    from eth_indexer_spark.catalog import load_table
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    with pytest.raises(ValueError, match="exceeds total rows"):
+        export_training_shards(d, str(tmp_path / "x"), 10_000, "doc_id")
+    with pytest.raises(ValueError, match="empty corpus"):
+        export_training_shards(
+            d.filter("doc_id < 0"), str(tmp_path / "y"), 1, "doc_id"
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        export_training_shards(
+            d.withColumnRenamed("text", "shard"), str(tmp_path / "z"), 2, "doc_id"
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        export_training_shards(
+            d.withColumnRenamed("text", "epoch_pos"), str(tmp_path / "w"), 2, "doc_id"
+        )
+
+
+def test_export_shard_assignment_is_exact_integer_floor(spark, tmp_path):
+    """Shard boundaries follow exact floor((pos-1)*N/total) — decimal
+    division would round HALF_UP before floor and shift boundary rows (and
+    overflow the last row into shard == N at ~2M rows). Pinned via an
+    existing-order export whose assignment is hand-computable."""
+    rows = [(i, i) for i in range(1, 8)]  # total=7, pos 1..7
+    df = spark.createDataFrame(rows, "doc_id long, mypos long")
+    export_training_shards(
+        df, str(tmp_path / "e"), 3, "doc_id", pos_col="mypos"
+    )
+    got = {
+        i: [r["doc_id"] for r in read_shard(spark, str(tmp_path / "e"), i).collect()]
+        for i in range(3)
+    }
+    # floor((pos-1)*3/7): pos 1,2,3 -> 0; 4,5 -> 1; 6,7 -> 2
+    assert got == {0: [1, 2, 3], 1: [4, 5], 2: [6, 7]}

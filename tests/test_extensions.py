@@ -1822,3 +1822,48 @@ def test_temperature_mix_matches_python_model_exactly(spark):
     rates_full, kept_full = model(0.3, 1.0)
     assert rates_full["small"] == 1.0
     assert {i for i, s in rows if s == "small"} <= kept_full
+
+
+def test_cluster_representatives_tolerates_missing_scores(spark):
+    """Members absent from the scores frame still count in n_members and
+    rank below every scored member; a fully-unscored cluster keeps its
+    min-id member (best_score NULL) instead of vanishing — dropping every
+    copy of a dup family because quality was computed on a filtered subset
+    would be silent data loss."""
+    from eth_indexer_spark.operators import dedup
+
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "doc long, cluster long"
+    )
+    sc = spark.createDataFrame([(1, 0.5)], "doc long, quality double")
+    out = {
+        r["cluster"]: (r["keep_id"], r["best_score"], r["n_members"])
+        for r in dedup.cluster_representatives(cl, sc, "quality").collect()
+    }
+    assert out == {1: (1, 0.5, 2), 3: (3, None, 2)}
+
+
+def test_c4_line_filter_empty_terminal_punct_disables_rule(spark):
+    """terminal_punct=() means 'rule disabled', not 'drop everything'."""
+    from eth_indexer_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, "one two three\nfour five six\nseven eight nine")],
+        "doc_id long, text string",
+    )
+    out = quality.c4_line_filter(df, "text", "doc_id", terminal_punct=()).collect()
+    assert len(out) == 1 and out[0]["n_lines_kept"] == 3
+
+
+def test_temperature_mix_rejects_null_groups(spark):
+    """NULL-source rows would be silently deleted by the threshold chain;
+    the operator must fail loudly instead."""
+    import pytest
+
+    from eth_indexer_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "doc_id long, src string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        temperature_mix(df, "doc_id", "src", alpha=0.5, target_fraction=1.0)
