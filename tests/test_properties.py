@@ -442,3 +442,108 @@ def test_bounded_persist_pool_cross_site_same_plan_shares_entry(spark):
     P.release_persisted("t.siteB")
     assert not a.storageLevel.useMemory and not a.storageLevel.useDisk
     P.release_persisted()
+
+
+_C4_WORDS = [
+    "the", "cat", "sat", "javascript", "Lorem", "ipsum", "{x", "dog!",
+    "run?", '"q"', "a.b", "end.", "", "  ", "#tag", "dots...",
+]
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.lists(st.sampled_from(_C4_WORDS), min_size=0, max_size=6).map(
+                " ".join
+            ),
+            min_size=1,
+            max_size=6,
+        ).map("\n".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_settings
+def test_c4_line_filter_matches_python_model(spark, docs):
+    """c4_line_filter vs a sequential Python model replicating every rule
+    exactly (terminal punctuation, \\s+ word count on the trimmed line,
+    case-insensitive line/doc bans, min surviving lines). Pure string/int
+    logic — no float edges — so equality is exact."""
+    import re
+
+    from eth_indexer_spark.operators import quality
+
+    tp, min_wpl, min_lines = (".", "!", "?", '"'), 3, 2
+    line_bans, doc_bans = ("javascript",), ("lorem ipsum", "{")
+
+    def model(text):
+        kept = [
+            l
+            for l in text.split("\n")
+            if any(l.endswith(p) for p in tp)
+            and len(re.split(r"\s+", l.strip())) >= min_wpl
+            and all(b not in l.lower() for b in line_bans)
+        ]
+        if len(kept) < min_lines or any(b in text.lower() for b in doc_bans):
+            return None
+        return ("\n".join(kept), len(kept))
+
+    expect = {i: model(t) for i, t in enumerate(docs)}
+    expect = {i: v for i, v in expect.items() if v is not None}
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"])
+        for r in quality.c4_line_filter(
+            df, "text", "doc_id",
+            min_words_per_line=min_wpl, min_lines=min_lines,
+            terminal_punct=tp, line_bans=line_bans, doc_bans=doc_bans,
+        ).collect()
+    }
+    assert got == expect
+
+
+@given(
+    n=st.integers(min_value=1, max_value=12),
+    edges=st.data(),
+)
+@_settings
+def test_cluster_representatives_matches_python_model(spark, n, edges):
+    """cluster_representatives vs a sequential argmax model: random cluster
+    assignments, scores on a random SUBSET (missing scores rank lowest),
+    ties (scores drawn from 3 distinct values) broken to the smallest id."""
+    from eth_indexer_spark.operators import dedup
+
+    cluster_of = {
+        i: edges.draw(st.integers(min_value=0, max_value=max(0, i)))
+        for i in range(n)
+    }
+    scored = {
+        i: edges.draw(st.sampled_from([0.1, 0.5, 0.9]))
+        for i in range(n)
+        if edges.draw(st.booleans())
+    }
+    expect = {}
+    for i, c in cluster_of.items():
+        key = (scored.get(i, float("-inf")), -i)
+        cur = expect.get(c)
+        if cur is None or key > cur[0]:
+            expect[c] = (key, i)
+    counts = {}
+    for c in cluster_of.values():
+        counts[c] = counts.get(c, 0) + 1
+    want = {
+        c: (kid, scored.get(kid), counts[c]) for c, (_, kid) in expect.items()
+    }
+
+    cl = spark.createDataFrame(
+        [(i, c) for i, c in cluster_of.items()], "doc long, cluster long"
+    )
+    sc_rows = [(i, s) for i, s in scored.items()] or [(-1, 0.0)]
+    sc = spark.createDataFrame(sc_rows, "doc long, quality double")
+    got = {
+        r["cluster"]: (r["keep_id"], r["best_score"], r["n_members"])
+        for r in dedup.cluster_representatives(cl, sc, "quality").collect()
+    }
+    assert got == want
