@@ -35,7 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from eth_indexer_spark.operators._persist import persist_bounded
+from eth_indexer_spark.operators._persist import persist_bounded, release_persisted
 
 MANIFEST = "_EXPORT_MANIFEST.json"
 
@@ -67,38 +67,63 @@ def export_training_shards(
         raise ValueError("input must not carry a 'shard' column (reserved)")
     if "epoch_pos" in df.columns and pos_col != "epoch_pos":
         raise ValueError("input must not carry an 'epoch_pos' column (reserved)")
-    if pos_col is None:
+    derived = pos_col is None
+    if derived:
         from eth_indexer_spark.operators.sampling import shuffle_order
 
         # NB: not "__pos" — that name is shuffle_order's internal output
         # column, and pos_col == "__pos" would be dropped by its cleanup.
         df = shuffle_order(df, id_col, pos_col="__export_pos")
         pos_col = "__export_pos"
-    # one materialization serves both the count and the write — without it
-    # the md5 prefix-sum lineage (itself multi-pass) re-executes per action
-    df = persist_bounded("sinks.export.ordered", df)
-    total = df.count()
-    if total == 0:
-        raise ValueError("cannot export an empty corpus")
-    if num_shards > total:
-        raise ValueError(
-            f"num_shards={num_shards} exceeds total rows={total}: "
-            "every shard must be non-empty"
+        # one materialization serves both the stats pass and the write —
+        # without it the md5 prefix-sum lineage (itself multi-pass)
+        # re-executes per action; a caller-supplied order has no such
+        # lineage to protect, so it is not pinned
+        df = persist_bounded("sinks.export.ordered", df)
+    try:
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(pos_col).alias("lo"),
+            F.max(pos_col).alias("hi"),
+            F.count_distinct(F.col(pos_col)).alias("nd"),
+        ).collect()[0]
+        total = stats["n"]
+        if total == 0:
+            raise ValueError("cannot export an empty corpus")
+        # positions must be exactly 1..total: a gapped, shifted, or
+        # duplicated order (e.g. a frame filtered AFTER shuffle_order)
+        # would silently write shard ids >= num_shards and/or leave holes
+        # a manifest-driven loader trips over. n distinct values in
+        # [1, n] ⇒ dense by pigeonhole.
+        if stats["lo"] != 1 or stats["hi"] != total or stats["nd"] != total:
+            raise ValueError(
+                f"{pos_col!r} must be dense 1..{total}, got "
+                f"[{stats['lo']}, {stats['hi']}] with {stats['nd']} distinct: "
+                "re-derive the order after filtering (or drop pos_col to "
+                "let the export derive it)"
+            )
+        if num_shards > total:
+            raise ValueError(
+                f"num_shards={num_shards} exceeds total rows={total}: "
+                "every shard must be non-empty"
+            )
+        ordered = df.withColumnRenamed(pos_col, "epoch_pos")
+        # exact integer arithmetic: decimal division would round HALF_UP at
+        # scale 6 BEFORE floor, mis-sharding boundary rows (and pushing the
+        # last row into shard == num_shards) once total reaches ~2M
+        shard = F.expr(
+            f"CAST(((epoch_pos - 1) * {int(num_shards)}) DIV {int(total)} AS INT)"
         )
-    ordered = df.withColumnRenamed(pos_col, "epoch_pos")
-    # exact integer arithmetic: decimal division would round HALF_UP at
-    # scale 6 BEFORE floor, mis-sharding boundary rows (and pushing the
-    # last row into shard == num_shards) once total reaches ~2M
-    shard = F.expr(
-        f"CAST(((epoch_pos - 1) * {int(num_shards)}) DIV {int(total)} AS INT)"
-    )
-    out = (
-        ordered.withColumn("shard", shard)
-        .repartition(num_shards, "shard")
-        .sortWithinPartitions("shard", "epoch_pos")
-    )
-    writer = out.write.mode("overwrite").partitionBy("shard")
-    getattr(writer, fmt)(path)
+        out = (
+            ordered.withColumn("shard", shard)
+            .repartition(num_shards, "shard")
+            .sortWithinPartitions("shard", "epoch_pos")
+        )
+        writer = out.write.mode("overwrite").partitionBy("shard")
+        getattr(writer, fmt)(path)
+    finally:
+        if derived:
+            release_persisted("sinks.export.ordered")
     manifest = {
         "num_shards": num_shards,
         "total_rows": total,

@@ -101,3 +101,40 @@ def test_export_shard_assignment_is_exact_integer_floor(spark, tmp_path):
     }
     # floor((pos-1)*3/7): pos 1,2,3 -> 0; 4,5 -> 1; 6,7 -> 2
     assert got == {0: [1, 2, 3], 1: [4, 5], 2: [6, 7]}
+
+
+def test_export_rejects_non_dense_positions(spark, tmp_path):
+    """Caller-supplied positions must be exactly 1..total: a frame filtered
+    AFTER ordering (gaps, shifted max) or carrying duplicate positions
+    would write shard ids >= num_shards and leave manifest-advertised
+    shards missing on disk."""
+    import pytest
+
+    gapped = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 6), (4, 9), (5, 10)], "doc_id long, mypos long"
+    )
+    with pytest.raises(ValueError, match="dense"):
+        export_training_shards(gapped, str(tmp_path / "g"), 3, "doc_id", pos_col="mypos")
+    dup = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 2), (4, 4)], "doc_id long, mypos long"
+    )
+    with pytest.raises(ValueError, match="dense"):
+        export_training_shards(dup, str(tmp_path / "d"), 4, "doc_id", pos_col="mypos")
+
+
+def test_export_releases_its_persist(spark, tmp_path):
+    """The derived-order persist is released after the write (and on error
+    paths): export is a terminal sink, so pinning the full corpus in
+    executor storage past the call would leak it for the session."""
+    from eth_indexer_spark.catalog import load_table
+    from eth_indexer_spark.operators import _persist
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    export_training_shards(d, str(tmp_path / "s"), 2, "doc_id")
+    assert "sinks.export.ordered" not in _persist._POOL
+    # error path releases too
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds total rows"):
+        export_training_shards(d, str(tmp_path / "t"), 10_000, "doc_id")
+    assert "sinks.export.ordered" not in _persist._POOL
