@@ -6,6 +6,8 @@ from __future__ import annotations
 import glob
 import os
 
+from pyspark.sql import functions as F
+
 from eth_indexer_spark.catalog import load_table
 from eth_indexer_spark.operators.sampling import shuffle_order
 from eth_indexer_spark.sinks.export import export_training_shards, read_shard
@@ -138,3 +140,50 @@ def test_export_releases_its_persist(spark, tmp_path):
     with pytest.raises(ValueError, match="exceeds total rows"):
         export_training_shards(d, str(tmp_path / "t"), 10_000, "doc_id")
     assert "sinks.export.ordered" not in _persist._POOL
+
+
+def test_end_to_end_curation_to_shards(spark, tmp_path):
+    """The full training-data user story in one scenario: C4 line cleaning
+    → Gopher keep → exact dedup → temperature mixing → deterministic
+    epoch shuffle → shard export → loader read-back. Asserts the final
+    shards contain exactly the surviving doc set, in a deterministic
+    order, with no duplicates — and that re-running the whole pipeline
+    reproduces byte-identical shard membership."""
+    from eth_indexer_spark.catalog import load_table
+    from eth_indexer_spark.operators import dedup, quality
+    from eth_indexer_spark.operators.sampling import temperature_mix
+    from eth_indexer_spark.plans.extensions import _synthesized_lines
+
+    def pipeline(out_path):
+        d = load_table(spark, SF, "documents").select("doc_id", "text", "source")
+        cleaned = quality.c4_line_filter(
+            _synthesized_lines(d.select("doc_id", "text")), "text", "doc_id"
+        ).withColumnRenamed("clean_text", "text")
+        g = quality.gopher_rules(
+            cleaned, "text", "doc_id",
+            min_words=10, required_stopwords=("the", "a"),
+            min_required_stopwords=1, passthrough=("text",),
+        )
+        kept = g.where("keep").select("doc_id", "text")
+        deduped = dedup.exact_dedup(kept, "text", "doc_id").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        survivors = kept.join(deduped, "doc_id").join(
+            d.select("doc_id", "source"), "doc_id"
+        )
+        mixed = temperature_mix(
+            survivors, "doc_id", "source", alpha=0.5, target_fraction=0.9
+        )
+        return export_training_shards(
+            mixed.select("doc_id", "text"), out_path, 3, "doc_id"
+        )
+
+    man = pipeline(str(tmp_path / "run1"))
+    assert man["num_shards"] == 3 and man["total_rows"] > 0
+
+    ids1 = _exported_ids(spark, str(tmp_path / "run1"), 3)
+    flat = [i for s in ids1 for i in s]
+    assert len(flat) == len(set(flat)) == man["total_rows"]  # no dups, complete
+
+    pipeline(str(tmp_path / "run2"))
+    assert ids1 == _exported_ids(spark, str(tmp_path / "run2"), 3)  # deterministic
