@@ -342,3 +342,26 @@ def test_curation_v4_single_shuffle_region(spark):
     plan = plan_of(extensions.x_curation_v4(spark, SF))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_every_registered_query_holds_global_scale_invariants(spark):
+    """Registry-wide sweep: EVERY query's physical plan is free of
+    CartesianProduct and of row-at-a-time Python UDFs (BatchEvalPython —
+    the repo's UDF policy allows only Arrow-batched pandas stages), and
+    BroadcastNestedLoopJoin appears ONLY where a tiny literal side is
+    intentionally shipped (the one-row vocab map, the ANN query set, the
+    DSIR ratio map). Per-query audits pin specific shapes; this sweep
+    guarantees no FUTURE registration quietly violates the baseline."""
+    import __spark_entry__ as entrymod
+
+    bnlj_whitelist = {"x_tokenize_vocab", "x_ann_batch_topk", "x_dsir_select"}
+    violations = []
+    for name, fn in entrymod.queries().items():
+        plan = plan_of(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            violations.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            violations.append((name, "BatchEvalPython"))
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_whitelist:
+            violations.append((name, "BroadcastNestedLoopJoin"))
+    assert not violations, violations
