@@ -1649,9 +1649,10 @@ def x_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x_curation_v4",
-    "WITH " + _C4_SQL_PREFIX + """,
+#: v4 pipeline SQL core shared by x_curation_v4 and x_curation_funnel:
+#: the cleaned corpus (`c4`), the Gopher survivors (`gr`), and the
+#: per-doc contamination counts (`per`).
+_V4_SQL_CORE = "WITH " + _C4_SQL_PREFIX + """,
     gm AS (
         SELECT doc_id, ct, n_lines_kept,
                regexp_split_to_array(trim(ct), '\\s+') AS w2,
@@ -1704,6 +1705,55 @@ def x_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
         FROM e LEFT JOIN bench b USING (gram) GROUP BY e.doc_id
     )
+    """
+
+
+def _v4_stage_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The v4 pipeline's stage frames, shared by x_curation_v4 (final
+    output) and x_curation_funnel (per-stage attrition counts): raw →
+    C4-cleaned → Gopher survivors (pool-persisted) → eval-heldout corpus →
+    decontaminated final."""
+    from eth_indexer_spark.operators import decontam, quality
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned = quality.c4_line_filter(
+        _synthesized_lines(d), "text", "doc_id"
+    ).withColumnRenamed("clean_text", "text")
+    g = quality.gopher_rules(
+        cleaned, "text", "doc_id",
+        min_words=20, required_stopwords=("the", "a"), min_required_stopwords=1,
+        passthrough=("text", "n_lines_kept"),
+    )
+    kept = persist_bounded(
+        "extensions.curation_v4.kept",
+        g.where(F.col("keep")).select("doc_id", "text", "n_lines_kept", "n_words"),
+    )
+    # gram comparison runs on punctuation/newline-normalized text: the
+    # synthesized line punctuation is position-dependent, so raw cleaned
+    # text would never share a 3-gram across documents
+    norm = F.replace(
+        F.replace(F.col("text"), F.lit("."), F.lit("")), F.lit("\n"), F.lit(" ")
+    ).alias("text")
+    bench = kept.filter(F.col("doc_id") % 97 == 0).select("doc_id", norm)
+    corpus = kept.filter(F.col("doc_id") % 97 != 0)
+    rep = decontam.contamination_report(
+        corpus.select("doc_id", norm), bench, "text", "doc_id", k=3
+    )
+    final = corpus.join(
+        rep.where(F.col("overlap_frac") <= 0.02).select(
+            "doc_id", "n_grams", "overlap_frac"
+        ),
+        "doc_id",
+    ).select("doc_id", "n_lines_kept", "n_words", "n_grams", "overlap_frac")
+    return {
+        "raw": d, "c4_clean": cleaned, "gopher": kept,
+        "eval_heldout": corpus, "decontaminated": final,
+    }
+
+
+@register(
+    "x_curation_v4",
+    _V4_SQL_CORE + """
     SELECT g.doc_id, g.n_lines_kept, g.n_words,
            CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
            CASE WHEN COALESCE(per.n_grams, 0) > 0
@@ -1728,40 +1778,52 @@ def x_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary decontaminate cannot — tolerating incidental overlap while
     dropping wholesale copies. Every stage is an already-oracle-checked
     operator; this query pins their composition end-to-end."""
-    from eth_indexer_spark.operators import decontam, quality
+    return _v4_stage_frames(spark, sf_dir)["decontaminated"]
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    cleaned = quality.c4_line_filter(
-        _synthesized_lines(d), "text", "doc_id"
-    ).withColumnRenamed(
-        "clean_text", "text"
+
+@register(
+    "x_curation_funnel",
+    _V4_SQL_CORE + """
+    , fin AS (
+        SELECT g.doc_id
+        FROM gr g LEFT JOIN per USING (doc_id)
+        WHERE g.doc_id % 97 <> 0
+          AND (CASE WHEN COALESCE(per.n_grams, 0) > 0
+                    THEN ROUND(per.n_hit * 1.0 / per.n_grams, 4) ELSE 0.0 END) <= 0.02
     )
-    g = quality.gopher_rules(
-        cleaned, "text", "doc_id",
-        min_words=20, required_stopwords=("the", "a"), min_required_stopwords=1,
-        passthrough=("text", "n_lines_kept"),
-    )
-    kept = persist_bounded(
-        "extensions.curation_v4.kept",
-        g.where(F.col("keep")).select("doc_id", "text", "n_lines_kept", "n_words"),
-    )
-    # gram comparison runs on punctuation/newline-normalized text: the
-    # synthesized line punctuation is position-dependent, so raw cleaned
-    # text would never share a 4-gram across documents
-    norm = F.replace(
-        F.replace(F.col("text"), F.lit("."), F.lit("")), F.lit("\n"), F.lit(" ")
-    ).alias("text")
-    bench = kept.filter(F.col("doc_id") % 97 == 0).select("doc_id", norm)
-    corpus = kept.filter(F.col("doc_id") % 97 != 0)
-    rep = decontam.contamination_report(
-        corpus.select("doc_id", norm), bench, "text", "doc_id", k=3
-    )
-    return corpus.join(
-        rep.where(F.col("overlap_frac") <= 0.02).select(
-            "doc_id", "n_grams", "overlap_frac"
-        ),
-        "doc_id",
-    ).select("doc_id", "n_lines_kept", "n_words", "n_grams", "overlap_frac")
+    SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    UNION ALL
+    SELECT '1_c4_clean', CAST(COUNT(*) AS BIGINT) FROM c4
+    UNION ALL
+    SELECT '2_gopher', CAST(COUNT(*) AS BIGINT) FROM gr
+    UNION ALL
+    SELECT '3_eval_heldout', CAST(COUNT(*) AS BIGINT) FROM gr WHERE doc_id % 97 <> 0
+    UNION ALL
+    SELECT '4_decontaminated', CAST(COUNT(*) AS BIGINT) FROM fin
+    """,
+)
+def x_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card attrition funnel for the v4 pipeline (the
+    RefinedWeb-style per-stage removal table): one row per stage with the
+    surviving document count — raw corpus, after C4 line cleaning, after
+    the Gopher rule battery, after holding out the eval slice, after the
+    contamination-severity cut. Shares the exact stage frames with
+    x_curation_v4 (and the SQL core with its oracle), so the funnel can
+    never drift from the pipeline it describes. Each count is a map-side
+    combined aggregate; the Gopher survivors are pool-persisted so the
+    funnel costs one pass per stage, not one pipeline re-execution each."""
+    frames = _v4_stage_frames(spark, sf_dir)
+    order = ["raw", "c4_clean", "gopher", "eval_heldout", "decontaminated"]
+    parts = [
+        frames[name]
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit(f"{i}_{name}").alias("stage"), "n_docs")
+        for i, name in enumerate(order)
+    ]
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out
 
 
 @register(
