@@ -46,6 +46,19 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Long-session robustness: in local mode driver and executor share
+        # one JVM, so a heartbeat RPC failure can ONLY mean transient
+        # dispatcher/VM stall — yet the executor self-exits after
+        # maxFailures misses, killing every later query in the session
+        # (observed twice ~5000 stages into a full-suite run: heartbeats
+        # start failing with the endpoint-verifier unable to resolve the
+        # driver ref while tasks keep succeeding, then "Exit as unable to
+        # send heartbeats" cascades ConnectionRefused over everything
+        # after). A 60s interval × 60 tolerated misses rides out any
+        # realistic stall; both are common production settings and keep
+        # heartbeatInterval << network timeout as Spark requires.
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
     )
     if not os.environ.get("MASTER") and "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{n}]")
