@@ -1651,7 +1651,9 @@ def x_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: v4 pipeline SQL core shared by x_curation_v4 and x_curation_funnel:
 #: the cleaned corpus (`c4`), the Gopher survivors (`gr`), and the
-#: per-doc contamination counts (`per`).
+#: per-doc contamination counts (`per`) and the final decontaminated
+#: output (`fin`) — both consumers read `fin`, so the final-stage
+#: predicate exists exactly once.
 _V4_SQL_CORE = "WITH " + _C4_SQL_PREFIX + """,
     gm AS (
         SELECT doc_id, ct, n_lines_kept,
@@ -1704,6 +1706,17 @@ _V4_SQL_CORE = "WITH " + _C4_SQL_PREFIX + """,
         SELECT e.doc_id, COUNT(*) AS n_grams,
                SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
         FROM e LEFT JOIN bench b USING (gram) GROUP BY e.doc_id
+    ),
+    fin AS (
+        SELECT g.doc_id, g.n_lines_kept, g.n_words,
+               CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+               CASE WHEN COALESCE(per.n_grams, 0) > 0
+                    THEN ROUND(per.n_hit * 1.0 / per.n_grams, 4) ELSE 0.0 END
+                   AS overlap_frac
+        FROM gr g LEFT JOIN per USING (doc_id)
+        WHERE g.doc_id % 97 <> 0
+          AND (CASE WHEN COALESCE(per.n_grams, 0) > 0
+                    THEN ROUND(per.n_hit * 1.0 / per.n_grams, 4) ELSE 0.0 END) <= 0.02
     )
     """
 
@@ -1754,15 +1767,7 @@ def _v4_stage_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 @register(
     "x_curation_v4",
     _V4_SQL_CORE + """
-    SELECT g.doc_id, g.n_lines_kept, g.n_words,
-           CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
-           CASE WHEN COALESCE(per.n_grams, 0) > 0
-                THEN ROUND(per.n_hit * 1.0 / per.n_grams, 4) ELSE 0.0 END
-               AS overlap_frac
-    FROM gr g LEFT JOIN per USING (doc_id)
-    WHERE g.doc_id % 97 <> 0
-      AND (CASE WHEN COALESCE(per.n_grams, 0) > 0
-                THEN ROUND(per.n_hit * 1.0 / per.n_grams, 4) ELSE 0.0 END) <= 0.02
+    SELECT doc_id, n_lines_kept, n_words, n_grams, overlap_frac FROM fin
     """,
 )
 def x_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1784,13 +1789,6 @@ def x_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_curation_funnel",
     _V4_SQL_CORE + """
-    , fin AS (
-        SELECT g.doc_id
-        FROM gr g LEFT JOIN per USING (doc_id)
-        WHERE g.doc_id % 97 <> 0
-          AND (CASE WHEN COALESCE(per.n_grams, 0) > 0
-                    THEN ROUND(per.n_hit * 1.0 / per.n_grams, 4) ELSE 0.0 END) <= 0.02
-    )
     SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
     UNION ALL
     SELECT '1_c4_clean', CAST(COUNT(*) AS BIGINT) FROM c4

@@ -174,16 +174,21 @@ def test_end_to_end_curation_to_shards(spark, tmp_path):
         mixed = temperature_mix(
             survivors, "doc_id", "source", alpha=0.5, target_fraction=0.9
         )
-        return export_training_shards(
+        # survivor set collected INDEPENDENTLY of the export (completeness
+        # must not be checked against a total the sink itself derived)
+        expected_ids = {r["doc_id"] for r in mixed.select("doc_id").collect()}
+        man = export_training_shards(
             mixed.select("doc_id", "text"), out_path, 3, "doc_id"
         )
+        return man, expected_ids
 
-    man = pipeline(str(tmp_path / "run1"))
+    man, expected_ids = pipeline(str(tmp_path / "run1"))
     assert man["num_shards"] == 3 and man["total_rows"] > 0
 
     ids1 = _exported_ids(spark, str(tmp_path / "run1"), 3)
     flat = [i for s in ids1 for i in s]
-    assert len(flat) == len(set(flat)) == man["total_rows"]  # no dups, complete
+    assert len(flat) == len(set(flat)) == man["total_rows"]  # no dups
+    assert set(flat) == expected_ids  # every pipeline survivor, nothing else
 
     pipeline(str(tmp_path / "run2"))
     assert ids1 == _exported_ids(spark, str(tmp_path / "run2"), 3)  # deterministic

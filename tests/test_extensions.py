@@ -1875,14 +1875,15 @@ def test_curation_funnel_is_monotone_and_consistent(spark):
     row count (shared stage frames — the funnel can't drift from the
     pipeline it describes)."""
     from eth_indexer_spark.plans.extensions import x_curation_funnel, x_curation_v4
+    from tests.conftest import SF_CORRECTNESS
 
     rows = {
         r["stage"]: r["n_docs"]
-        for r in x_curation_funnel(spark, "/root/testdata/sf0.01").collect()
+        for r in x_curation_funnel(spark, SF_CORRECTNESS).collect()
     }
     order = ["0_raw", "1_c4_clean", "2_gopher", "3_eval_heldout", "4_decontaminated"]
     assert list(rows) and set(rows) == set(order)
     counts = [rows[s] for s in order]
     assert counts[0] == 500
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
-    assert counts[-1] == x_curation_v4(spark, "/root/testdata/sf0.01").count()
+    assert counts[-1] == x_curation_v4(spark, SF_CORRECTNESS).count()
