@@ -1123,10 +1123,21 @@ def cluster_representatives(
     Instead a single ``max(struct(score, -id, id))`` aggregation: map-side
     partial combine shrinks each cluster to one candidate per task BEFORE
     the one shuffle, so even a cluster spanning the whole corpus costs
-    O(#partitions) reduce-side work."""
-    joined = clusters.join(
-        scores.select(F.col(id_col), F.col(score_col)), id_col, "left"
+    O(#partitions) reduce-side work.
+
+    ``scores`` carries no uniqueness contract: duplicate score rows per id
+    (a re-scored doc, an unsynchronized upstream union) are collapsed to
+    ``max(score)`` per id BEFORE the join — otherwise the left join would
+    fan out, silently inflating ``n_members`` and letting a doc win on its
+    best duplicate row while being counted twice. One extra skinny
+    aggregation on an id-keyed frame; map-side combine makes it ~free when
+    ids are already unique."""
+    scores_1 = (
+        scores.select(F.col(id_col), F.col(score_col))
+        .groupBy(id_col)
+        .agg(F.max(score_col).alias(score_col))
     )
+    joined = clusters.join(scores_1, id_col, "left")
     best = F.max(
         F.struct(
             # unscored members sort below every real score (scores are

@@ -219,9 +219,18 @@ def gopher_rules(
     alpha_frac = ratio(
         F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))), n_words
     )
+    # stopwords are matched on WORD CORES — lowercased whitespace tokens
+    # with non-alphanumeric edges stripped — so 'The.' / 'the,' / '"the"'
+    # count. A raw whitespace-token intersect would make the rule stricter
+    # than Gopher's on any punctuated text (a stopword followed by a comma
+    # never matches) and reject fluent documents.
+    word_cores = F.transform(
+        F.split(F.lower(F.trim(c)), r"\s+"),
+        lambda w: F.regexp_replace(w, r"^[^0-9a-z]+|[^0-9a-z]+$", ""),
+    )
     n_req_stop = F.size(
         F.array_intersect(
-            F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+")),
+            F.array_distinct(word_cores),
             F.array(*[F.lit(s) for s in required_stopwords]),
         )
     )

@@ -106,6 +106,7 @@ def temperature_mix(
     alpha: float = 0.3,
     target_fraction: float = 1.0,
     buckets: int = 10_000,
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """Temperature-based source rebalancing — the multilingual sampling
     standard (mT5 / XLM-R style): sample groups proportional to
@@ -125,20 +126,34 @@ def temperature_mix(
     Scale shape: ONE skinny groupBy for the per-group counts (bounded
     collect — sources/languages are low-cardinality by nature, the same
     driver-side-literal pattern as k-means centroids), then a map-only
-    filter. Rates embed driver-computed ``**alpha`` float literals, so the
-    registered query is rows-only checked; pytest pins the kept set
-    bit-exactly against a sequential Python model instead (the DSIR
-    convention)."""
+    filter. The low-cardinality contract is ENFORCED, not advisory: the
+    driver reads at most ``max_groups + 1`` grouped rows (a bounded
+    ``take``, never an unbounded ``collect``) and raises if the group
+    column exceeds ``max_groups`` distinct values — a caller passing a
+    high-cardinality column (a domain hash, a doc id) fails loudly instead
+    of flooding the driver. Rates embed driver-computed ``**alpha`` float
+    literals, so the registered query is rows-only checked; pytest pins the
+    kept set bit-exactly against a sequential Python model instead (the
+    DSIR convention)."""
     if not 0.0 <= target_fraction <= 1.0:
         raise ValueError(f"target_fraction must be in [0, 1], got {target_fraction}")
     if alpha < 0.0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
-    counts = {
-        r["g"]: r["n"]
-        for r in df.groupBy(F.col(group_col).alias("g"))
+    if max_groups < 1:
+        raise ValueError(f"max_groups must be >= 1, got {max_groups}")
+    head = (
+        df.groupBy(F.col(group_col).alias("g"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+        .take(max_groups + 1)
+    )
+    if len(head) > max_groups:
+        raise ValueError(
+            f"temperature_mix: {group_col!r} has more than {max_groups} "
+            "distinct values — this operator is for low-cardinality source/"
+            "language columns (raise max_groups only if the driver can hold "
+            "the per-group rate map)"
+        )
+    counts = {r["g"]: r["n"] for r in head}
     if None in counts:
         # weighted_mix's when-chain would silently assign NULL groups the
         # default threshold 0 — deleting them while target_fraction claims
@@ -165,6 +180,15 @@ def temperature_mix(
             rates[g] = 1.0
             budget -= counts[g]
             del remaining[g]
+    # weighted_mix quantizes thresholds to int(round(rate * buckets)): a
+    # group whose water-filled rate lands below 0.5/buckets would quantize
+    # to threshold 0 and be dropped ENTIRELY — the exact opposite of the
+    # up-weight-low-resource intent. Clamp every nonzero rate to the
+    # smallest representable threshold (1/buckets) so tiny sources keep a
+    # floor share instead of vanishing. target_fraction drift from the
+    # clamp is at most n_groups/buckets of the corpus — immaterial at the
+    # enforced group cardinality.
+    rates = {g: max(r, 1.0 / buckets) if r > 0.0 else r for g, r in rates.items()}
     return weighted_mix(df, id_col, group_col, rates, buckets=buckets)
 
 

@@ -1072,7 +1072,9 @@ def x_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(lines) AS n_lines,
                len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
                len(list_intersect(
-                   list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                   list_distinct(list_transform(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> regexp_replace(x, '^[^0-9a-z]+|[^0-9a-z]+$', '', 'g'))),
                    ['the', 'a'])) AS n_req_stopwords
         FROM m
     ),
@@ -1673,7 +1675,9 @@ _V4_SQL_CORE = "WITH " + _C4_SQL_PREFIX + """,
                len(ls2) AS n_lines,
                len(list_filter(w2, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
                len(list_intersect(
-                   list_distinct(regexp_split_to_array(trim(lower(ct)), '\\s+')),
+                   list_distinct(list_transform(
+                       regexp_split_to_array(trim(lower(ct)), '\\s+'),
+                       x -> regexp_replace(x, '^[^0-9a-z]+|[^0-9a-z]+$', '', 'g'))),
                    ['the', 'a'])) AS n_req
         FROM gm
     ),

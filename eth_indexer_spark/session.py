@@ -46,22 +46,27 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        # Long-session robustness: in local mode driver and executor share
-        # one JVM, so a heartbeat RPC failure can ONLY mean transient
-        # dispatcher/VM stall — yet the executor self-exits after
-        # maxFailures misses, killing every later query in the session
-        # (observed twice ~5000 stages into a full-suite run: heartbeats
-        # start failing with the endpoint-verifier unable to resolve the
-        # driver ref while tasks keep succeeding, then "Exit as unable to
-        # send heartbeats" cascades ConnectionRefused over everything
-        # after). A 60s interval × 60 tolerated misses rides out any
-        # realistic stall; both are common production settings and keep
-        # heartbeatInterval << network timeout as Spark requires.
-        .config("spark.network.timeout", "600s")
-        .config("spark.executor.heartbeatInterval", "60s")
     )
     if not os.environ.get("MASTER") and "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{n}]")
+        # Long-session robustness, LOCAL MASTER ONLY: in local mode driver
+        # and executor share one JVM, so a heartbeat RPC failure can ONLY
+        # mean transient dispatcher/VM stall — yet the executor self-exits
+        # after maxFailures misses, killing every later query in the
+        # session (observed twice ~5000 stages into a full-suite run:
+        # heartbeats start failing with the endpoint-verifier unable to
+        # resolve the driver ref while tasks keep succeeding, then "Exit as
+        # unable to send heartbeats" cascades ConnectionRefused over
+        # everything after). A 60s interval × 60 tolerated misses rides out
+        # any realistic stall; both keep heartbeatInterval << network
+        # timeout as Spark requires. On a REAL cluster these values would
+        # delay dead-executor detection by up to 10 minutes, so they are
+        # deliberately NOT applied when MASTER/SPARK_MASTER is set —
+        # cluster deployments keep Spark's defaults (or set their own via
+        # ``extra_conf``, which is applied after and overrides these).
+        builder = builder.config("spark.network.timeout", "600s").config(
+            "spark.executor.heartbeatInterval", "60s"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

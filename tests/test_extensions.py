@@ -1682,6 +1682,32 @@ def test_gopher_rules_hand_computed(spark):
     assert out[10]["n_words"] == 0 and not out[10]["keep"]
 
 
+def test_gopher_stopwords_match_through_punctuation(spark):
+    """Stopwords carrying adjacent punctuation or case ('The,' '"the"'
+    'AND...') still count: matching is on lowercased word cores with
+    non-alphanumeric edges stripped, so real punctuated prose is not
+    rejected by a rule stricter than Gopher's."""
+    from eth_indexer_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [
+            (1, 'The, cat sat.'),          # 'The,' → core 'the'
+            (2, '"the" cat (and) dog.'),   # quoted / parenthesized
+            (3, 'AND... then cat ran'),    # case + ellipsis suffix
+            (4, 'cat dog mat sat'),        # genuinely no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_req_stopwords"]
+        for r in quality.gopher_rules(
+            df, "text", "doc_id",
+            required_stopwords=("the", "and"), min_required_stopwords=1,
+        ).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 1, 4: 0}
+
+
 def test_c4_line_filter_hand_computed(spark):
     """Line rules: terminal punctuation, >=3 words, no 'javascript';
     doc rules: >=3 surviving lines, no 'lorem ipsum', no '{'."""
@@ -1843,6 +1869,27 @@ def test_cluster_representatives_tolerates_missing_scores(spark):
     assert out == {1: (1, 0.5, 2), 3: (3, None, 2)}
 
 
+def test_cluster_representatives_collapses_duplicate_scores(spark):
+    """Duplicate score rows per doc (re-scored doc, unsynchronized union)
+    must not fan out the join: n_members stays the true member count and
+    the winner is judged on max(score) per doc, not per duplicate row."""
+    from eth_indexer_spark.operators import dedup
+
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "doc long, cluster long"
+    )
+    sc = spark.createDataFrame(
+        # doc 1 scored twice (0.2 then 0.9); doc 2 once at 0.5
+        [(1, 0.2), (1, 0.9), (2, 0.5), (3, 0.1), (4, 0.7)],
+        "doc long, quality double",
+    )
+    out = {
+        r["cluster"]: (r["keep_id"], r["best_score"], r["n_members"])
+        for r in dedup.cluster_representatives(cl, sc, "quality").collect()
+    }
+    assert out == {1: (1, 0.9, 2), 3: (4, 0.7, 2)}
+
+
 def test_c4_line_filter_empty_terminal_punct_disables_rule(spark):
     """terminal_punct=() means 'rule disabled', not 'drop everything'."""
     from eth_indexer_spark.operators import quality
@@ -1867,6 +1914,41 @@ def test_temperature_mix_rejects_null_groups(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         temperature_mix(df, "doc_id", "src", alpha=0.5, target_fraction=1.0)
+
+
+def test_temperature_mix_enforces_group_cardinality(spark):
+    """The low-cardinality contract is enforced, not advisory: a
+    high-cardinality group column (e.g. a domain hash) raises instead of
+    collecting an unbounded per-group count map onto the driver."""
+    import pytest
+
+    from eth_indexer_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(30)], "doc_id long, src string"
+    )
+    with pytest.raises(ValueError, match="distinct values"):
+        temperature_mix(df, "doc_id", "src", alpha=0.5, max_groups=2)
+    # at-the-bound passes (3 groups, max_groups=3)
+    assert temperature_mix(df, "doc_id", "src", alpha=0.5, max_groups=3).count() > 0
+
+
+def test_temperature_mix_clamps_quantization_zero_drop(spark):
+    """A group whose water-filled rate quantizes below 0.5/buckets must NOT
+    be silently dropped entirely (weighted_mix threshold 0): the rate is
+    clamped to the smallest representable threshold 1/buckets. alpha=0 with
+    a skewed corpus drives the BIG group's rate to ~0.026 < 0.05 at
+    buckets=10 — pre-clamp it would vanish."""
+    from eth_indexer_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 95 else "tiny") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    kept = temperature_mix(
+        df, "doc_id", "src", alpha=0.0, target_fraction=0.05, buckets=10
+    ).collect()
+    assert any(r["src"] == "big" for r in kept), (
+        "big group quantized to threshold 0 and was dropped entirely"
+    )
 
 
 def test_curation_funnel_is_monotone_and_consistent(spark):
