@@ -54,6 +54,13 @@ BENCH_QUERIES = (
     "x_dedup_minhash_lsh",
     "x_ann_cosine_topk",
     "x_text_quality",
+    # round-7 additions: the curation wave's heavyweights, so regressions
+    # in the newer operators show up in BENCH_rN diffs. Appended AFTER the
+    # 19 legacy keys, which keep their names — r06↔r07 diffs stay valid.
+    "x_substring_dedup",
+    "x_curation_v4",
+    "x_lm_unigram_score",
+    "x_cluster_keep_best",
 )
 
 

@@ -75,11 +75,12 @@ def export_training_shards(
         # column, and pos_col == "__pos" would be dropped by its cleanup.
         df = shuffle_order(df, id_col, pos_col="__export_pos")
         pos_col = "__export_pos"
-        # one materialization serves both the stats pass and the write —
-        # without it the md5 prefix-sum lineage (itself multi-pass)
-        # re-executes per action; a caller-supplied order has no such
-        # lineage to protect, so it is not pinned
-        df = persist_bounded("sinks.export.ordered", df)
+    # one materialization serves both the validation pass and the write —
+    # without it the upstream lineage re-executes per action. That is worst
+    # for the derived order (the md5 prefix sum is itself multi-pass) but
+    # just as real for a caller-supplied pos_col, whose upstream (often a
+    # whole curation pipeline) would otherwise run twice; pin both.
+    df = persist_bounded("sinks.export.ordered", df)
     try:
         stats = df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -122,8 +123,7 @@ def export_training_shards(
         writer = out.write.mode("overwrite").partitionBy("shard")
         getattr(writer, fmt)(path)
     finally:
-        if derived:
-            release_persisted("sinks.export.ordered")
+        release_persisted("sinks.export.ordered")
     manifest = {
         "num_shards": num_shards,
         "total_rows": total,

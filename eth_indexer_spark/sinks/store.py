@@ -138,6 +138,13 @@ _VERSION_FILE = "VERSION.json"
 # the group's half-applied blocks; the group's replay (same hold, clean
 # exit) clears it.
 _HOLD_FILE = "VERSION_HOLD.json"
+# Monotone counter bumped every time the PUBLISHED boundary is actually
+# rewound (a reorg retraction) — never on ordinary forward mutation. A
+# StoreSnapshot pins it alongside the version; re-checking it after a read
+# action detects the one race the version pointer alone cannot: a rewind
+# below the pin followed by a re-advance back past it while the read
+# executes (version looks unchanged; the epoch does not).
+_EPOCH_FILE = "REWIND_EPOCH.json"
 
 # Columns that must never be NULL on write: dropDuplicates treats NULLs as
 # equal, so a null in a dedup-key column would silently collapse distinct
@@ -200,6 +207,13 @@ def _partition_rel_dirs(root: str, extra_partitions: list[str]) -> list[str]:
     return out
 
 
+class SnapshotRetractedError(RuntimeError):
+    """A reorg rewound the committed boundary below (or across) a pinned
+    StoreSnapshot while it was in use: the snapshot's view may include
+    retracted rows, so the read fails loudly instead of returning them.
+    Retry on a fresh ``store.snapshot()``."""
+
+
 class ParquetStore:
     """One directory per table under ``root``; block-keyed tables partitioned
     by (token?,) block_bucket."""
@@ -239,6 +253,24 @@ class ParquetStore:
             os.fsync(f.fileno())
         os.replace(staging, path)
 
+    def read_rewind_epoch(self) -> int:
+        """Count of published-boundary rewinds this store has ever performed
+        (0 for a store that never reorged). Monotone; see ``_EPOCH_FILE``."""
+        try:
+            with open(os.path.join(self.root, _EPOCH_FILE)) as f:
+                return int(json.load(f)["epoch"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return 0
+
+    def _bump_rewind_epoch(self) -> None:
+        path = os.path.join(self.root, _EPOCH_FILE)
+        staging = path + ".writing"
+        with open(staging, "w") as f:
+            json.dump({"epoch": self.read_rewind_epoch() + 1}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(staging, path)
+
     def _hold_floor(self) -> int | None:
         """Floor recorded by an in-progress (or crashed/aborted) hold, or
         None when no hold record exists."""
@@ -267,7 +299,14 @@ class ParquetStore:
         with self._version_mutex:
             v = self.read_version()
             if v is not None and v >= lo:
+                # version FIRST, epoch SECOND: a snapshot reads epoch before
+                # version, so whichever half of this pair it straddles, it
+                # either pins the post-rewind version (consistent) or a
+                # stale epoch (its guard then raises — the safe direction).
+                # The reverse order could hand out (new epoch, old version):
+                # a retracted pin that the guard would NOT catch.
                 self._set_version(lo - 1)
+                self._bump_rewind_epoch()
             # a deferred advance captured BEFORE this rewind must not
             # resurrect a boundary over blocks this mutation removes; a
             # LATER advance inside the hold may raise it again (its own
@@ -366,7 +405,9 @@ class ParquetStore:
         through the returned object is clamped to ``block <= version``, so
         a multi-table read sees one batch boundary (EP3 consistency —
         store/store.go:115-173's transaction scope)."""
-        return StoreSnapshot(self, self.read_version())
+        # epoch BEFORE version (see _rewind_version_below's ordering note)
+        epoch = self.read_rewind_epoch()
+        return StoreSnapshot(self, self.read_version(), epoch)
 
     # -- crash-safe mutation protocol ----------------------------------------
     #
@@ -1135,13 +1176,66 @@ class StoreSnapshot:
     delegate to live reads (they version per-swap, outside the block
     domain, as in the reference's separate dim transactions). A store with
     no VERSION pointer yet (pre-upgrade layout) degrades to live reads.
+
+    **Reorg-rewind race, detected:** the clamp cannot stop a reorg that
+    rewinds the boundary below the pin *while a read action executes* —
+    parquet files under the pin get rewritten mid-scan (the reference's DB
+    isolation would block this; the full fix is lakehouse-format MVCC).
+    The snapshot therefore pins the store's rewind EPOCH alongside the
+    version; :meth:`check` raises :class:`SnapshotRetractedError` whenever
+    the epoch moved or the boundary dropped below the pin, and
+    :meth:`guard` / :meth:`collect` bracket an action with that check. The
+    rewind protocol bumps the epoch AFTER lowering the pointer and BEFORE
+    touching any file, so a post-action check observes it for every rewind
+    that could have overlapped the action — including a rewind-then-
+    re-advance that leaves the version looking untouched. Detection, not
+    prevention: the caller retries on a fresh snapshot (reorgs are rare);
+    retracted rows are never returned silently.
     """
 
-    def __init__(self, store: ParquetStore, version: int | None):
+    def __init__(
+        self, store: ParquetStore, version: int | None, epoch: int | None = None
+    ):
         self.store = store
         self.version = version
+        # direct construction (tests) may omit the epoch: pin it now —
+        # possibly one bump late, which only errs toward raising
+        self.epoch = store.read_rewind_epoch() if epoch is None else epoch
         self.spark = store.spark
         self.bucket_size = store.bucket_size
+
+    def check(self) -> None:
+        """Raise :class:`SnapshotRetractedError` if a reorg rewind has (or
+        may have) invalidated this snapshot's pin. Cheap: two small JSON
+        reads, no Spark job."""
+        if self.store.read_rewind_epoch() != self.epoch:
+            raise SnapshotRetractedError(
+                f"store rewound (reorg) since this snapshot pinned "
+                f"version {self.version}; retry on a fresh snapshot"
+            )
+        if self.version is not None:
+            v = self.store.read_version()
+            if v is None or v < self.version:
+                raise SnapshotRetractedError(
+                    f"committed boundary dropped to {v} below the pinned "
+                    f"version {self.version}; retry on a fresh snapshot"
+                )
+
+    @contextmanager
+    def guard(self):
+        """Bracket a read ACTION (collect/toPandas/write) with
+        :meth:`check`: the post-action check detects any rewind that
+        overlapped the action, so retracted state observed mid-scan raises
+        instead of being returned."""
+        self.check()
+        yield
+        self.check()
+
+    def collect(self, df: DataFrame) -> list:
+        """``df.collect()`` under :meth:`guard` — the guarded form of the
+        one action the query layer runs driver-side."""
+        with self.guard():
+            return df.collect()
 
     def snapshot(self) -> "StoreSnapshot":
         return self
@@ -1183,13 +1277,17 @@ class StoreSnapshot:
         if not self.store.exists(table):
             return None
         col = BLOCK_COLUMN[table]
-        for b in sorted(self.bucket_values(table), reverse=True):
-            row = (
-                self.spark.read.parquet(self.path(table))
-                .filter((F.col(_BUCKET) == b) & (F.col(col) <= self.version))
-                .agg(F.max(col).alias("m"))
-                .collect()[0]
-            )
-            if row["m"] is not None:
-                return row["m"]
+        # self-protecting: this method runs its own actions, so it brackets
+        # itself — a rewind landing mid-walk raises instead of returning a
+        # max computed over retracted files
+        with self.guard():
+            for b in sorted(self.bucket_values(table), reverse=True):
+                row = (
+                    self.spark.read.parquet(self.path(table))
+                    .filter((F.col(_BUCKET) == b) & (F.col(col) <= self.version))
+                    .agg(F.max(col).alias("m"))
+                    .collect()[0]
+                )
+                if row["m"] is not None:
+                    return row["m"]
         return None

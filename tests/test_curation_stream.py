@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from eth_indexer_spark.sinks.store import ParquetStore
@@ -106,6 +107,65 @@ def test_curation_stream_replay_is_exactly_once(spark, tmp_path):
     fn(batches[1], 1)
     assert _curated(store) == before
     assert store.read("digest_index").count() == n_digest
+
+
+def _gram_counts(store):
+    return {
+        (r["gdigest"], r["gram_len"], r["cnt"])
+        for r in store.read("substring_gram_index")
+        .groupBy("gdigest", "gram_len")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+
+
+def _digest_rows(store):
+    return {
+        (r["digest"], r["keep_id"]) for r in store.read("digest_index").collect()
+    }
+
+
+@pytest.mark.parametrize("crash_after", [0, 1, 2])
+def test_curation_stream_crash_matrix(spark, tmp_path, crash_after):
+    """Exhaustive crash sweep over the shell's commit sequence: a crash
+    injected before the first, between the first and second, and between
+    the second and third append_dimension_delta calls (digest → gram →
+    docs), each followed by a clean replay of the batch and the rest of
+    the stream. Every crash point must converge to the crash-free run's
+    exact curated docs, digest rows, and aggregated gram counts — the
+    exactly-once-by-construction claim, mechanically checked at every
+    partial-landing state."""
+    batches = _batches(spark)
+
+    ref = ParquetStore(spark, str(tmp_path / "ref"))
+    ref_fn = make_curation_batch_fn(ref, min_len=4)
+    for i, b in enumerate(batches):
+        ref_fn(b, i)
+
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    fn = make_curation_batch_fn(store, min_len=4)
+    fn(batches[0], 0)
+
+    real = store.append_dimension_delta
+    done = {"n": 0}
+
+    def crashing(table, df, delta):
+        if done["n"] == crash_after:
+            raise RuntimeError("injected crash")
+        done["n"] += 1
+        return real(table, df, delta)
+
+    store.append_dimension_delta = crashing
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fn(batches[1], 1)
+    store.append_dimension_delta = real
+
+    fn(batches[1], 1)  # replay of the crashed batch
+    fn(batches[2], 2)  # stream continues
+
+    assert _curated(store) == _curated(ref) == EXPECT
+    assert _digest_rows(store) == _digest_rows(ref)
+    assert _gram_counts(store) == _gram_counts(ref)
 
 
 def test_curation_under_real_structured_streaming(spark, tmp_path):

@@ -774,6 +774,50 @@ def test_snapshot_reader_never_spans_a_batch_boundary(spark, tmp_path):
     assert checks >= 3  # the reader actually raced the writer
 
 
+def test_snapshot_guard_detects_reorg_rewind(spark, store):
+    """The one residual race the VERSION clamp alone cannot close: a reorg
+    rewinding the boundary below a pinned snapshot WHILE its read action
+    executes. The snapshot pins the store's rewind epoch; guard/collect
+    bracket the action and raise SnapshotRetractedError instead of silently
+    returning retracted rows — including the rewind-then-re-advance case
+    where the version pointer alone looks untouched."""
+    from eth_indexer_spark.sinks.store import SnapshotRetractedError
+
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 110))})
+    snap = store.snapshot()
+    assert snap.version == 109
+    df = snap.read("block_headers")
+    assert len(snap.collect(df)) == 10  # healthy pin: guarded read passes
+
+    # retraction below the pin between plan construction and the action —
+    # the deterministic simulation of "rewind lands mid-read"
+    store.delete_block_range("block_headers", 105, 109)
+    with pytest.raises(SnapshotRetractedError):
+        snap.collect(df)
+    with pytest.raises(SnapshotRetractedError):
+        snap.max_block("block_headers")
+
+    # rewind-then-re-advance: the boundary comes back PAST the pin, so the
+    # version check alone would miss it — the epoch does not
+    store.write_blocks(
+        {"block_headers": headers_df(spark, range(105, 112))}, block_range=(105, 111)
+    )
+    assert store.read_version() == 111 >= snap.version
+    with pytest.raises(SnapshotRetractedError):
+        snap.collect(snap.read("block_headers"))
+
+    # a fresh snapshot reads cleanly after the reorg settles
+    fresh = store.snapshot()
+    assert len(fresh.collect(fresh.read("block_headers"))) == 12
+
+    # pure forward progress (no rewind) never trips a pinned guard
+    snap2 = store.snapshot()
+    store.write_blocks(
+        {"block_headers": headers_df(spark, range(112, 115))}, block_range=(112, 114)
+    )
+    assert len(snap2.collect(snap2.read("block_headers"))) == 12
+
+
 def test_compact_sorts_rows_within_bucket_files(spark, tmp_path):
     """Compaction must write each bucket file block-sorted so parquet
     row-group min/max statistics carry tight block ranges (row-group skip
