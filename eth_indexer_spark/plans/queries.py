@@ -199,14 +199,15 @@ class StoreQueries:
         return header_by_number(self.store.read_eq("block_headers", number), number)
 
     def latest_header(self) -> DataFrame:
-        """T1 in O(top bucket): the max partition directory bounds the
-        answer, so only its rows are ordered (cf. store.max_block)."""
-        top = max(self.store.bucket_values("block_headers"), default=None)
+        """T1 in O(top bucket): max_block bounds the answer (itself an
+        O(bucket) top-down walk), so only the head block's rows are read —
+        expressed through the StoreBackend contract alone (max_block +
+        read_range), so a lakehouse backend serves it without the parquet
+        layout's bucket-directory introspection."""
+        top = self.store.max_block("block_headers")
         if top is None:
             return self.store.read("block_headers").limit(0)
-        return latest_header(
-            self.store.read_range("block_headers", lo=top * self.store.bucket_size)
-        )
+        return latest_header(self.store.read_range("block_headers", lo=top))
 
     def find_account(
         self, token: str, address: str, block_number: int | None = None

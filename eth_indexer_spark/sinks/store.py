@@ -79,6 +79,8 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eth_indexer_spark.sinks.backend import StoreBackend
+
 # Unique keys per table — mirrors the reference DDL's UNIQUE indexes exactly
 # (migration/db/migrate/*.rb, SURVEY §1.4); dedup-on-key before write (M5).
 # Tables the reference indexes NON-uniquely (receipt_logs before log_index,
@@ -214,9 +216,12 @@ class SnapshotRetractedError(RuntimeError):
     Retry on a fresh ``store.snapshot()``."""
 
 
-class ParquetStore:
+class ParquetStore(StoreBackend):
     """One directory per table under ``root``; block-keyed tables partitioned
-    by (token?,) block_bucket."""
+    by (token?,) block_bucket. The local-FS :class:`StoreBackend`
+    implementation; ``bucket_values``/``path``/``compact``/
+    ``delete_block_range``/``append_blocks`` are parquet-layout extras
+    outside the backend contract (sinks/backend.py)."""
 
     def __init__(self, spark: SparkSession, root: str, bucket_size: int = 1000):
         import threading

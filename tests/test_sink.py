@@ -774,6 +774,48 @@ def test_snapshot_reader_never_spans_a_batch_boundary(spark, tmp_path):
     assert checks >= 3  # the reader actually raced the writer
 
 
+def test_parquet_store_implements_backend_seam():
+    """ParquetStore is the StoreBackend implementation: every abstract
+    method is overridden (abc would refuse instantiation otherwise — every
+    store fixture in this suite proves it — but assert the set explicitly
+    so a renamed method fails here, not in an unrelated fixture)."""
+    from eth_indexer_spark.sinks.backend import StoreBackend
+
+    assert issubclass(ParquetStore, StoreBackend)
+    missing = {
+        m for m in StoreBackend.__abstractmethods__
+        if getattr(ParquetStore, m) is getattr(StoreBackend, m)
+    }
+    assert not missing, missing
+    assert not getattr(ParquetStore, "__abstractmethods__", None)
+
+
+def test_engine_calls_stay_inside_backend_contract():
+    """The seam is real only if the engine never reaches around it: every
+    `store.<method>(` call outside sinks/ must name a StoreBackend contract
+    method (snapshot views add check/guard/collect). Parquet-layout extras
+    (bucket_values, path, compact, delete_block_range, append_blocks) are
+    implementation-private — a Delta/Iceberg backend must be able to swap
+    in without touching operators, plans, pipeline, or streaming."""
+    import pathlib
+    import re
+
+    import eth_indexer_spark
+    from eth_indexer_spark.sinks.backend import StoreBackend
+
+    contract = {m for m in dir(StoreBackend) if not m.startswith("_")}
+    allowed = contract | {"check", "guard", "collect"}
+    pkg = pathlib.Path(eth_indexer_spark.__file__).parent
+    bad = []
+    for p in pkg.rglob("*.py"):
+        if "sinks" in p.parts:
+            continue
+        for m in re.finditer(r"\bstore\.([a-z_]+)\(", p.read_text()):
+            if m.group(1) not in allowed:
+                bad.append((p.name, m.group(1)))
+    assert not bad, f"non-contract store calls in engine code: {bad}"
+
+
 def test_snapshot_guard_detects_reorg_rewind(spark, store):
     """The one residual race the VERSION clamp alone cannot close: a reorg
     rewinding the boundary below a pinned snapshot WHILE its read action
