@@ -1033,7 +1033,9 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, driver_max_edges: int = 1 << 17
+) -> DataFrame:
     """(doc, cluster) for every doc appearing in ``pairs`` (i, j): cluster =
     the minimum doc id of its connected component — the canonical survivor
     of a duplicate group.
@@ -1045,13 +1047,49 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     ``localCheckpoint`` truncates the iterative lineage. Convergence is
     detected by an edge-set checksum (count + hash sum), one tiny agg per
     round. This is the scalable duplicate-clustering standard at 100 TB —
-    never a driver-side union-find."""
+    never an UNBOUNDED driver-side union-find.
+
+    **Size-gated finisher**: the deduplicated edge set is already
+    materialized (the checkpoint) before the loop, so its count is free —
+    and when it is tiny (≤ ``driver_max_edges``, default 128k ≈ 2 MB of
+    longs) the component structure is computed driver-side by union-find
+    instead of iterating 3–6 star rounds of pure stage-scheduling overhead
+    over a one-partition frame (measured ~1 s/round on 890 edges — the
+    rounds cost scheduling, not compute, below cluster scale). This is the
+    engine's standard bounded control-flow read (dims, centroids, DSIR
+    buckets): the threshold bounds driver memory a priori, results are
+    bit-identical to the distributed path (property-tested), and any edge
+    set above it — the only kind a 100 TB corpus produces — takes the
+    distributed rounds unchanged. Pass ``driver_max_edges=0`` to force the
+    distributed path."""
     e = (
         pairs.select(F.col("i").cast("long").alias("u"), F.col("j").cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    if e.count() <= driver_max_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in e.collect():
+            u, v = row["u"], row["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # full compression → every root is its component's minimum id
+        # (unions always attach max-root under min-root)
+        labels = [(n, find(n)) for n in parent]
+        return e.sparkSession.createDataFrame(labels, "doc long, cluster long")
     prev = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()

@@ -454,11 +454,14 @@ def test_registered_minhash_cap_is_invisible_on_normal_corpus(spark, docs):
     assert registered == uncapped
 
 
-def test_connected_components_matches_union_find(spark):
-    """Property test: the alternating large-star/small-star algorithm must
-    label every node with its component's MIN id, exactly matching an
-    independent union-find, on shapes that stress it — a 40-edge chain
-    (convergence depth), a star (hot node), a cycle, and random clumps."""
+@pytest.mark.parametrize("driver_max_edges", [1 << 17, 0])
+def test_connected_components_matches_union_find(spark, driver_max_edges):
+    """Property test: BOTH paths — the size-gated driver union-find
+    finisher (default) and the distributed alternating large-star/
+    small-star rounds (forced via driver_max_edges=0) — must label every
+    node with its component's MIN id, exactly matching an independent
+    union-find, on shapes that stress it: a 40-edge chain (convergence
+    depth), a star (hot node), a cycle, and random clumps."""
     import random
 
     rng = random.Random(7)
@@ -486,7 +489,12 @@ def test_connected_components_matches_union_find(spark):
     want = {n: find(n) for n in parent}
 
     pairs = spark.createDataFrame(edges, "i long, j long")
-    got = {r["doc"]: r["cluster"] for r in dedup.connected_components(pairs).collect()}
+    got = {
+        r["doc"]: r["cluster"]
+        for r in dedup.connected_components(
+            pairs, driver_max_edges=driver_max_edges
+        ).collect()
+    }
     assert got == want
 
 
