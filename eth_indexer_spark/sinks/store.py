@@ -140,13 +140,15 @@ _VERSION_FILE = "VERSION.json"
 # the group's half-applied blocks; the group's replay (same hold, clean
 # exit) clears it.
 _HOLD_FILE = "VERSION_HOLD.json"
-# Monotone counter bumped every time the PUBLISHED boundary is actually
-# rewound (a reorg retraction) — never on ordinary forward mutation. A
-# StoreSnapshot pins it alongside the version; re-checking it after a read
-# action detects the one race the version pointer alone cannot: a rewind
-# below the pin followed by a re-advance back past it while the read
-# executes (version looks unchanged; the epoch does not).
-_EPOCH_FILE = "REWIND_EPOCH.json"
+# VERSION.json also carries a monotone "epoch" counter bumped every time
+# the PUBLISHED boundary is actually rewound (a reorg retraction) — never
+# on ordinary forward mutation. A StoreSnapshot pins it alongside the
+# version; re-checking it after a read action detects the one race the
+# version pointer alone cannot: a rewind below the pin followed by a
+# re-advance back past it while the read executes (version looks
+# unchanged; the epoch does not). Keeping both in ONE file makes every
+# (version, epoch) transition a single atomic replace — no crash or read
+# can ever split the pair.
 
 # Columns that must never be NULL on write: dropDuplicates treats NULLs as
 # equal, so a null in a dedup-key column would silently collapse distinct
@@ -240,38 +242,37 @@ class ParquetStore(StoreBackend):
 
     # -- committed-version pointer (cross-table read snapshot) ---------------
 
+    def _read_version_state(self) -> tuple[int | None, int]:
+        """One atomic read of (committed boundary, rewind epoch) — both live
+        in VERSION.json so a reader can never observe a rewound boundary
+        paired with the pre-rewind epoch (two files would reopen that race
+        through a crash between the writes). A missing/legacy file (no
+        epoch key) reads as epoch 0."""
+        try:
+            with open(os.path.join(self.root, _VERSION_FILE)) as f:
+                d = json.load(f)
+            return int(d["block"]), int(d.get("epoch", 0))
+        except (FileNotFoundError, ValueError, KeyError):
+            return None, 0
+
     def read_version(self) -> int | None:
         """The committed batch boundary, or None for a store that has never
         completed a versioned batch (readers then fall back to live reads)."""
-        try:
-            with open(os.path.join(self.root, _VERSION_FILE)) as f:
-                return int(json.load(f)["block"])
-        except (FileNotFoundError, ValueError, KeyError):
-            return None
-
-    def _set_version(self, block: int) -> None:
-        path = os.path.join(self.root, _VERSION_FILE)
-        staging = path + ".writing"
-        with open(staging, "w") as f:
-            json.dump({"block": int(block)}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(staging, path)
+        return self._read_version_state()[0]
 
     def read_rewind_epoch(self) -> int:
         """Count of published-boundary rewinds this store has ever performed
-        (0 for a store that never reorged). Monotone; see ``_EPOCH_FILE``."""
-        try:
-            with open(os.path.join(self.root, _EPOCH_FILE)) as f:
-                return int(json.load(f)["epoch"])
-        except (FileNotFoundError, ValueError, KeyError):
-            return 0
+        (0 for a store that never reorged). Monotone; carried in
+        VERSION.json so (version, epoch) updates are a single atomic file
+        replace."""
+        return self._read_version_state()[1]
 
-    def _bump_rewind_epoch(self) -> None:
-        path = os.path.join(self.root, _EPOCH_FILE)
+    def _set_version(self, block: int, bump_epoch: bool = False) -> None:
+        epoch = self.read_rewind_epoch() + (1 if bump_epoch else 0)
+        path = os.path.join(self.root, _VERSION_FILE)
         staging = path + ".writing"
         with open(staging, "w") as f:
-            json.dump({"epoch": self.read_rewind_epoch() + 1}, f)
+            json.dump({"block": int(block), "epoch": epoch}, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(staging, path)
@@ -304,14 +305,11 @@ class ParquetStore(StoreBackend):
         with self._version_mutex:
             v = self.read_version()
             if v is not None and v >= lo:
-                # version FIRST, epoch SECOND: a snapshot reads epoch before
-                # version, so whichever half of this pair it straddles, it
-                # either pins the post-rewind version (consistent) or a
-                # stale epoch (its guard then raises — the safe direction).
-                # The reverse order could hand out (new epoch, old version):
-                # a retracted pin that the guard would NOT catch.
-                self._set_version(lo - 1)
-                self._bump_rewind_epoch()
+                # ONE atomic write moves the boundary down AND bumps the
+                # epoch — a reader can never see the rewound version with
+                # the old epoch (or vice versa), and a crash cannot land
+                # between them
+                self._set_version(lo - 1, bump_epoch=True)
             # a deferred advance captured BEFORE this rewind must not
             # resurrect a boundary over blocks this mutation removes; a
             # LATER advance inside the hold may raise it again (its own
@@ -410,9 +408,8 @@ class ParquetStore(StoreBackend):
         through the returned object is clamped to ``block <= version``, so
         a multi-table read sees one batch boundary (EP3 consistency —
         store/store.go:115-173's transaction scope)."""
-        # epoch BEFORE version (see _rewind_version_below's ordering note)
-        epoch = self.read_rewind_epoch()
-        return StoreSnapshot(self, self.read_version(), epoch)
+        version, epoch = self._read_version_state()  # one atomic pair read
+        return StoreSnapshot(self, version, epoch)
 
     # -- crash-safe mutation protocol ----------------------------------------
     #
@@ -1190,10 +1187,12 @@ class StoreSnapshot:
     version; :meth:`check` raises :class:`SnapshotRetractedError` whenever
     the epoch moved or the boundary dropped below the pin, and
     :meth:`guard` / :meth:`collect` bracket an action with that check. The
-    rewind protocol bumps the epoch AFTER lowering the pointer and BEFORE
-    touching any file, so a post-action check observes it for every rewind
-    that could have overlapped the action — including a rewind-then-
-    re-advance that leaves the version looking untouched. Detection, not
+    rewind protocol lowers the pointer and bumps the epoch in ONE atomic
+    VERSION.json replace, strictly before touching any data file, so a
+    post-action check observes the bump for every rewind that could have
+    overlapped the action — including a rewind-then-re-advance that leaves
+    the version looking untouched — and no crash or concurrent read can
+    split the (version, epoch) pair. Detection, not
     prevention: the caller retries on a fresh snapshot (reorgs are rare);
     retracted rows are never returned silently.
     """
@@ -1211,20 +1210,19 @@ class StoreSnapshot:
 
     def check(self) -> None:
         """Raise :class:`SnapshotRetractedError` if a reorg rewind has (or
-        may have) invalidated this snapshot's pin. Cheap: two small JSON
-        reads, no Spark job."""
-        if self.store.read_rewind_epoch() != self.epoch:
+        may have) invalidated this snapshot's pin. Cheap: one small JSON
+        read (the atomic (version, epoch) pair), no Spark job."""
+        v, e = self.store._read_version_state()
+        if e != self.epoch:
             raise SnapshotRetractedError(
                 f"store rewound (reorg) since this snapshot pinned "
                 f"version {self.version}; retry on a fresh snapshot"
             )
-        if self.version is not None:
-            v = self.store.read_version()
-            if v is None or v < self.version:
-                raise SnapshotRetractedError(
-                    f"committed boundary dropped to {v} below the pinned "
-                    f"version {self.version}; retry on a fresh snapshot"
-                )
+        if self.version is not None and (v is None or v < self.version):
+            raise SnapshotRetractedError(
+                f"committed boundary dropped to {v} below the pinned "
+                f"version {self.version}; retry on a fresh snapshot"
+            )
 
     @contextmanager
     def guard(self):
