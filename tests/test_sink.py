@@ -774,6 +774,29 @@ def test_snapshot_reader_never_spans_a_batch_boundary(spark, tmp_path):
     assert checks >= 3  # the reader actually raced the writer
 
 
+def test_version_file_carries_epoch_and_tolerates_legacy(spark, store):
+    """(version, epoch) live in ONE file so every rewind transition is a
+    single atomic replace — and a legacy VERSION.json without the epoch
+    key (pre-upgrade store) reads as epoch 0 instead of failing."""
+    import json
+
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 105))})
+    assert store.read_rewind_epoch() == 0
+    store.delete_block_range("block_headers", 103, 104)  # genuine rewind
+    assert store.read_rewind_epoch() == 1
+    with open(os.path.join(store.root, "VERSION.json")) as f:
+        d = json.load(f)
+    assert d == {"block": 102, "epoch": 1}
+    # legacy file: no epoch key
+    with open(os.path.join(store.root, "VERSION.json"), "w") as f:
+        json.dump({"block": 102}, f)
+    assert store.read_version() == 102
+    assert store.read_rewind_epoch() == 0
+    # and the next rewind re-materializes the pair atomically
+    store.delete_block_range("block_headers", 102, 102)
+    assert (store.read_version(), store.read_rewind_epoch()) == (101, 1)
+
+
 def test_parquet_store_implements_backend_seam():
     """ParquetStore is the StoreBackend implementation: every abstract
     method is overridden (abc would refuse instantiation otherwise — every
