@@ -47,9 +47,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
-    if not os.environ.get("MASTER") and "SPARK_MASTER" not in os.environ:
+    env_master = os.environ.get("MASTER") or os.environ.get("SPARK_MASTER")
+    if not env_master:
         builder = builder.master(f"local[{n}]")
-        # Long-session robustness, LOCAL MASTER ONLY: in local mode driver
+    if (env_master or "local").startswith("local"):
+        # Long-session robustness, LOCAL MASTER ONLY — gated on the master
+        # VALUE, not env presence, so MASTER=local[16] (a normal way to pick
+        # local parallelism) keeps the fix: in local mode driver
         # and executor share one JVM, so a heartbeat RPC failure can ONLY
         # mean transient dispatcher/VM stall — yet the executor self-exits
         # after maxFailures misses, killing every later query in the
@@ -61,8 +65,8 @@ def get_spark(
         # any realistic stall; both keep heartbeatInterval << network
         # timeout as Spark requires. On a REAL cluster these values would
         # delay dead-executor detection by up to 10 minutes, so they are
-        # deliberately NOT applied when MASTER/SPARK_MASTER is set —
-        # cluster deployments keep Spark's defaults (or set their own via
+        # deliberately NOT applied to non-local masters — cluster
+        # deployments keep Spark's defaults (or set their own via
         # ``extra_conf``, which is applied after and overrides these).
         builder = builder.config("spark.network.timeout", "600s").config(
             "spark.executor.heartbeatInterval", "60s"

@@ -1192,9 +1192,14 @@ class StoreSnapshot:
     post-action check observes the bump for every rewind that could have
     overlapped the action — including a rewind-then-re-advance that leaves
     the version looking untouched — and no crash or concurrent read can
-    split the (version, epoch) pair. Detection, not
-    prevention: the caller retries on a fresh snapshot (reorgs are rare);
-    retracted rows are never returned silently.
+    split the (version, epoch) pair. Detection, not prevention, and
+    OPT-IN AT THE ACTION: the snapshot hands out lazy DataFrames, so only
+    actions run through :meth:`guard`/:meth:`collect` (or the snapshot's
+    own self-guarding :meth:`max_block`) detect the race — a bare
+    ``.collect()`` on a returned frame retains the pre-detection exposure.
+    Callers that need the guarantee bracket their action and retry on a
+    fresh snapshot when :class:`SnapshotRetractedError` fires (reorgs are
+    rare). Prevention for unguarded reads is the lakehouse-MVCC upgrade.
     """
 
     def __init__(
@@ -1239,6 +1244,19 @@ class StoreSnapshot:
         one action the query layer runs driver-side."""
         with self.guard():
             return df.collect()
+
+    def read_version(self) -> int | None:
+        """The PINNED boundary (the StoreBackend read-surface contract: a
+        snapshot answers for its own frozen state, not the moving store)."""
+        return self.version
+
+    def read_rewind_epoch(self) -> int:
+        return self.epoch
+
+    def read_deltas(self, table: str) -> DataFrame:
+        # dimension-delta tables version per-append outside the block
+        # domain — live read, like the other dimension delegations
+        return self.store.read_deltas(table)
 
     def snapshot(self) -> "StoreSnapshot":
         return self

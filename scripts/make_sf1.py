@@ -40,10 +40,6 @@ FACT_COPIES = 10
 EMB_COPIES = 4
 
 
-def q(sql: str, con) -> None:
-    con.execute(sql)
-
-
 def copies_cte(n: int) -> str:
     return f"(SELECT unnest(range({n})) AS c)"
 

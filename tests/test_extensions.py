@@ -1829,6 +1829,9 @@ def test_temperature_mix_matches_python_model_exactly(spark):
                 rates[g] = 1.0
                 budget -= counts[g]
                 del remaining[g]
+        # the operator's quantization-zero-drop clamp (rates below
+        # 1/buckets would round to threshold 0)
+        rates = {g: max(r, 1.0 / buckets) if r > 0.0 else r for g, r in rates.items()}
         kept = set()
         for i, src in rows:
             b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % buckets
@@ -1836,7 +1839,9 @@ def test_temperature_mix_matches_python_model_exactly(spark):
                 kept.add(i)
         return rates, kept
 
-    for alpha, target in ((0.5, 0.5), (1.0, 0.5), (0.0, 0.3), (0.3, 1.0)):
+    # (0.0, 0.0001) exercises the clamp: big's water-filled rate is
+    # 0.1/1800 ≈ 5.6e-5 < 1/buckets — unclamped it would quantize to 0
+    for alpha, target in ((0.5, 0.5), (1.0, 0.5), (0.0, 0.3), (0.3, 1.0), (0.0, 0.0001)):
         rates, expect = model(alpha, target)
         got = {
             r["doc_id"]
