@@ -120,10 +120,20 @@ def main() -> None:
         )
         header_dicts = [r.to_dict() for _, r in hdrs.iterrows()]
 
+        batch_secs: list[float] = []
         t0 = time.perf_counter()
         for i in range(0, len(header_dicts), BATCH):
+            tb = time.perf_counter()
             ing.process_headers(header_dicts[i : i + BATCH])
+            batch_secs.append(time.perf_counter() - tb)
         elapsed = time.perf_counter() - t0
+        # O(batch) evidence: per-batch time must stay FLAT as stored history
+        # grows — an O(history) stage (state re-seed, index rebuild, version
+        # bookkeeping) would show the last quarter's batches slower than the
+        # first quarter's. Reported as a ratio; ~1.0 = flat.
+        q = max(1, len(batch_secs) // 4)
+        q1 = sum(batch_secs[:q]) / q
+        q4 = sum(batch_secs[-q:]) / q
 
         n_rows = {
             t: store.read(t).count()
@@ -139,6 +149,9 @@ def main() -> None:
                     "blocks": N_BLOCKS,
                     "batch": BATCH,
                     "elapsed_sec": round(elapsed, 2),
+                    "batch_sec_first_quarter": round(q1, 3),
+                    "batch_sec_last_quarter": round(q4, 3),
+                    "flatness_q4_over_q1": round(q4 / q1, 3),
                     "rows": n_rows,
                     "cpus": CPUS,
                 }
