@@ -190,7 +190,19 @@ def _dup_gram_candidates(
     the scan already parallelizes; see :func:`_spread`). The gram stream is
     pool-persisted under ONE site for both callers: their plans coincide on
     the same corpus, so they share a single cache entry (and the pool's
-    pool-wide same-plan protection keeps that sharing safe)."""
+    pool-wide same-plan protection keeps that sharing safe).
+
+    Exchange shape — found at the sf1→sf10 decade, not on paper: the hot
+    set is the corpus's duplicated digests, which grows WITH the corpus
+    (5M digests at sf10 — ~200 MB, correctly not broadcastable), so the
+    earlier "unhinted, AQE broadcasts it" plan degraded at scale to a
+    SortMergeJoin that re-shuffled and SORTED the full gram stream
+    (measured ×14.45 for ×10 data). The gram stream is therefore persisted
+    PRE-PARTITIONED on the digest: the occurrence count aggregates without
+    any exchange, the hot set inherits the same partitioning, and the
+    LeftSemi back-probe is a co-partitioned shuffle-hash join — zero
+    additional exchange, zero sort, building only the per-partition hot
+    slice. ONE exchange of the gram stream total, at any scale."""
     df = _spread(df, id_col)
     base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
     # (id, start, digest) for every L-token gram; docs shorter than L have
@@ -199,7 +211,8 @@ def _dup_gram_candidates(
     # gram hashing is the CPU-heavy stage worth materializing (the same
     # rationale as the MinHash rows persist below).
     grams = persist_bounded(
-        "dedup.substring.grams", _substring_grams(df, text_col, id_col, L)
+        "dedup.substring.grams",
+        _substring_grams(df, text_col, id_col, L).repartition("__gdigest"),
     )
     hot = (
         grams.groupBy("__gdigest")
@@ -207,7 +220,9 @@ def _dup_gram_candidates(
         .filter(F.col("__n") >= min_count)
         .select("__gdigest")
     )
-    dup = grams.join(hot, "__gdigest", "left_semi").select(F.col(id_col), "__spos")
+    dup = grams.join(hot.hint("shuffle_hash"), "__gdigest", "left_semi").select(
+        F.col(id_col), "__spos"
+    )
     return base, dup
 
 
@@ -218,8 +233,16 @@ def _excise_covered_spans(
     substring-dedup forms — ONE copy of the semantics-critical coverage
     rule, so the property-tested batch==incremental equality cannot drift.
     ``base`` is ``(id, __w)`` (the token arrays), ``dup_starts`` is
-    ``(id, __starts)`` (each doc's duplicated gram start offsets)."""
-    joined = base.join(dup_starts, id_col, "left").withColumn(
+    ``(id, __starts)`` (each doc's duplicated gram start offsets).
+
+    The join is hinted shuffle-hash building the dup_starts side: on a
+    dup-heavy corpus that side approaches one row per document, past any
+    broadcast threshold, and the default SortMergeJoin would SORT the base
+    side — every document's full token array through the sorter (the
+    dominant cost of the pre-fix ×14 sf10 regression). Shuffle-hash keeps
+    both sides exchange-once and sort-free; the built side is the skinny
+    start-offset arrays, a bounded fraction of a partition."""
+    joined = base.join(dup_starts.hint("shuffle_hash"), id_col, "left").withColumn(
         "__starts", F.coalesce("__starts", F.array().cast("array<int>"))
     )
     # token i survives iff no duplicated gram start s has s <= i < s + L;
@@ -375,11 +398,13 @@ def incremental_substring_dedup(
     as :func:`incremental_dedup` / :func:`incremental_minhash_pairs`.
 
     100 TB shape: the corpus contributes only its skinny (digest, cnt)
-    index — one groupBy over the BATCH's grams, a left join to the index
+    index — one groupBy over the BATCH's grams (exchange-free: the gram
+    stream is persisted digest-partitioned), a left join to the index
     keyed on the 128-bit digest (unhinted: AQE broadcasts a small index,
-    shuffles a big one), a LeftSemi back onto the batch gram stream, and
-    the same zero-further-shuffle array-expression excision as batch
-    mode (one shared code path — :func:`_excise_covered_spans`).
+    shuffles a big one onto the grams' partitioning), a co-partitioned
+    sort-free LeftSemi back onto the batch gram stream, and the same
+    zero-further-shuffle array-expression excision as batch mode (one
+    shared code path — :func:`_excise_covered_spans`).
 
     The index's ``gram_len`` column is filtered to this call's
     ``min_len``, so a multi-length index works and a wrong-length index
@@ -391,9 +416,14 @@ def incremental_substring_dedup(
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     batch = _spread(batch, id_col)
     base = batch.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
-    # pool-persisted for the same two consumers as batch mode
+    # pool-persisted for the same two consumers as batch mode, and
+    # pre-partitioned on the digest for the same one-exchange shape (see
+    # _dup_gram_candidates): count aggregates exchange-free, the index
+    # join shuffles only the skinny index, the semi back-probe is
+    # co-partitioned
     grams = persist_bounded(
-        "dedup.substring_inc.grams", _substring_grams(batch, text_col, id_col, L)
+        "dedup.substring_inc.grams",
+        _substring_grams(batch, text_col, id_col, L).repartition("__gdigest"),
     )
 
     if "gram_len" in index.columns:
@@ -409,7 +439,7 @@ def incremental_substring_dedup(
         .select("__gdigest")
     )
     dup_starts = (
-        grams.join(hot, "__gdigest", "left_semi")
+        grams.join(hot.hint("shuffle_hash"), "__gdigest", "left_semi")
         .groupBy(id_col)
         .agg(F.collect_list("__spos").alias("__starts"))
     )

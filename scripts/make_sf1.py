@@ -23,19 +23,27 @@ DuckDB generation: single parquet file per table (the catalog's footer
 probe expects files, not directories), microsecond timestamps (the loader's
 ns handling is bypassed, which it tolerates by design — catalog.py).
 
-Usage: python scripts/make_sf1.py [out_dir]   (default /root/repo/_scale/sf1)
+Usage: python scripts/make_sf1.py [out_dir] [--src DIR] [--offset N]
+                                  [--docs-only]
+  out_dir  default /root/repo/_scale/sf1
+  --src    source sf dir (default /root/testdata/sf0.1); point it at a
+           generated sf1 to build the NEXT decade (sf10) — the per-copy
+           vocabulary suffix composes (w_c3 -> w_c3_c7: copies of copies
+           stay isomorphic, never near-dups of each other)
+  --offset id offset per copy; must exceed the source's max id (default
+           1e7 for sf0.1 -> sf1; use 1e9 for sf1 -> sf10)
+  --docs-only  generate only documents + embeddings (the document-pipeline
+           tables) — the second decade targets the curation operators
 Deterministic: same input -> byte-identical logical content.
 """
 
 from __future__ import annotations
 
+import argparse
 import os
-import sys
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
-OFF = 10_000_000
 FACT_COPIES = 10
 EMB_COPIES = 4
 
@@ -45,19 +53,39 @@ def copies_cte(n: int) -> str:
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/_scale/sf1"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", nargs="?", default="/root/repo/_scale/sf1")
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--offset", type=int, default=10_000_000)
+    ap.add_argument("--docs-only", action="store_true")
+    args = ap.parse_args()
+    out, OFF = args.out, args.offset
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
 
     def src(t: str) -> str:
-        return f"read_parquet('{SRC}/{t}.parquet')"
+        return f"read_parquet('{args.src}/{t}.parquet')"
+
+    max_id = con.execute(
+        f"SELECT greatest(max(doc_id), max(abs(doc_id))) FROM {src('documents')}"
+    ).fetchone()[0]
+    if OFF <= max_id:
+        raise SystemExit(
+            f"--offset {OFF} must exceed the source's max id {max_id} "
+            "(copies would collide)"
+        )
 
     def write(t: str, sql: str) -> None:
         path = os.path.join(out, f"{t}.parquet")
         con.execute(f"COPY ({sql}) TO '{path}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
         print(f"{t}: {n}")
+
+    if args.docs_only:
+        _write_documents(write, src, OFF)
+        _write_embeddings(write, src, OFF)
+        return
 
     # dimensions: fixed, as in the driver's own 0.01 -> 0.1 step
     for t in ("region", "nation"):
@@ -90,7 +118,12 @@ def main() -> None:
                event_type, value, props
         FROM {src('events')}, {copies_cte(FACT_COPIES)}""")
 
-    # documents: per-copy vocabulary (see module docstring)
+    _write_documents(write, src, OFF)
+    _write_embeddings(write, src, OFF)
+
+
+def _write_documents(write, src, OFF: int) -> None:
+    # per-copy vocabulary (see module docstring)
     write("documents", f"""
         SELECT doc_id + c*{OFF} AS doc_id,
                CASE WHEN c = 0 THEN text
@@ -106,7 +139,9 @@ def main() -> None:
                END AS n_chars
         FROM {src('documents')}, {copies_cte(FACT_COPIES)}""")
 
-    # embeddings: 4x (the driver's own 0.01 -> 0.1 ratio), rotated per copy
+
+def _write_embeddings(write, src, OFF: int) -> None:
+    # 4x (the driver's own 0.01 -> 0.1 ratio), rotated per copy
     write("embeddings", f"""
         SELECT vec_id + c*{OFF} AS vec_id,
                CASE WHEN c = 0 THEN embedding
