@@ -50,7 +50,12 @@ BENCH_QUERIES = (
     "a4_distinct_users",
     "a12_count_distinct",
     "x_dedup_exact",
-    "x_dedup_ngram_jaccard",
+    # r8: the GATED regression key is the capped (default, adversarial-
+    # corpus-safe) n-gram Jaccard. Its opt-in exact sibling was the gate's
+    # noisiest key (2.2× run-to-run spread swamping every other legacy
+    # query's signal — r7 verdict "What's wrong #1"); it is still measured,
+    # but reported under "ungated" and excluded from the headline total.
+    "x_dedup_ngram_jaccard_capped",
     "x_dedup_minhash_lsh",
     "x_ann_cosine_topk",
     "x_text_quality",
@@ -62,6 +67,11 @@ BENCH_QUERIES = (
     "x_lm_unigram_score",
     "x_cluster_keep_best",
 )
+
+# Measured and reported, but OUTSIDE the gated total: deliberately-weak
+# opt-in baselines whose variance would otherwise dominate round-over-round
+# diffs of the headline number.
+UNGATED_QUERIES = ("x_dedup_ngram_jaccard",)
 
 
 def _sf_from_dir(path: str) -> float:
@@ -76,11 +86,12 @@ def main() -> None:
     spark = get_spark("bench", cpus=CPUS)
     registry = entrymod.queries()
     names = [n for n in BENCH_QUERIES if n in registry]
+    ungated = [n for n in UNGATED_QUERIES if n in registry]
 
     # warm-up: run every measured plan at the smallest SF — compiles codegen
     # + JITs each plan's operators; the target-scale data is not touched
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    for name in names:
+    for name in names + ungated:
         try:
             registry[name](spark, warm_dir).count()
         except Exception:
@@ -106,7 +117,10 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
-    for name in names:
+    bands: dict[str, list[float]] = {}
+    ungated_timings: dict[str, float] = {}
+
+    def _measure(name: str) -> tuple[float, list[float]]:
         samples: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -116,7 +130,18 @@ def main() -> None:
             # a plan's own persists must not warm its next rep
             spark.catalog.clearCache()
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 4)
+        # per-query variance band (min/max over the reps), so round-over-
+        # round diffs compare against a band, not a point (r7 verdict #3)
+        return samples[len(samples) // 2], [samples[0], samples[-1]]
+
+    for name in names:
+        med, band = _measure(name)
+        timings[name] = round(med, 4)
+        bands[name] = [round(band[0], 4), round(band[1], 4)]
+    for name in ungated:
+        med, band = _measure(name)
+        ungated_timings[name] = round(med, 4)
+        bands[name] = [round(band[0], 4), round(band[1], 4)]
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -125,6 +150,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ungated": ungated_timings,
+                "bands": bands,
                 "sf": _sf_from_dir(SF_DIR),
                 "cpus": CPUS,
             }

@@ -151,7 +151,12 @@ def main() -> None:
                     "elapsed_sec": round(elapsed, 2),
                     "batch_sec_first_quarter": round(q1, 3),
                     "batch_sec_last_quarter": round(q4, 3),
-                    "flatness_q4_over_q1": round(q4 / q1, 3),
+                    # None rather than a crash when the first quarter is
+                    # ~instant (tiny BATCH on a fast disk): the ratio is
+                    # meaningless below timer resolution anyway
+                    "flatness_q4_over_q1": (
+                        round(q4 / q1, 3) if q1 > 1e-6 else None
+                    ),
                     "rows": n_rows,
                     "cpus": CPUS,
                 }

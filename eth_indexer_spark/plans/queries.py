@@ -192,11 +192,34 @@ class StoreQueries:
         latest header + the balances that block implies — observes ONE
         batch, even while `write_blocks` lands the next one. This is the
         reference's per-request DB-transaction read scope
-        (store/store.go:115-173) on the parquet layout."""
+        (store/store.go:115-173) on the parquet layout.
+
+        Rewind detection is DEFAULT-ON here: every frame the snapshot form
+        returns is a :class:`~eth_indexer_spark.sinks.store.
+        GuardedDataFrame`, so a plain ``.collect()``/``.toPandas()``/
+        ``.count()`` by a caller that has never heard of ``guard()``
+        raises :class:`~eth_indexer_spark.sinks.store.
+        SnapshotRetractedError` when a reorg rewind overlaps the action,
+        instead of silently returning retracted rows. Frames DERIVED from
+        the returned one (further ``.filter``/joins) revert to plain
+        DataFrames — bracket those with ``snapshot.guard()`` yourself."""
         return StoreQueries(self.store.snapshot())
 
+    def _finish(self, df: DataFrame) -> DataFrame:
+        """Wrap a finished answer so its terminal actions self-detect a
+        reorg rewind when this instance reads through a pinned snapshot
+        (live-store instances return the frame untouched — there is no pin
+        to invalidate)."""
+        if hasattr(self.store, "guard"):
+            from eth_indexer_spark.sinks.store import GuardedDataFrame
+
+            return GuardedDataFrame(df, self.store)
+        return df
+
     def header_by_number(self, number: int) -> DataFrame:
-        return header_by_number(self.store.read_eq("block_headers", number), number)
+        return self._finish(
+            header_by_number(self.store.read_eq("block_headers", number), number)
+        )
 
     def latest_header(self) -> DataFrame:
         """T1 in O(top bucket): max_block bounds the answer (itself an
@@ -206,8 +229,10 @@ class StoreQueries:
         layout's bucket-directory introspection."""
         top = self.store.max_block("block_headers")
         if top is None:
-            return self.store.read("block_headers").limit(0)
-        return latest_header(self.store.read_range("block_headers", lo=top))
+            return self._finish(self.store.read("block_headers").limit(0))
+        return self._finish(
+            latest_header(self.store.read_range("block_headers", lo=top))
+        )
 
     def find_account(
         self, token: str, address: str, block_number: int | None = None
@@ -217,12 +242,14 @@ class StoreQueries:
             if block_number is not None
             else self.store.read("balances")
         )
-        return find_account(balances, token, address, block_number)
+        return self._finish(find_account(balances, token, address, block_number))
 
     def find_total_balance(self, block_number: int, token: str, group: int) -> DataFrame:
-        return find_total_balance(
-            self.store.read_range("total_balances", hi=block_number),
-            block_number,
-            token,
-            group,
+        return self._finish(
+            find_total_balance(
+                self.store.read_range("total_balances", hi=block_number),
+                block_number,
+                token,
+                group,
+            )
         )

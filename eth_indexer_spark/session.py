@@ -50,10 +50,14 @@ def get_spark(
     env_master = os.environ.get("MASTER") or os.environ.get("SPARK_MASTER")
     if not env_master:
         builder = builder.master(f"local[{n}]")
-    if (env_master or "local").startswith("local"):
-        # Long-session robustness, LOCAL MASTER ONLY — gated on the master
-        # VALUE, not env presence, so MASTER=local[16] (a normal way to pick
-        # local parallelism) keeps the fix: in local mode driver
+    master_val = env_master or "local"
+    if master_val == "local" or master_val.startswith("local["):
+        # Long-session robustness, SINGLE-JVM LOCAL MASTER ONLY — gated on
+        # the master VALUE, not env presence, so MASTER=local[16] (a normal
+        # way to pick local parallelism) keeps the fix, while
+        # ``local-cluster[n,c,m]`` (multi-JVM: separate executor processes,
+        # where a dead executor is a real failure mode) keeps Spark's
+        # default heartbeat detection: in local mode driver
         # and executor share one JVM, so a heartbeat RPC failure can ONLY
         # mean transient dispatcher/VM stall — yet the executor self-exits
         # after maxFailures misses, killing every later query in the

@@ -35,7 +35,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from eth_indexer_spark.operators._persist import persist_bounded, release_persisted
+from eth_indexer_spark.operators._persist import (
+    _is_cached,
+    persist_bounded,
+    release_persisted,
+)
 
 MANIFEST = "_EXPORT_MANIFEST.json"
 
@@ -80,7 +84,14 @@ def export_training_shards(
     # for the derived order (the md5 prefix sum is itself multi-pass) but
     # just as real for a caller-supplied pos_col, whose upstream (often a
     # whole curation pipeline) would otherwise run twice; pin both.
-    df = persist_bounded("sinks.export.ordered", df)
+    # UNLESS the caller already persisted this plan themselves: Spark's
+    # CacheManager dedups by logical plan, so pooling it here would make the
+    # final release evict the CALLER's cache entry out from under them (the
+    # pool's shared-entry protection only covers pool-registered sites).
+    # An already-cached frame needs no second pin — leave it untouched.
+    pool_owned = not _is_cached(df)
+    if pool_owned:
+        df = persist_bounded("sinks.export.ordered", df)
     try:
         stats = df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -123,7 +134,8 @@ def export_training_shards(
         writer = out.write.mode("overwrite").partitionBy("shard")
         getattr(writer, fmt)(path)
     finally:
-        release_persisted("sinks.export.ordered")
+        if pool_owned:
+            release_persisted("sinks.export.ordered")
     manifest = {
         "num_shards": num_shards,
         "total_rows": total,

@@ -247,13 +247,34 @@ class ParquetStore(StoreBackend):
         in VERSION.json so a reader can never observe a rewound boundary
         paired with the pre-rewind epoch (two files would reopen that race
         through a crash between the writes). A missing/legacy file (no
-        epoch key) reads as epoch 0."""
+        epoch key) reads as epoch 0.
+
+        A MISSING file is a legitimate state (a store that never completed
+        a versioned batch → live reads); a PRESENT-but-corrupt file is not —
+        the pointer is only ever written by atomic replace, so corruption
+        means external damage, and silently degrading to (None, 0) would
+        turn snapshot clamps into live reads AND reset the rewind-epoch
+        baseline that guard()/check() compare against. Fail loudly instead."""
+        path = os.path.join(self.root, _VERSION_FILE)
         try:
-            with open(os.path.join(self.root, _VERSION_FILE)) as f:
+            with open(path) as f:
                 d = json.load(f)
-            return int(d["block"]), int(d.get("epoch", 0))
-        except (FileNotFoundError, ValueError, KeyError):
+        except FileNotFoundError:
             return None, 0
+        except ValueError as e:  # non-JSON bytes in an existing pointer file
+            raise RuntimeError(
+                f"corrupt store version pointer {path}: not JSON ({e}); "
+                "refusing to degrade to live reads — repair or remove the "
+                "file explicitly"
+            ) from e
+        try:
+            return int(d["block"]), int(d.get("epoch", 0))
+        except (TypeError, ValueError, KeyError) as e:
+            raise RuntimeError(
+                f"corrupt store version pointer {path}: {d!r} (expected "
+                "integer 'block' and optional integer 'epoch'); refusing to "
+                "degrade to live reads — repair or remove the file explicitly"
+            ) from e
 
     def read_version(self) -> int | None:
         """The committed batch boundary, or None for a store that has never
@@ -1192,14 +1213,22 @@ class StoreSnapshot:
     post-action check observes the bump for every rewind that could have
     overlapped the action — including a rewind-then-re-advance that leaves
     the version looking untouched — and no crash or concurrent read can
-    split the (version, epoch) pair. Detection, not prevention, and
-    OPT-IN AT THE ACTION: the snapshot hands out lazy DataFrames, so only
-    actions run through :meth:`guard`/:meth:`collect` (or the snapshot's
-    own self-guarding :meth:`max_block`) detect the race — a bare
-    ``.collect()`` on a returned frame retains the pre-detection exposure.
-    Callers that need the guarantee bracket their action and retry on a
-    fresh snapshot when :class:`SnapshotRetractedError` fires (reorgs are
-    rare). Prevention for unguarded reads is the lakehouse-MVCC upgrade.
+    split the (version, epoch) pair. Detection, not prevention. At THIS
+    level detection is opt-in at the action: the snapshot hands out lazy
+    DataFrames, so only actions run through :meth:`guard`/:meth:`collect`
+    (or the snapshot's own self-guarding :meth:`max_block`) detect the
+    race — a bare ``.collect()`` on a frame from :meth:`read`/
+    :meth:`read_range` retains the pre-detection exposure (engine code
+    reading here manages its own brackets). The CONSUMER surface is
+    default-on: ``StoreQueries.snapshot()`` (plans/queries.py) wraps every
+    frame it returns in :class:`GuardedDataFrame`, whose terminal actions
+    self-bracket — a naive EP3 caller is protected without knowing
+    ``guard()`` exists. Callers that need the guarantee on composed frames
+    bracket their action and retry on a fresh snapshot when
+    :class:`SnapshotRetractedError` fires (reorgs are rare). Prevention —
+    readers that never observe the rewind at all — is the MVCC
+    :class:`LogStore` backend (sinks/logstore.py), whose snapshots pin
+    immutable file sets.
     """
 
     def __init__(
@@ -1312,3 +1341,90 @@ class StoreSnapshot:
                 if row["m"] is not None:
                     return row["m"]
         return None
+
+
+# `pyspark.sql.DataFrame` is the dispatching API class in Spark 4 (classic
+# vs connect); subclass the concrete classic implementation so guarded
+# frames construct directly over a JVM DataFrame.
+try:  # pragma: no cover - import shape depends on pyspark version
+    from pyspark.sql.classic.dataframe import DataFrame as _ConcreteDataFrame
+except ImportError:  # pyspark < 4: one concrete DataFrame class
+    _ConcreteDataFrame = DataFrame
+
+
+class GuardedDataFrame(_ConcreteDataFrame):
+    """A DataFrame whose terminal actions are bracketed by a
+    :class:`StoreSnapshot`'s rewind check — the DEFAULT-ON form of the
+    snapshot race detection, so a naive consumer of the EP3 query surface
+    (plans/queries.py StoreQueries) gets :class:`SnapshotRetractedError`
+    instead of silently reading reorg-retracted rows, without knowing
+    ``guard()`` exists. The reference's MySQL isolation protects its
+    readers unconditionally (store/store.go:115-173); this is the
+    unconditional-detection analog on the parquet layout (prevention —
+    readers that never observe the rewind at all — is the MVCC
+    :class:`LogStore` backend).
+
+    Scope: the guarded frame's OWN terminal actions (`collect`, `toPandas`,
+    `count`, `first`/`head`/`take`/`tail`, `show`, `isEmpty`, `foreach*`,
+    `toLocalIterator`) are bracketed. Transformations (`filter`, `select`,
+    joins, ...) return PLAIN DataFrames — Spark's internals construct
+    base-class frames — so a caller that composes further must bracket its
+    action with ``snapshot.guard()`` explicitly (or re-wrap). That matches
+    the surface being protected: StoreQueries hands back finished answers
+    the naive caller acts on directly.
+    """
+
+    _GUARDED_ACTIONS = (
+        "collect",
+        "toPandas",
+        "count",
+        "first",
+        "head",
+        "take",
+        "tail",
+        "show",
+        "isEmpty",
+        "foreach",
+        "foreachPartition",
+    )
+
+    def __init__(self, df: DataFrame, snapshot: "StoreSnapshot"):
+        super().__init__(df._jdf, df.sparkSession)
+        self._graft_snapshot = snapshot
+
+    def toLocalIterator(self, prefetchPartitions: bool = False):
+        """Iterator form: checked at creation and again at EXHAUSTION (a
+        per-row check would add a file read per row). A rewind landing
+        mid-iteration therefore raises before the consumer can complete,
+        though rows already yielded were produced under the race — callers
+        needing stricter brackets should collect() instead."""
+        self._graft_snapshot.check()
+        inner = _ConcreteDataFrame.toLocalIterator(self, prefetchPartitions)
+
+        def gen():
+            yield from inner
+            self._graft_snapshot.check()
+
+        return gen()
+
+
+def _make_guarded_action(name: str):
+    base = getattr(_ConcreteDataFrame, name)
+
+    def action(self, *args, **kwargs):
+        with self._graft_snapshot.guard():
+            return base(self, *args, **kwargs)
+
+    action.__name__ = name
+    action.__qualname__ = f"GuardedDataFrame.{name}"
+    action.__doc__ = (
+        f"``DataFrame.{name}`` bracketed by the snapshot's rewind check "
+        f"(raises SnapshotRetractedError on a reorg rewind overlapping "
+        f"the action)."
+    )
+    return action
+
+
+for _name in GuardedDataFrame._GUARDED_ACTIONS:
+    setattr(GuardedDataFrame, _name, _make_guarded_action(_name))
+del _name

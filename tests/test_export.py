@@ -192,3 +192,31 @@ def test_end_to_end_curation_to_shards(spark, tmp_path):
 
     pipeline(str(tmp_path / "run2"))
     assert ids1 == _exported_ids(spark, str(tmp_path / "run2"), 3)  # deterministic
+
+
+def test_export_leaves_caller_cached_frame_alone(spark, tmp_path):
+    """A caller who persisted the ordered frame THEMSELVES (outside the
+    pool) must keep their cache entry after export: Spark's CacheManager
+    dedups by logical plan, so pooling the same frame and releasing it at
+    the end would silently evict the caller's cache (r8 ADVICE #1). The
+    export must detect the pre-existing cache and skip the pool entirely."""
+    from eth_indexer_spark.operators import _persist
+
+    df = spark.createDataFrame(
+        [(f"d{i}", f"text {i}", i + 1) for i in range(10)],
+        "doc_id string, text string, mypos long",
+    )
+    cached = df.persist()
+    try:
+        cached.count()  # materialize the caller's entry
+        assert _persist._is_cached(cached)
+        export_training_shards(
+            cached, str(tmp_path / "c"), 2, "doc_id", pos_col="mypos"
+        )
+        # export neither pooled it nor evicted it
+        assert "sinks.export.ordered" not in _persist._POOL
+        assert _persist._is_cached(cached), (
+            "export evicted the caller's own cache entry"
+        )
+    finally:
+        cached.unpersist()

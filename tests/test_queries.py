@@ -212,3 +212,75 @@ def test_store_queries_snapshot_pins_batch_boundary(spark, tmp_path):
     live = q.StoreQueries(store).snapshot()
     assert live.latest_header().collect()[0]["number"] == 39
     assert live.header_by_number(25).count() == 1
+
+
+def test_store_queries_naive_read_detects_reorg_rewind(spark, tmp_path):
+    """Default-on race detection for the EP3 surface (r7 verdict #2): a
+    NAIVE consumer — takes StoreQueries.snapshot(), runs a plain
+    ``.collect()``/``.count()``/``.toPandas()`` on the returned frame, never
+    heard of guard() — must get SnapshotRetractedError when a reorg rewound
+    the boundary below the pin, not silently-retracted rows. Forward
+    progress without a rewind must NOT trip it."""
+    from eth_indexer_spark.sinks.store import (
+        GuardedDataFrame,
+        ParquetStore,
+        SnapshotRetractedError,
+    )
+
+    store = ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
+
+    def batch(numbers):
+        return {
+            "block_headers": spark.createDataFrame(
+                [(f"h{n}", f"h{n-1}", n, 100 + n) for n in numbers],
+                "hash string, parent_hash string, number long, difficulty long",
+            ),
+            "total_balances": spark.createDataFrame(
+                [("0xeth", n, 1, str(n * 10)) for n in numbers],
+                "token string, block_number long, `group` long, balance string",
+            ),
+        }
+
+    store.write_blocks(batch(range(0, 20)), block_range=(0, 19))
+    pinned = q.StoreQueries(store).snapshot()
+
+    latest = pinned.latest_header()
+    asof = pinned.find_total_balance(15, "0xeth", 1)
+    point = pinned.header_by_number(7)
+    # the snapshot surface hands back guarded frames that are still real
+    # DataFrames (composable, explainable)
+    for frame in (latest, asof, point):
+        assert isinstance(frame, GuardedDataFrame)
+    assert latest.collect()[0]["number"] == 19  # healthy pin: reads pass
+    assert point.count() == 1
+
+    # pure forward progress (no rewind) never trips the naive reader
+    store.write_blocks(batch(range(20, 30)), block_range=(20, 29))
+    assert latest.collect()[0]["number"] == 19
+    assert asof.toPandas()["block_number"].iloc[0] == 15
+
+    # reorg: retraction rewinds the published boundary below the pin —
+    # every naive terminal action on the already-returned frames raises
+    store.retract_blocks(10, 29, tables=("block_headers", "total_balances"))
+    with pytest.raises(SnapshotRetractedError):
+        latest.collect()
+    with pytest.raises(SnapshotRetractedError):
+        asof.toPandas()
+    with pytest.raises(SnapshotRetractedError):
+        point.count()
+    with pytest.raises(SnapshotRetractedError):
+        list(point.toLocalIterator())
+    # the detection also covers frames REQUESTED after the rewind from the
+    # same stale pin (the pin itself is invalid, not just its old frames)
+    with pytest.raises(SnapshotRetractedError):
+        pinned.latest_header().collect()
+
+    # recovery path: a fresh snapshot reads cleanly
+    fresh = q.StoreQueries(store).snapshot()
+    assert fresh.latest_header().collect()[0]["number"] == 9
+
+    # live (unpinned) StoreQueries stays unguarded — there is no pin to
+    # invalidate, and its reads track the moving store by design
+    live_frame = q.StoreQueries(store).latest_header()
+    assert not isinstance(live_frame, GuardedDataFrame)
+    assert live_frame.collect()[0]["number"] == 9

@@ -906,3 +906,36 @@ def test_compact_sorts_rows_within_bucket_files(spark, tmp_path):
     assert len(files) == 1  # compacted to one file
     nums = pq.read_table(files[0]).column("number").to_pylist()
     assert nums == sorted(nums) == list(range(10, 20))
+
+
+def test_corrupt_version_pointer_fails_loudly(spark, tmp_path):
+    """A PRESENT-but-corrupt VERSION.json must raise, not silently degrade
+    to live reads (r8 ADVICE #3): the pointer is only written by atomic
+    replace, so corruption means external damage — degrading would both
+    unclamp snapshots and reset the rewind-epoch baseline guard() compares
+    against. A MISSING file stays a legitimate pre-version state."""
+    import os
+
+    root = str(tmp_path / "store")
+    store = ParquetStore(spark, root, bucket_size=10)
+    assert store.read_version() is None  # missing: fine
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 105))})
+    assert store.read_version() == 104
+
+    vpath = os.path.join(root, "VERSION.json")
+    with open(vpath, "w") as f:
+        f.write("{not json")
+    with pytest.raises(RuntimeError, match="corrupt store version pointer"):
+        store.read_version()
+    with open(vpath, "w") as f:
+        f.write('{"block": "abc", "epoch": 0}')
+    with pytest.raises(RuntimeError, match="corrupt store version pointer"):
+        store.snapshot()
+    with open(vpath, "w") as f:
+        f.write('{"epoch": 3}')
+    with pytest.raises(RuntimeError, match="corrupt store version pointer"):
+        store.read_rewind_epoch()
+    # repair restores normal operation
+    with open(vpath, "w") as f:
+        f.write('{"block": 104, "epoch": 0}')
+    assert store.read_version() == 104
