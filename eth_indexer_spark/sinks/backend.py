@@ -6,10 +6,13 @@ the store through exactly this surface: six mutation entry points, a small
 read surface, and the two consistency primitives (``snapshot`` /
 ``version_hold``). :class:`~eth_indexer_spark.sinks.store.ParquetStore` is
 the local-FS implementation (bucket-partitioned parquet + manifest protocol
-+ VERSION pointer); a Delta/Iceberg backend implements this same interface
-to supply real MVCC — closing the documented reorg-rewind read race by
-prevention instead of detection — without touching a single operator
-(README "Deployment posture", SURVEY §known-deviations).
++ VERSION pointer); :class:`~eth_indexer_spark.sinks.logstore.LogStore` is
+the MVCC implementation (commit-log over immutable files, the public Delta
+Lake design) that supplies real snapshot isolation — closing the documented
+reorg-rewind read race by prevention instead of detection, and replacing
+the single-writer flock with optimistic multi-writer concurrency — without
+touching a single operator: the ingest lifecycle tests run parametrized
+over both backends (README "Deployment posture", SURVEY §known-deviations).
 
 What is deliberately NOT here: parquet-layout extras (``bucket_values``,
 ``path``, ``compact``, ``buckets_needing_compaction``, ``delete_block_range``,

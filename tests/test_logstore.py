@@ -1,0 +1,511 @@
+"""MVCC commit-log backend tests (sinks/logstore.py).
+
+The LogStore closes the two documented deviations the ParquetStore carries
+vs the reference (SURVEY "known deviations"): the reorg-rewind reader race
+becomes PREVENTED (snapshot = immutable file set — the MySQL isolation of
+store/store.go:115-173 by construction) and multi-writer coordination is
+optimistic commit-log concurrency instead of an exclusive flock (the
+reference's swallowed-duplicate-key tolerance, common/errors.go:26-57).
+
+Coverage mirrors the ParquetStore matrix where semantics coincide
+(overwrite-by-range, retraction, dimension swaps, delta exactly-once,
+crash/replay convergence, randomized model sweep) and diverges exactly
+where the contract is STRONGER (prevention instead of detection; holds
+publish nothing until clean exit, even rewinds).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_indexer_spark.sinks.logstore import LogStore, _LOG_DIR
+from tests.test_sink import headers_df, transfers_df
+
+
+@pytest.fixture()
+def lstore(spark, tmp_path):
+    return LogStore(spark, str(tmp_path / "log"))
+
+
+def _commit_versions(store: LogStore) -> list[int]:
+    return sorted(
+        int(n.split(".", 1)[0])
+        for n in os.listdir(os.path.join(store.root, _LOG_DIR))
+        if n.endswith(".json")
+        and not n.endswith(".checkpoint.json")
+        and ".tmp." not in n
+    )
+
+
+def _numbers(store, table="block_headers", col="number"):
+    return sorted(r[col] for r in store.read(table).select(col).collect())
+
+
+def test_implements_backend_seam():
+    from eth_indexer_spark.sinks.backend import StoreBackend
+
+    assert issubclass(LogStore, StoreBackend)
+    missing = {
+        m
+        for m in StoreBackend.__abstractmethods__
+        if getattr(LogStore, m) is getattr(StoreBackend, m)
+    }
+    assert not missing, missing
+    assert not getattr(LogStore, "__abstractmethods__", None)
+
+
+def test_write_idempotent_and_overwrite_by_range(spark, lstore):
+    batch = {"block_headers": headers_df(spark, range(100, 106))}
+    lstore.write_blocks(batch)
+    lstore.write_blocks(batch)  # replay converges (M5)
+    assert _numbers(lstore) == list(range(100, 106))
+    assert lstore.read_version() == 105
+    # interior replay replaces exactly the replayed range
+    lstore.write_blocks(
+        {"block_headers": headers_df(spark, [103])}, block_range=(103, 103)
+    )
+    assert _numbers(lstore) == list(range(100, 106))
+    # wider replay drops rows the replay no longer produces
+    lstore.write_blocks(
+        {"block_headers": headers_df(spark, [104])}, block_range=(104, 105)
+    )
+    assert _numbers(lstore) == list(range(100, 105))
+    assert lstore.max_block("block_headers") == 104
+
+
+def test_retraction_boundary_and_interior(spark, lstore):
+    lstore.write_blocks({"block_headers": headers_df(spark, range(100, 140))})
+    lstore.retract_blocks(105, 131, tables=("block_headers",))
+    assert _numbers(lstore) == list(range(100, 105)) + list(range(132, 140))
+    assert lstore.read_version() == 104  # rewound below the retraction
+    assert lstore.read_rewind_epoch() == 1
+
+
+def test_token_table_stats_prune_and_survive(spark, lstore):
+    rows = [
+        (tok, n, f"t{tok}{n}", "a", "b", "1")
+        for tok in ("AAAA", "BBBB")
+        for n in range(100, 120)
+    ]
+    lstore.write_blocks({"transfers": transfers_df(spark, rows)})
+    lstore.retract_blocks(103, 111, tables=("transfers",))
+    got = lstore.read("transfers")
+    assert got.count() == 2 * 11
+    per_tok = {
+        r["token"]: r["n"]
+        for r in got.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_tok == {"AAAA": 11, "BBBB": 11}
+
+
+def test_read_range_prunes_files_by_log_stats(spark, lstore):
+    """File pruning is driven by log metadata: a narrow range read must
+    hand Spark only the files whose [lo, hi] stats intersect — the
+    data-skipping economics (Delta paper §4.1) replacing bucket dirs."""
+    for base in (100, 200, 300):
+        lstore.write_blocks(
+            {"block_headers": headers_df(spark, range(base, base + 50))},
+            block_range=(base, base + 49),
+        )
+    df = lstore.read_range("block_headers", lo=205, hi=210)
+    # the plan's scan must list only the middle batch's files
+    files = [f for f in df.inputFiles()]
+    assert files and all("/data/block_headers/" in f for f in files)
+    st = lstore._state(refresh=True)
+    mid = {
+        lstore._abs(m.path)
+        for m in st.files["block_headers"].values()
+        if m.lo is not None and m.lo >= 200 and m.hi <= 249
+    }
+    norm = {"/" + f.split("://", 1)[-1].lstrip("/") for f in files}
+    assert norm <= mid
+    assert sorted(r["number"] for r in df.collect()) == list(range(205, 211))
+    # max_block answers from stats with zero file reads
+    assert lstore.max_block("block_headers") == 349
+
+
+def test_snapshot_prevents_reorg_rewind_race(spark, lstore):
+    """THE headline: a snapshot pinned before a reorg retraction keeps
+    returning its pin-time rows — no SnapshotRetractedError, no retracted
+    rows, nothing to detect. Prevention by immutable file sets (the
+    reference's DB isolation, store/store.go:115-173), where the
+    ParquetStore can only detect-and-raise."""
+    lstore.write_blocks({"block_headers": headers_df(spark, range(100, 110))})
+    snap = lstore.snapshot()
+    df = snap.read("block_headers")
+
+    # reorg: retract + replace blocks 105.. while the snapshot is live
+    lstore.retract_blocks(105, 109, tables=("block_headers",))
+    lstore.write_blocks(
+        {"block_headers": headers_df(spark, range(105, 112))},
+        block_range=(105, 111),
+    )
+
+    # the pinned frame AND fresh reads from the pin: pre-reorg state, clean
+    assert sorted(r["number"] for r in df.collect()) == list(range(100, 110))
+    assert sorted(
+        r["number"] for r in snap.read("block_headers").collect()
+    ) == list(range(100, 110))
+    assert snap.max_block("block_headers") == 109
+    snap.check()  # never raises
+    with snap.guard():
+        assert len(snap.collect(snap.read_range("block_headers", lo=105))) == 5
+    # live reads see the post-reorg chain
+    assert lstore.max_block("block_headers") == 111
+
+
+def test_multi_table_batch_is_one_commit(spark, lstore):
+    """Multi-table atomicity is exact: one write_blocks = ONE commit file,
+    so no reader version can ever hold table A's batch without table B's."""
+    before = _commit_versions(lstore)
+    lstore.write_blocks(
+        {
+            "block_headers": headers_df(spark, range(100, 105)),
+            "transfers": transfers_df(
+                spark, [("AAAA", n, f"t{n}", "a", "b", "1") for n in range(100, 105)]
+            ),
+        }
+    )
+    after = _commit_versions(lstore)
+    assert len(after) == len(before) + 1
+    with open(
+        os.path.join(lstore.root, _LOG_DIR, f"{after[-1]:020d}.json")
+    ) as f:
+        commit = json.load(f)
+    assert set(commit["tables"]) == {"block_headers", "transfers"}
+
+
+def test_occ_two_writers_converge(spark, tmp_path):
+    """Multi-writer optimistic concurrency: writer B commits BETWEEN
+    writer A's plan and A's publish (the exact flock-fatal interleaving).
+    A must lose the version race, re-plan against B's state, and land —
+    both batches visible, no lock, no error. This is the coordination the
+    reference gets from swallowed duplicate-key errors between concurrent
+    indexers (common/errors.go:26-57, service/indexer/indexer.go:152-158)."""
+    root = str(tmp_path / "shared")
+    a = LogStore(spark, root)
+    b = LogStore(spark, root)
+    a.write_blocks({"block_headers": headers_df(spark, range(100, 105))})
+    assert b.max_block("block_headers") == 104  # B observes A's commit
+
+    # interpose: when A next tries to publish, B has already taken the slot
+    original = a._try_publish
+    fired = {"n": 0}
+
+    def racing_publish(version, commit):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            b.write_blocks(
+                {"block_headers": headers_df(spark, range(105, 110))},
+                block_range=(105, 109),
+            )
+        return original(version, commit)
+
+    a._try_publish = racing_publish
+    # duplicate-writer replay: A writes the SAME range B just wrote — the
+    # reference's duplicate-key scenario; convergence, not duplication
+    a.write_blocks(
+        {"block_headers": headers_df(spark, range(105, 110))},
+        block_range=(105, 109),
+    )
+    a._try_publish = original
+    assert fired["n"] == 1
+    assert _numbers(a) == list(range(100, 110))
+    assert _numbers(b) == list(range(100, 110))
+    assert a.read("block_headers").groupBy("number").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+
+
+def test_delta_append_exactly_once(spark, lstore):
+    df1 = spark.createDataFrame([("d1", "x")], "id string, v string")
+    df2 = spark.createDataFrame([("d2", "y")], "id string, v string")
+    lstore.append_dimension_delta("doc_index", df1, "batch-1")
+    lstore.append_dimension_delta("doc_index", df1, "batch-1")  # replay no-op
+    lstore.append_dimension_delta("doc_index", df2, "batch-2")
+    assert lstore.read("doc_index").count() == 2
+    assert "ingest_delta" not in lstore.read("doc_index").columns
+    deltas = {
+        r["ingest_delta"] for r in lstore.read_deltas("doc_index").collect()
+    }
+    assert deltas == {"batch-1", "batch-2"}
+    with pytest.raises(ValueError, match="must be non-empty"):
+        lstore.append_dimension_delta("doc_index", df1, "bad/name")
+
+
+def test_dimension_update_and_append(spark, lstore):
+    dim = spark.createDataFrame(
+        [("0xaa", "TokA", 18)], "address string, name string, decimals long"
+    )
+    lstore.update_dimension("erc20", dim)
+    assert lstore.read("erc20").count() == 1
+    lstore.append_dimension(
+        "erc20",
+        spark.createDataFrame(
+            [("0xaa", "TokA", 18), ("0xbb", "TokB", 6)],
+            "address string, name string, decimals long",
+        ),
+    )
+    got = {r["address"] for r in lstore.read("erc20").collect()}
+    assert got == {"0xaa", "0xbb"}  # dedup on unique key held
+    # multi-dim swap is one commit (atomic across dims)
+    before = _commit_versions(lstore)
+    lstore.update_dimensions(
+        {
+            "erc20": dim,
+            "subscriptions": spark.createDataFrame(
+                [(1, "0xcc", 1, 0)],
+                "id long, address string, `group` long, block_number long",
+            ),
+        }
+    )
+    assert len(_commit_versions(lstore)) == len(before) + 1
+
+
+def test_version_hold_publishes_nothing_until_clean_exit(spark, tmp_path):
+    """Holds are STRONGER here than on the version-pointer backend: a
+    second reader handle (another process's view) sees no effect — not
+    even rewinds — until the single commit at clean exit; an aborted hold
+    publishes nothing at all (no floor file, no repair protocol)."""
+    root = str(tmp_path / "hold")
+    owner = LogStore(spark, root)
+    other = LogStore(spark, root)
+    owner.write_blocks({"block_headers": headers_df(spark, range(100, 110))})
+
+    with owner.version_hold():
+        owner.write_blocks(
+            {"block_headers": headers_df(spark, [105])}, block_range=(105, 109)
+        )
+        # read-your-own-writes: the owner sees its buffered overwrite...
+        assert _numbers(owner) == list(range(100, 106))
+        # ...while the outside world still sees the pre-hold state
+        assert _numbers(other) == list(range(100, 110))
+        assert other.read_version() == 109
+    # clean exit: one commit, everything lands at once
+    assert _numbers(other) == list(range(100, 106))
+
+    # aborted hold: nothing published, owner state rolls back to committed
+    with pytest.raises(RuntimeError, match="boom"):
+        with owner.version_hold():
+            owner.write_blocks(
+                {"block_headers": headers_df(spark, [103])}, block_range=(103, 105)
+            )
+            raise RuntimeError("boom")
+    assert _numbers(owner) == list(range(100, 106))
+    assert _numbers(other) == list(range(100, 106))
+
+
+def test_crash_before_publish_is_invisible_and_replay_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Crash simulation at the only commit point: staged data files exist
+    on disk but no log entry references them — a fresh store (the restart)
+    sees the pre-crash state exactly; replaying the batch converges; the
+    orphans are vacuumable."""
+    root = str(tmp_path / "crash")
+    store = LogStore(spark, root)
+    store.write_blocks({"block_headers": headers_df(spark, range(100, 105))})
+
+    def die(version, commit):
+        raise OSError("simulated crash before commit publish")
+
+    monkeypatch.setattr(store, "_try_publish", die)
+    with pytest.raises(OSError, match="simulated crash"):
+        store.write_blocks(
+            {"block_headers": headers_df(spark, range(105, 110))},
+            block_range=(105, 109),
+        )
+    monkeypatch.undo()
+
+    reopened = LogStore(spark, root)
+    assert _numbers(reopened) == list(range(100, 105))
+    assert reopened.read_version() == 104
+    # replay converges (the staged orphans never interfere)
+    reopened.write_blocks(
+        {"block_headers": headers_df(spark, range(105, 110))},
+        block_range=(105, 109),
+    )
+    assert _numbers(reopened) == list(range(100, 110))
+    removed = reopened.vacuum(retain_versions=0)
+    assert removed >= 1  # the crash's orphaned files are collectable
+    assert _numbers(reopened) == list(range(100, 110))
+
+
+def test_optimize_compacts_and_vacuum_respects_retention(spark, lstore):
+    for base in range(100, 160, 10):
+        lstore.write_blocks(
+            {"block_headers": headers_df(spark, range(base, base + 10))},
+            block_range=(base, base + 9),
+        )
+    st = lstore._state(refresh=True)
+    n_before = len(st.files["block_headers"])
+    assert n_before >= 6
+    snap = lstore.snapshot()  # pinned across optimize + vacuum
+    lstore.optimize("block_headers")
+    st2 = lstore._state(refresh=True)
+    assert len(st2.files["block_headers"]) < n_before
+    assert _numbers(lstore) == list(range(100, 160))
+    # within retention the pinned snapshot still reads its old files
+    lstore.vacuum(retain_versions=10)
+    assert snap.read("block_headers").count() == 60
+    # past retention the old files go away (the documented contract)
+    lstore.vacuum(retain_versions=0)
+    assert _numbers(lstore) == list(range(100, 160))
+
+
+def test_checkpoint_bounds_log_replay(spark, tmp_path):
+    """> CHECKPOINT_EVERY commits: a fresh store folds checkpoint + tail,
+    and the state matches a full-log fold."""
+    root = str(tmp_path / "ckpt")
+    store = LogStore(spark, root)
+    for i in range(12):
+        store.write_blocks(
+            {"block_headers": headers_df(spark, [100 + i])},
+            block_range=(100 + i, 100 + i),
+        )
+    names = os.listdir(os.path.join(root, _LOG_DIR))
+    assert any(n.endswith(".checkpoint.json") for n in names)
+    fresh = LogStore(spark, root)
+    assert _numbers(fresh) == list(range(100, 112))
+    assert fresh.read_version() == 111
+
+
+class LogStoreModel:
+    """Sequential model of the LogStore visibility contract for the
+    randomized sweep: overwrite/delete/boundary semantics shared with the
+    ParquetStore model, hold semantics strictly deferred (nothing —
+    not even rewinds — visible outside until clean exit), snapshots
+    immutable forever."""
+
+    def __init__(self):
+        self.blocks: set[int] = set()
+        self.version: int | None = None
+        self.epoch = 0
+        self.hold = False
+        self.staged: list[tuple[str, int, int]] = []
+
+    def _apply(self, op: str, lo: int, hi: int) -> None:
+        if op == "write":
+            pre = self.version
+            if pre is not None and lo <= pre:
+                self.epoch += 1
+            self.blocks -= set(range(lo, hi + 1))
+            self.blocks |= set(range(lo, hi + 1))
+            self.version = hi if pre is None else max(hi, pre)
+        else:  # delete
+            if self.version is not None and self.version >= lo:
+                self.version = lo - 1
+                self.epoch += 1
+            self.blocks -= set(range(lo, hi + 1))
+
+    def write(self, lo, hi):
+        if self.hold:
+            self.staged.append(("write", lo, hi))
+        else:
+            self._apply("write", lo, hi)
+
+    def delete(self, lo, hi):
+        if self.hold:
+            self.staged.append(("delete", lo, hi))
+        else:
+            self._apply("delete", lo, hi)
+
+    def own_view(self) -> "LogStoreModel":
+        """What the OWNING store reads mid-hold (committed + staged)."""
+        m = LogStoreModel()
+        m.blocks, m.version, m.epoch = set(self.blocks), self.version, self.epoch
+        for op, lo, hi in self.staged:
+            m._apply(op, lo, hi)
+        return m
+
+    def hold_enter(self):
+        self.hold = True
+
+    def hold_exit(self, clean: bool):
+        self.hold = False
+        staged, self.staged = self.staged, []
+        if clean:
+            for op, lo, hi in staged:
+                self._apply(op, lo, hi)
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_logstore_protocol_matches_model_under_random_interleavings(
+    spark, tmp_path, seed
+):
+    """The randomized protocol sweep over the MVCC backend (the LogStore
+    analog of test_store_model.py): visible rows via a SECOND handle track
+    the model after every op; a snapshot pinned mid-sequence returns its
+    pin-time rows FOREVER — across any number of later writes, deletes and
+    holds — and never raises (prevention; where the ParquetStore model
+    asserts raise-iff-rewound)."""
+    rng = random.Random(seed)
+    root = str(tmp_path / "m")
+    owner = LogStore(spark, root)
+    reader = LogStore(spark, root)
+    model = LogStoreModel()
+    pinned = None  # (snapshot, frozen block set)
+    in_hold = False
+    hold_cm = None
+
+    def visible(store):
+        if not store.exists("block_headers"):
+            return set()
+        return {r["number"] for r in store.read("block_headers").collect()}
+
+    for step in range(14):
+        op = rng.choice(["write", "write", "delete", "hold", "snap"])
+        if op == "write":
+            lo = rng.randrange(100, 140)
+            hi = lo + rng.randrange(0, 8)
+            owner.write_blocks(
+                {"block_headers": headers_df(spark, range(lo, hi + 1))},
+                block_range=(lo, hi),
+            )
+            model.write(lo, hi)
+        elif op == "delete":
+            lo = rng.randrange(100, 140)
+            hi = lo + rng.randrange(0, 10)
+            owner.retract_blocks(lo, hi, tables=("block_headers",))
+            model.delete(lo, hi)
+        elif op == "hold" and not in_hold:
+            hold_cm = owner.version_hold()
+            hold_cm.__enter__()
+            model.hold_enter()
+            in_hold = True
+        elif op == "hold" and in_hold:
+            hold_cm.__exit__(None, None, None)
+            model.hold_exit(clean=True)
+            in_hold = False
+        elif op == "snap" and not in_hold and pinned is None:
+            snap = owner.snapshot()
+            pinned = (snap, set(model.blocks))
+
+        # OUTSIDE view tracks the committed model exactly
+        assert visible(reader) == (model.blocks if not in_hold else model.blocks), (
+            f"step {step} external visibility diverged"
+        )
+        assert reader.read_version() == model.version
+        assert reader.read_rewind_epoch() == model.epoch
+        # OWNER view includes its own staged writes mid-hold
+        own = model.own_view() if in_hold else model
+        assert visible(owner) == own.blocks, f"step {step} owner view diverged"
+        # the pinned snapshot never moves and never raises
+        if pinned is not None:
+            snap, frozen = pinned
+            snap.check()
+            got = (
+                {r["number"] for r in snap.read("block_headers").collect()}
+                if snap.exists("block_headers")
+                else set()
+            )
+            assert got == frozen, f"step {step} snapshot drifted"
+    if in_hold:
+        hold_cm.__exit__(None, None, None)
+        model.hold_exit(clean=True)
+        assert visible(reader) == model.blocks

@@ -31,12 +31,21 @@ FORK_BLOCKS = [
 ]
 
 
-def _mk(spark, tmp_path, raw_pdfs, balancer="truth"):
+def _mk(spark, tmp_path, raw_pdfs, balancer="truth", backend="parquet"):
     """Build an ingestor over fixture raw tables. The BALANCER path is the
     default — opening balances come from the chain-truth lookup, matching
     the reference's deploy shape (client/balancer.go:43-116); pass
-    ``balancer=None`` to exercise the explicit ledger-derived fallback."""
-    store = ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
+    ``balancer=None`` to exercise the explicit ledger-derived fallback.
+    ``backend`` swaps the sink behind the StoreBackend seam: the lifecycle
+    scenarios parametrized over BOTH backends are the proof the seam is
+    real — the ingestor, pipeline and reorg logic run unchanged over the
+    MVCC LogStore (sinks/logstore.py)."""
+    if backend == "parquet":
+        store = ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
+    else:
+        from eth_indexer_spark.sinks.logstore import LogStore
+
+        store = LogStore(spark, str(tmp_path / "store"))
     source = PandasBlockSource(
         spark,
         raw_pdfs["block_headers_raw"],
@@ -84,9 +93,10 @@ def assert_state_matches(store, model, n_blocks_from=100):
     assert td == {n: v for n, _h, v in model["td"]}
 
 
-def test_sequential_batches_match_golden(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["parquet", "log"])
+def test_sequential_batches_match_golden(spark, tmp_path, backend):
     raw = build_raw()
-    store, _src, ing = _mk(spark, tmp_path, raw)
+    store, _src, ing = _mk(spark, tmp_path, raw, backend=backend)
 
     assert ing.process_headers(headers_of(raw, [100, 101, 102])) == "bootstrap"
     assert ing.process_headers(headers_of(raw, [103, 104, 105])) == "append"
@@ -118,9 +128,10 @@ def test_gap_backfill(spark, tmp_path):
     assert_state_matches(store, expected_model())
 
 
-def test_reorg_winning_fork(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["parquet", "log"])
+def test_reorg_winning_fork(spark, tmp_path, backend):
     raw = build_raw()
-    store, source, ing = _mk(spark, tmp_path, raw)
+    store, source, ing = _mk(spark, tmp_path, raw, backend=backend)
     ing.process_headers(headers_of(raw, [100, 101, 102, 103, 104, 105]))
 
     # heavier fork branching off block 103
@@ -290,14 +301,15 @@ def test_ingest_without_state_diff_falls_back_to_tx_value(spark, tmp_path):
     assert_state_matches(store, expected_model(blocks=no_internals))
 
 
-def test_register_token_backfill(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["parquet", "log"])
+def test_register_token_backfill(spark, tmp_path, backend):
     """EP2: registering a token upserts the registry and backfills per-group
     totals from stored balances as-of the registration block, preserving
     other tokens' totals at that block."""
     from tests.fixtures import T1, ETH
 
     raw = build_raw()
-    store, _src, ing = _mk(spark, tmp_path, raw)
+    store, _src, ing = _mk(spark, tmp_path, raw, backend=backend)
     # pre-existing ETH total at the registration block must survive
     store.write_blocks(
         {
