@@ -28,6 +28,14 @@ TPCH_TABLES = (
 )
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "local_cluster: multi-JVM local-cluster[n,c,m] validation "
+        "(runs a subprocess SparkSession; skippable where unsupported)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("eth_indexer_spark_tests", cpus=8)
