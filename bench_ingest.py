@@ -16,6 +16,7 @@ Not part of the driver's bench.py contract — run manually:
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import random
@@ -30,8 +31,28 @@ import pandas as pd
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-N_BLOCKS = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-BATCH = 50
+_ap = argparse.ArgumentParser()
+_ap.add_argument("n_blocks", nargs="?", type=int, default=500)
+_ap.add_argument(
+    "--preseed", type=int, default=0,
+    help="ingest this many UNTIMED history blocks first (large batches), so "
+    "the timed run starts against a store with pre-existing history — the "
+    "write-path analog of the read side's decade proof: per-batch time must "
+    "not depend on how much history the store already holds",
+)
+_ap.add_argument(
+    "--preseed-batch", type=int, default=1000,
+    help="micro-batch size for the preseed phase (large to amortize the "
+    "fixed per-batch Spark overhead; the TIMED phase always uses the "
+    "contract batch size)",
+)
+_ap.add_argument("--batch", type=int, default=50, help="timed micro-batch size")
+_args = _ap.parse_args()
+
+N_BLOCKS = _args.n_blocks
+BATCH = _args.batch
+PRESEED = _args.preseed
+PRESEED_BATCH = _args.preseed_batch
 N_ADDRS = 200          # address universe
 N_SUBS = 100           # subscribed addresses
 TXS_PER_BLOCK = 4
@@ -106,7 +127,7 @@ def main() -> None:
     from eth_indexer_spark.streaming.ingest import BlockIngestor
 
     spark = get_spark("bench_ingest", cpus=CPUS)
-    hdrs, txs, rec, logs, subs, erc20 = build_chain(N_BLOCKS)
+    hdrs, txs, rec, logs, subs, erc20 = build_chain(PRESEED + N_BLOCKS)
     workdir = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
         store = ParquetStore(spark, os.path.join(workdir, "store"), bucket_size=1000)
@@ -120,11 +141,25 @@ def main() -> None:
         )
         header_dicts = [r.to_dict() for _, r in hdrs.iterrows()]
 
+        preseed_secs = 0.0
+        if PRESEED:
+            tp = time.perf_counter()
+            for i in range(0, PRESEED, PRESEED_BATCH):
+                ing.process_headers(header_dicts[i : i + PRESEED_BATCH])
+            preseed_secs = time.perf_counter() - tp
+            print(
+                f"# preseed: {PRESEED} blocks in {preseed_secs:.1f}s "
+                f"(batch={PRESEED_BATCH}); timed run starts against "
+                f"{PRESEED}-block history",
+                file=sys.stderr,
+            )
+
+        timed = header_dicts[PRESEED:]
         batch_secs: list[float] = []
         t0 = time.perf_counter()
-        for i in range(0, len(header_dicts), BATCH):
+        for i in range(0, len(timed), BATCH):
             tb = time.perf_counter()
-            ing.process_headers(header_dicts[i : i + BATCH])
+            ing.process_headers(timed[i : i + BATCH])
             batch_secs.append(time.perf_counter() - tb)
         elapsed = time.perf_counter() - t0
         # O(batch) evidence: per-batch time must stay FLAT as stored history
@@ -139,7 +174,7 @@ def main() -> None:
             t: store.read(t).count()
             for t in ("block_headers", "transfers", "balances", "total_balances")
         }
-        assert n_rows["block_headers"] == N_BLOCKS
+        assert n_rows["block_headers"] == PRESEED + N_BLOCKS
         print(
             json.dumps(
                 {
@@ -158,6 +193,7 @@ def main() -> None:
                         round(q4 / q1, 3) if q1 > 1e-6 else None
                     ),
                     "rows": n_rows,
+                    "preseed_blocks": PRESEED,
                     "cpus": CPUS,
                 }
             )

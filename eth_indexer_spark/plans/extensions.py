@@ -1905,20 +1905,23 @@ def x_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
            COUNT(*) AS n_tokens_kept
-    FROM kept WHERE doc_id >= 250 GROUP BY doc_id
+    FROM kept WHERE doc_id % 4 = 0 GROUP BY doc_id
     """,
 )
 def x_substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online EXACTSUBSTR (operators/dedup.py:incremental_substring_dedup):
-    docs < 250 are the stored corpus, reduced to its skinny
-    (gram-digest, count) index; docs >= 250 arrive as a batch and are
-    scrubbed against combined batch+index counts. The oracle is batch-mode
+    docs with ``doc_id % 4 != 0`` are the stored corpus, reduced to its
+    skinny (gram-digest, count) index; every 4th doc arrives as a batch and
+    is scrubbed against combined batch+index counts. The modulo split (the
+    same convention as x_dedup_minhash_incremental) is scale-COVARIANT: the
+    stored index grows with the corpus, so decade scaling runs measure
+    index-side growth too, not just the batch. The oracle is batch-mode
     substring dedup over the WHOLE corpus restricted to the batch — the
     equality the incremental contract guarantees (coverage depends only on
     combined gram counts)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = d.filter(F.col("doc_id") < 250)
-    batch = d.filter(F.col("doc_id") >= 250)
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
     index = dedup.substring_gram_index(corpus, "text", "doc_id", min_len=8)
     return dedup.incremental_substring_dedup(
         batch, index, "text", "doc_id", min_len=8, min_count=2

@@ -428,7 +428,17 @@ class ParquetStore(StoreBackend):
         """Pin the current committed boundary: every block-keyed read
         through the returned object is clamped to ``block <= version``, so
         a multi-table read sees one batch boundary (EP3 consistency —
-        store/store.go:115-173's transaction scope)."""
+        store/store.go:115-173's transaction scope).
+
+        Rewind DETECTION scope: a plain ``.collect()`` on a frame returned
+        by ``snapshot().read(...)`` does NOT check for a reorg rewind —
+        route terminal actions through ``snap.collect(df)`` / ``guard()``
+        (or use :class:`~eth_indexer_spark.plans.queries.StoreQueries`,
+        whose snapshot frames self-bracket by default) to get
+        :class:`SnapshotRetractedError` instead of silently reading
+        retracted rows. Prevention — readers that never observe the rewind
+        at all — is the MVCC :class:`~eth_indexer_spark.sinks.logstore.
+        LogStore` backend."""
         version, epoch = self._read_version_state()  # one atomic pair read
         return StoreSnapshot(self, version, epoch)
 

@@ -284,3 +284,54 @@ def test_store_queries_naive_read_detects_reorg_rewind(spark, tmp_path):
     live_frame = q.StoreQueries(store).latest_header()
     assert not isinstance(live_frame, GuardedDataFrame)
     assert live_frame.collect()[0]["number"] == 9
+
+
+def test_store_queries_over_logstore_prevents_reorg_rewind_race(spark, tmp_path):
+    """The EP3 query surface is backend-agnostic through the StoreBackend
+    seam (sinks/backend.py): the SAME StoreQueries code over the MVCC
+    LogStore gets PREVENTION instead of detection — a snapshot pins an
+    immutable file set, so a reorg retraction landing mid-read changes
+    nothing the pinned reader can observe, and naive terminal actions keep
+    returning the pinned state with no error. This is the reference's MySQL
+    read-transaction guarantee (store/store.go:115-173) supplied by the
+    backend rather than by guard brackets."""
+    from eth_indexer_spark.sinks.logstore import LogStore
+
+    store = LogStore(spark, str(tmp_path / "logstore"))
+
+    def batch(numbers):
+        return {
+            "block_headers": spark.createDataFrame(
+                [(f"h{n}", f"h{n-1}", n, 100 + n) for n in numbers],
+                "hash string, parent_hash string, number long, difficulty long",
+            ),
+            "total_balances": spark.createDataFrame(
+                [("0xeth", n, 1, str(n * 10)) for n in numbers],
+                "token string, block_number long, `group` long, balance string",
+            ),
+        }
+
+    store.write_blocks(batch(range(0, 20)), block_range=(0, 19))
+    pinned = q.StoreQueries(store).snapshot()
+
+    latest = pinned.latest_header()
+    asof = pinned.find_total_balance(15, "0xeth", 1)
+    point = pinned.header_by_number(7)
+    assert latest.collect()[0]["number"] == 19
+    assert point.count() == 1
+
+    # reorg rewind lands while the pin is open: retraction + replacement
+    store.retract_blocks(10, 19, tables=("block_headers", "total_balances"))
+    store.write_blocks(batch(range(10, 16)), block_range=(10, 15))
+
+    # the pinned reader never observes it — same answers, no error, both on
+    # already-returned frames and on frames requested after the rewind
+    assert latest.collect()[0]["number"] == 19
+    assert asof.toPandas()["block_number"].iloc[0] == 15
+    assert point.count() == 1
+    assert pinned.latest_header().collect()[0]["number"] == 19
+
+    # a fresh pin sees the post-reorg chain
+    fresh = q.StoreQueries(store).snapshot()
+    assert fresh.latest_header().collect()[0]["number"] == 15
+    assert fresh.header_by_number(18).count() == 0
