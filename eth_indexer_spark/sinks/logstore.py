@@ -91,6 +91,22 @@ CHECKPOINT_EVERY = 10
 _COMMIT_WIDTH = 20  # zero-padded version in file names → lexicographic order
 
 
+class ConcurrentWriteConflict(RuntimeError):
+    """A ``version_hold`` transaction could not publish: between buffering
+    an operation and the hold's single commit, ANOTHER writer changed a
+    table this transaction read or overwrites (the buffered remove/merge
+    sets are stale). Publishing anyway would silently drop or duplicate the
+    other writer's rows, so the publish fails LOUDLY instead — the Delta
+    paper's §3.3 conflict check (ConcurrentAppend/ConcurrentDelete). The
+    engine's recovery is its standard one: replay the batch (every mutation
+    is idempotent), which re-reads current state and converges."""
+
+
+class _RetryConflict(Exception):
+    """Internal: a read-modify-write commit saw its read set change;
+    recompute from fresh state and retry (never escapes this module)."""
+
+
 @dataclass
 class _FileMeta:
     """Log-recorded metadata of one immutable data file."""
@@ -271,8 +287,14 @@ class LogStore(StoreBackend):
                     self._cache = self._load_state()
                 else:
                     _, commits = self._list_log()
-                    for v in commits:
-                        if v > self._cache.version:
+                    newer = [v for v in commits if v > self._cache.version]
+                    if newer and newer[0] != self._cache.version + 1:
+                        # another writer's vacuum retired the commits in the
+                        # gap (log retention) — incremental fold would skip
+                        # their effects; refold from the newest checkpoint
+                        self._cache = self._load_state()
+                    else:
+                        for v in newer:
                             with open(self._log_path(v)) as f:
                                 self._cache.apply(json.load(f))
             return self._cache
@@ -334,6 +356,11 @@ class LogStore(StoreBackend):
             ops = build(st)
             if ops is None:
                 return
+            # "expect" (the touched tables' read sets) only constrains
+            # HOLD-buffered ops at publish; a direct commit re-plans against
+            # fresh state on every OCC retry, so it needs no validation and
+            # the log stays free of read-set noise
+            ops.pop("expect", None)
             commit = {"v": st.version + 1, "writer": f"{os.getpid()}", **ops}
             if self._try_publish(st.version + 1, commit):
                 with self._mutex:
@@ -496,7 +523,8 @@ class LogStore(StoreBackend):
         file set. PREVENTION, not detection: concurrent rewinds write new
         commits; the pinned files stay on disk (until ``vacuum`` past the
         retention), so ``check()`` never raises."""
-        return LogSnapshot(self, self._state(refresh=True).copy())
+        with self._mutex:  # copy under the lock: our own commits mutate it
+            return LogSnapshot(self, self._state(refresh=True).copy())
 
     # -- mutations -----------------------------------------------------------
 
@@ -552,6 +580,9 @@ class LogStore(StoreBackend):
         def build(st: _State) -> dict | None:
             pre = st.boundary
             t_ops: dict[str, dict] = {}
+            expect = {
+                t: sorted(st.files.get(t, {})) for t in staged
+            }  # read set: validated at hold publish (stale rm = lost rows)
             rewound = False
             for table, (metas, lo, hi) in staged.items():
                 col = BLOCK_COLUMN[table]
@@ -582,6 +613,7 @@ class LogStore(StoreBackend):
                 "epoch": st.epoch + (1 if rewound else 0),
                 "tables": t_ops,
                 "schemas": schemas,
+                "expect": expect,
             }
 
         self._commit(build)
@@ -630,6 +662,7 @@ class LogStore(StoreBackend):
                 "boundary": (lo - 1) if rewind else st.boundary,
                 "epoch": st.epoch + (1 if rewind else 0),
                 "tables": t_ops,
+                "expect": {t: sorted(st.files.get(t, {})) for t in t_ops},
             }
 
         self._commit(build)
@@ -660,6 +693,7 @@ class LogStore(StoreBackend):
                     for t, metas in staged.items()
                 },
                 "schemas": schemas,
+                "expect": {t: sorted(st.files.get(t, {})) for t in staged},
             }
 
         self._commit(build)
@@ -667,12 +701,49 @@ class LogStore(StoreBackend):
     def append_dimension(self, table: str, df: DataFrame) -> None:
         """Append + dedup-on-key (reorgs audit rows): read-merge-replace,
         O(dimension) — right for small audit dims; per-batch growing state
-        uses :meth:`append_dimension_delta`."""
-        if self.exists(table):
-            merged = self.read(table).unionByName(df)
-        else:
-            merged = df
-        self.update_dimension(table, merged)
+        uses :meth:`append_dimension_delta`.
+
+        Read-modify-write under OCC: the merged DATA is computed from the
+        read-time file set, so unlike the pure re-plan commits, losing a
+        race to a concurrent writer of the SAME table cannot be fixed by
+        re-planning removes alone — the merge itself is stale and landing
+        it would drop the winner's rows (lost update). The build validates
+        the read set and the whole read-merge-stage loop reruns on
+        conflict (the Delta paper's §3.3 check, retried here because the
+        merge function is still in hand — a hold publish, where it isn't,
+        raises :class:`ConcurrentWriteConflict` instead)."""
+        while True:
+            st0 = self._visible_state()
+            expected = set(st0.files.get(table, {}))
+            if expected or table in st0.schemas:
+                base = self._read_files(table, self._live(st0, table), st0)
+                merged = base.unionByName(df)
+            else:
+                merged = df
+            staged = self._stage_files(table, self._prep(table, merged))
+            schema = merged.schema.jsonValue()
+
+            def build(st: _State) -> dict | None:
+                if set(st.files.get(table, {})) != expected:
+                    raise _RetryConflict
+                return {
+                    "boundary": st.boundary,
+                    "epoch": st.epoch,
+                    "tables": {
+                        table: {
+                            "add": [m.to_json() for m in staged],
+                            "rm": sorted(expected),
+                        }
+                    },
+                    "schemas": {table: schema},
+                    "expect": {table: sorted(expected)},
+                }
+
+            try:
+                self._commit(build)
+                return
+            except _RetryConflict:
+                continue  # stale staged files are vacuumable orphans
 
     def append_dimension_delta(self, table: str, df: DataFrame, delta: str) -> None:
         """O(batch) exactly-once append: the delta name is recorded IN the
@@ -739,6 +810,31 @@ class LogStore(StoreBackend):
                 schemas: dict[str, dict] = {}
                 deltas: dict[str, list[str]] = {}
                 for commit in publish:
+                    # exactly-once deltas: if an external writer landed the
+                    # same delta name since buffering, this op is a replay
+                    # of an already-committed batch — skip it whole (the
+                    # non-hold build's None), never double-append
+                    if any(
+                        n in merged.deltas.get(t, [])
+                        for t, names in commit.get("deltas", {}).items()
+                        for n in names
+                    ):
+                        continue
+                    # §3.3 conflict check: each buffered op recorded the
+                    # full live file set of every table it read/overwrites
+                    # ("expect"). The fold replays ops in order, so expect
+                    # matches unless ANOTHER writer touched the table since
+                    # buffering — then the op's remove/merge sets are stale
+                    # and publishing would lose or duplicate rows. Fail
+                    # loudly; replaying the batch converges.
+                    for t, paths in commit.get("expect", {}).items():
+                        if set(paths) != set(merged.files.get(t, {})):
+                            raise ConcurrentWriteConflict(
+                                f"version_hold publish: table {t!r} was "
+                                "modified by a concurrent writer after this "
+                                "transaction buffered its write — replay "
+                                "the batch against current state"
+                            )
                     for t, ops in commit.get("tables", {}).items():
                         out = tables.setdefault(t, {"add": [], "rm": []})
                         live_before = set(merged.files.get(t, {}))
@@ -803,23 +899,48 @@ class LogStore(StoreBackend):
 
         self._commit(build)
 
+    def _list_checkpoints(self) -> list[int]:
+        return sorted(
+            int(n.split(".", 1)[0])
+            for n in os.listdir(os.path.join(self.root, _LOG_DIR))
+            if n.endswith(".checkpoint.json")
+        )
+
     def vacuum(self, retain_versions: int = CHECKPOINT_EVERY) -> int:
         """Physically delete data files no state within the last
-        ``retain_versions`` commits references, plus orphaned staging dirs.
-        Returns the number of files deleted. Retention is the snapshot
-        contract: a snapshot older than the horizon may lose files —
-        exactly the paper's VACUUM semantics."""
+        ``retain_versions`` commits references, plus orphaned staging dirs,
+        then retire log files a checkpoint at-or-below the horizon already
+        folds (the paper's log cleanup) — the log dir stays
+        O(retention + tail), not O(commit history). Returns the number of
+        DATA files deleted. Retention is the snapshot contract: a snapshot
+        older than the horizon may lose files — exactly the paper's VACUUM
+        semantics."""
         st = self._state(refresh=True)
         horizon = max(0, st.version - retain_versions)
+        ckpts = self._list_checkpoints()
+        _, commits = self._list_log()
+        # fold base: the newest reconstructable state at or below the
+        # horizon — version 0 (full replay) is available only while commit 1
+        # survives log retention; afterwards retention guarantees a cut
+        # checkpoint. If every base sits ABOVE the horizon (caller asked to
+        # retain more than the log remembers), clamp the horizon up to the
+        # oldest base: files removed before it were already deleted by the
+        # earlier, shorter-retention vacuum, so the clamped fold loses
+        # nothing that still exists.
+        bases = ([0] if (st.version == 0 or (commits and commits[0] == 1)) else []) + ckpts
+        if not bases:  # defensive: unreadable log shape — delete nothing
+            return 0
+        below = [b for b in bases if b <= horizon]
+        base_v = max(below) if below else min(bases)
+        horizon = max(horizon, base_v)
+        if base_v == 0:
+            walk = _State()
+        else:
+            with open(self._log_path(base_v, checkpoint=True)) as f:
+                walk = _State.from_checkpoint(json.load(f))
         protected: set[str] = set()
-        # files live at ANY version > horizon are protected: fold from the
-        # log so mid-window snapshots stay readable
-        ckpt_v, commits = self._list_log()
-        base = _State()
-        if ckpt_v is not None and ckpt_v <= horizon:
-            with open(self._log_path(ckpt_v, checkpoint=True)) as f:
-                base = _State.from_checkpoint(json.load(f))
-        walk = base
+        # files live at ANY version > horizon are protected, so mid-window
+        # snapshots stay readable
         for v in commits:
             if v <= walk.version:
                 continue
@@ -840,6 +961,25 @@ class LogStore(StoreBackend):
                     os.remove(os.path.join(tdir, name))
                     deleted += 1
         shutil.rmtree(os.path.join(self.root, _STAGING_DIR), ignore_errors=True)
+        # log retention: a commit folded into a checkpoint <= horizon can
+        # never be needed again — state loads fold from the NEWEST
+        # checkpoint, protection folds from the newest checkpoint <= the
+        # (possibly clamped) horizon, and both stay available
+        cut_cands = [c for c in ckpts if c <= horizon]
+        if cut_cands:
+            cut = max(cut_cands)
+            for v in commits:
+                if v <= cut:
+                    try:
+                        os.remove(self._log_path(v))
+                    except FileNotFoundError:
+                        pass  # another vacuum raced the same cleanup
+            for c in ckpts:
+                if c < cut:
+                    try:
+                        os.remove(self._log_path(c, checkpoint=True))
+                    except FileNotFoundError:
+                        pass
         return deleted
 
 

@@ -509,3 +509,147 @@ def test_logstore_protocol_matches_model_under_random_interleavings(
         hold_cm.__exit__(None, None, None)
         model.hold_exit(clean=True)
         assert visible(reader) == model.blocks
+
+
+def test_append_dimension_concurrent_writer_no_lost_update(spark, tmp_path):
+    """Read-modify-write under OCC: writer B appends to the SAME dimension
+    between A's read-merge and A's publish. A's merge is stale — re-planning
+    removes alone would land it and silently drop B's row (lost update) —
+    so A must detect the read-set change, redo the whole read-merge-stage
+    loop, and converge with BOTH rows present."""
+    root = str(tmp_path / "shared")
+    a = LogStore(spark, root)
+    b = LogStore(spark, root)
+    dim = lambda addr, name: spark.createDataFrame(  # noqa: E731
+        [(addr, name, 18)], "address string, name string, decimals long"
+    )
+    a.update_dimension("erc20", dim("0xaa", "TokA"))
+
+    original = a._try_publish
+    fired = {"n": 0}
+
+    def racing_publish(version, commit):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            b.append_dimension("erc20", dim("0xbb", "TokB"))
+        return original(version, commit)
+
+    a._try_publish = racing_publish
+    a.append_dimension("erc20", dim("0xcc", "TokC"))
+    a._try_publish = original
+    assert fired["n"] == 1
+    for store in (a, b):
+        got = {r["address"] for r in store.read("erc20").collect()}
+        assert got == {"0xaa", "0xbb", "0xcc"}, got
+
+
+def test_version_hold_publish_conflict_detected(spark, tmp_path):
+    """A hold's buffered remove/merge sets are computed at buffer time; if
+    ANOTHER writer touches one of the same tables before the hold's single
+    publish, landing them would lose or duplicate the winner's rows. The
+    publish must raise ConcurrentWriteConflict (the Delta paper's §3.3
+    check) — and replaying the batch against current state converges.
+    Writes to UNRELATED tables must NOT trip it."""
+    from eth_indexer_spark.sinks.logstore import ConcurrentWriteConflict
+
+    root = str(tmp_path / "shared")
+    a = LogStore(spark, root)
+    b = LogStore(spark, root)
+    a.write_blocks({"block_headers": headers_df(spark, range(100, 105))})
+
+    with pytest.raises(ConcurrentWriteConflict):
+        with a.version_hold():
+            a.write_blocks(
+                {"block_headers": headers_df(spark, range(105, 110))},
+                block_range=(105, 109),
+            )
+            # B lands an overlapping batch on the SAME table mid-hold
+            b.write_blocks(
+                {"block_headers": headers_df(spark, range(103, 108))},
+                block_range=(103, 107),
+            )
+    # nothing from the failed hold leaked; B's batch is intact
+    assert _numbers(a) == list(range(100, 108))
+    # the engine's standard recovery — replay the batch — converges
+    a.write_blocks(
+        {"block_headers": headers_df(spark, range(105, 110))},
+        block_range=(105, 109),
+    )
+    assert _numbers(a) == list(range(100, 110))
+
+    # unrelated-table concurrency does NOT conflict
+    with a.version_hold():
+        a.write_blocks(
+            {
+                "transfers": transfers_df(
+                    spark, [("0xt", 106, "0xh1", "0xf", "0xto", "1")]
+                )
+            },
+            block_range=(106, 106),
+        )
+        b.write_blocks(
+            {"block_headers": headers_df(spark, range(110, 112))},
+            block_range=(110, 111),
+        )
+    assert a.read("transfers").count() == 1
+    assert _numbers(a) == list(range(100, 112))
+
+
+def test_hold_delta_replay_skips_externally_landed_delta(spark, tmp_path):
+    """Exactly-once for delta appends ACROSS writers and holds: if the same
+    delta name lands externally between buffering and the hold's publish,
+    the buffered op is a replay of an already-committed batch — it must
+    no-op, never double-append."""
+    root = str(tmp_path / "shared")
+    a = LogStore(spark, root)
+    b = LogStore(spark, root)
+    df = spark.createDataFrame([("d1", "x")], "id string, v string")
+    with a.version_hold():
+        a.append_dimension_delta("doc_index", df, "batch-1")
+        b.append_dimension_delta("doc_index", df, "batch-1")
+    assert a.read("doc_index").count() == 1
+    assert b.read("doc_index").count() == 1
+
+
+def test_vacuum_retires_log_and_stale_cache_refolds(spark, tmp_path):
+    """Log retention: commits folded into a checkpoint at-or-below the
+    vacuum horizon are deleted (the log dir stays O(retention + tail), not
+    O(history)); a fresh store folds correctly from the surviving
+    checkpoint, and an instance whose cached state predates the cut
+    detects the gap and refolds instead of silently skipping the retired
+    commits' effects."""
+    root = str(tmp_path / "log")
+    a = LogStore(spark, root)
+    for i in range(3):
+        a.write_blocks(
+            {"block_headers": headers_df(spark, [100 + i])},
+            block_range=(100 + i, 100 + i),
+        )
+    stale = LogStore(spark, root)
+    assert stale.read_version() == 102  # cache pinned at version 3
+
+    for i in range(3, 25):
+        a.write_blocks(
+            {"block_headers": headers_df(spark, [100 + i])},
+            block_range=(100 + i, 100 + i),
+        )
+    a.vacuum(retain_versions=0)  # horizon 25 -> cut = checkpoint 20
+
+    vs = _commit_versions(a)
+    assert vs == list(range(21, 26)), vs  # commits <= 20 retired
+    ckpts = sorted(
+        int(n.split(".", 1)[0])
+        for n in os.listdir(os.path.join(root, _LOG_DIR))
+        if n.endswith(".checkpoint.json")
+    )
+    assert 20 in ckpts and 10 not in ckpts, ckpts
+
+    fresh = LogStore(spark, root)
+    assert _numbers(fresh) == list(range(100, 125))
+    assert fresh.read_version() == 124
+    # the stale instance refreshes across the gap via refold, not skip
+    assert stale.read_version() == 124
+    assert _numbers(stale) == list(range(100, 125))
+    # a second vacuum after the cleanup still folds and deletes nothing live
+    assert a.vacuum(retain_versions=0) == 0
+    assert _numbers(a) == list(range(100, 125))
