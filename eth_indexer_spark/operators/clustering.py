@@ -225,22 +225,47 @@ def semantic_dup_pairs(
     )
 
 
+def derive_k(n: int, target_cluster_size: int = 2000, k_max: int = 512) -> int:
+    """Cluster count for a corpus of ``n`` vectors: ``ceil(n / target)``,
+    floored at 2 (a single cluster degenerates to all-pairs) and capped at
+    ``k_max`` (the literal-centroid expression's practical bound — past it,
+    assignment wants the ANN form, not a bigger expression tree)."""
+    return max(2, min(k_max, -(-n // target_cluster_size)))
+
+
 def semantic_dedup(
     emb: DataFrame,
-    k: int,
+    k: int | None = None,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 10,
+    target_cluster_size: int = 2000,
+    k_max: int = 512,
 ) -> DataFrame:
     """The full SemDeDup pipeline: k-means partition → within-cluster
     cosine pairs → connected-components labels. Every vector gets a
     ``sem_cluster`` id (= the minimum id of its semantic-duplicate group;
     itself when it has no near-dup) — keep one row per ``sem_cluster`` to
     dedup. Composes the three scale-safe stages end-to-end: shuffle-free
-    assignment, cluster-local pair join, O(log² n)-round clustering."""
+    assignment, cluster-local pair join, O(log² n)-round clustering.
+
+    ``k=None`` (the default) derives ``k ≈ N / target_cluster_size`` from
+    one bounded count — the SemDeDup recipe (cluster COUNT grows with the
+    corpus, cluster SIZE stays fixed). A pinned k is quadratic at scale:
+    the within-cluster pair join does O(N²/k) work, so ×4 data at fixed k
+    costs ×16 (measured on the sf1→sf10 decade before auto-k landed:
+    ×16.02 wall). With k ∝ N the pair stage is O(N · target_cluster_size)
+    — linear per decade — while assignment's O(N·k) term stays an order of
+    magnitude below it until k reaches ``k_max`` (the literal-centroid
+    expression's practical bound); past that rung, assignment itself wants
+    the ANN form (bucketed RHP-LSH / IVF probe, similarity.py) rather than
+    a bigger expression tree."""
     from eth_indexer_spark.operators.dedup import dedup_clusters
 
+    if k is None:
+        # bounded control-flow read: one count aggregate, O(1) result
+        k = derive_k(emb.count(), target_cluster_size, k_max)
     assignments = kmeans(emb, k, id_col, vec_col, max_iter)
     pairs = semantic_dup_pairs(emb, assignments, threshold, id_col, vec_col)
     return dedup_clusters(

@@ -809,7 +809,17 @@ def incremental_minhash_pairs(
     verification run over O(batch + bucket collisions) rows, never the
     corpus. ``max_bucket`` counts corpus + batch members per bucket —
     identical semantics to batch mode, because a shared bucket's corpus
-    membership survives the semi-join in full."""
+    membership survives the semi-join in full.
+
+    Measured negative result (sf1→sf10 decade, do not retry): with a batch
+    of 25% of a 500k-doc corpus every join here switches broadcast→SMJ
+    (12→27 exchanges, 2→32 sorts) yet wall time stays sub-linear (×4.7 for
+    ×10 data). Forcing ``shuffle_hash`` on the semi-join build sides — the
+    fix that won for batch substring dedup — LOST the A/B (median 72 s SMJ
+    vs 125 s hinted, 5 reps): the build sides are ~10⁶-entry hash maps
+    while the SMJ sorts are cheap single-long columns, and the hint would
+    also stop AQE broadcasting for normal small batches. The adaptive plan
+    is the right one."""
     new_rows = persist_bounded(
         "dedup.minhash_inc.batch",
         minhash_index(batch, text_col, id_col, k, num_hashes, bands),

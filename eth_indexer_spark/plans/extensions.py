@@ -2070,7 +2070,13 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels. Run over the corpus ∪ perturbed copies (id+100000, scaled) so
     the semantic-duplicate groups are non-degenerate — the same planted-dup
     device as x_dedup_exact. Pytest pins that every planted pair lands in
-    one sem_cluster and unrelated vectors stay apart."""
+    one sem_cluster and unrelated vectors stay apart.
+
+    k is DERIVED (auto-k, k ≈ N/2000): at sf0.1 that equals the former
+    pinned k=8; at ×10 the cluster count grows with the corpus so the
+    within-cluster pair join stays O(N · cluster_size) instead of the
+    pinned-k O(N²/k) — the fixed-k form measured ×16 per ×4-embedding
+    decade before this changed."""
     from eth_indexer_spark.operators.clustering import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
@@ -2080,7 +2086,7 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(as_double, lambda x: x * 1.01 + 0.001).alias("embedding"),
     )
     corpus = e.select("vec_id", as_double.alias("embedding")).unionByName(pert)
-    return semantic_dedup(corpus, k=8, threshold=0.95, max_iter=5)
+    return semantic_dedup(corpus, threshold=0.95, max_iter=5)
 
 
 @register("x_text_winnow")  # hash-family dependent → rows-only check

@@ -865,6 +865,22 @@ def test_semantic_dedup_planted_pairs(emb):
     assert max(sizes.values()) <= 2  # random vectors never merge
 
 
+def test_semantic_dedup_auto_k_scales_cluster_count():
+    """k=None derives k ≈ N/target (the SemDeDup recipe): cluster COUNT
+    grows with the corpus so the within-cluster pair join is
+    O(N · cluster_size) — a pinned k measured ×16 per ×4-embedding decade
+    (quadratic O(N²/k)) before auto-k. Floor 2, cap at the literal-centroid
+    bound."""
+    from eth_indexer_spark.operators.clustering import derive_k
+
+    assert derive_k(16_000) == 8          # = the former pinned bench k
+    assert derive_k(64_000) == 32         # ×4 corpus → ×4 clusters
+    assert derive_k(256_000) == 128       # cluster size stays ~target
+    assert derive_k(100) == 2             # floor: never a single cluster
+    assert derive_k(10_000_000) == 512    # cap: the expression-tree bound
+    assert derive_k(4_000, target_cluster_size=500) == 8
+
+
 def test_tokenize_vocab_and_encode_hand_computed(spark):
     """Vocab ranks by (count desc, word asc) with dense 1-based ids; OOV
     maps to unk 0; min_count prunes the tail before ranking."""
