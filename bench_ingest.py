@@ -47,12 +47,21 @@ _ap.add_argument(
     "contract batch size)",
 )
 _ap.add_argument("--batch", type=int, default=50, help="timed micro-batch size")
+_ap.add_argument(
+    "--settle-every", type=int, default=0,
+    help="System.gc() between batches every N batches (0 = never): drives "
+    "the ContextCleaner so replaced per-batch localCheckpoint/persist "
+    "blocks release deterministically — the idle time a head-following "
+    "daemon gets for free between 13 s blocks, which this tight loop "
+    "otherwise never yields",
+)
 _args = _ap.parse_args()
 
 N_BLOCKS = _args.n_blocks
 BATCH = _args.batch
 PRESEED = _args.preseed
 PRESEED_BATCH = _args.preseed_batch
+SETTLE_EVERY = _args.settle_every
 N_ADDRS = 200          # address universe
 N_SUBS = 100           # subscribed addresses
 TXS_PER_BLOCK = 4
@@ -157,7 +166,9 @@ def main() -> None:
         timed = header_dicts[PRESEED:]
         batch_secs: list[float] = []
         t0 = time.perf_counter()
-        for i in range(0, len(timed), BATCH):
+        for bi, i in enumerate(range(0, len(timed), BATCH)):
+            if SETTLE_EVERY and bi and bi % SETTLE_EVERY == 0:
+                spark.sparkContext._jvm.System.gc()
             tb = time.perf_counter()
             ing.process_headers(timed[i : i + BATCH])
             batch_secs.append(time.perf_counter() - tb)
@@ -194,6 +205,8 @@ def main() -> None:
                     ),
                     "rows": n_rows,
                     "preseed_blocks": PRESEED,
+                    "settle_every": SETTLE_EVERY,
+                    "batch_secs": [round(s, 2) for s in batch_secs],
                     "cpus": CPUS,
                 }
             )
