@@ -102,6 +102,18 @@ class ConcurrentWriteConflict(RuntimeError):
     is idempotent), which re-reads current state and converges."""
 
 
+class SnapshotExpiredError(RuntimeError):
+    """A pinned :class:`LogSnapshot` outlived the vacuum retention: a
+    ``vacuum`` ran more than ``retain_versions`` commits after the pin and
+    physically deleted data files the snapshot still references. This is
+    the documented retention contract (the Delta paper's VACUUM semantics)
+    — the snapshot's isolation guarantee holds only within the retention
+    window. Raised LOUDLY at read time (a driver-side existence check over
+    the pruned candidate files) instead of surfacing as an arbitrary Spark
+    FileNotFound mid-job. Recovery: re-pin (``store.snapshot()``) and
+    re-run the read against current state."""
+
+
 class _RetryConflict(Exception):
     """Internal: a read-modify-write commit saw its read set change;
     recompute from fresh state and retry (never escapes this module)."""
@@ -263,19 +275,29 @@ class LogStore(StoreBackend):
 
     def _load_state(self) -> _State:
         """Fold the log: latest checkpoint + tail commits. O(tail), not
-        O(history) — the checkpoint bounds replay for long crawl loops."""
-        ckpt_v, commits = self._list_log()
-        if ckpt_v is not None:
-            with open(self._log_path(ckpt_v, checkpoint=True)) as f:
-                st = _State.from_checkpoint(json.load(f))
-        else:
-            st = _State()
-        for v in commits:
-            if v <= st.version:
-                continue
-            with open(self._log_path(v)) as f:
-                st.apply(json.load(f))
-        return st
+        O(history) — the checkpoint bounds replay for long crawl loops.
+
+        Retries on FileNotFoundError: a vacuum in ANOTHER process may
+        retire a listed commit between the list and the open (log
+        retention made log reads non-append-only). Each retry re-lists,
+        so it converges — a retired commit is always covered by a
+        surviving checkpoint."""
+        while True:
+            try:
+                ckpt_v, commits = self._list_log()
+                if ckpt_v is not None:
+                    with open(self._log_path(ckpt_v, checkpoint=True)) as f:
+                        st = _State.from_checkpoint(json.load(f))
+                else:
+                    st = _State()
+                for v in commits:
+                    if v <= st.version:
+                        continue
+                    with open(self._log_path(v)) as f:
+                        st.apply(json.load(f))
+                return st
+            except FileNotFoundError:
+                continue  # concurrent vacuum raced the fold: re-list, refold
 
     def _state(self, refresh: bool = False) -> _State:
         """Current committed state. The in-process cache is advanced by our
@@ -286,17 +308,31 @@ class LogStore(StoreBackend):
                 if self._cache is None:
                     self._cache = self._load_state()
                 else:
-                    _, commits = self._list_log()
+                    ckpt, commits = self._list_log()
                     newer = [v for v in commits if v > self._cache.version]
-                    if newer and newer[0] != self._cache.version + 1:
+                    if (newer and newer[0] != self._cache.version + 1) or (
+                        ckpt is not None and ckpt > self._cache.version
+                    ):
                         # another writer's vacuum retired the commits in the
                         # gap (log retention) — incremental fold would skip
-                        # their effects; refold from the newest checkpoint
+                        # their effects; refold from the newest checkpoint.
+                        # The checkpoint comparison matters even when `newer`
+                        # is EMPTY: a vacuum with retain 0 can retire every
+                        # commit into a checkpoint at the current version,
+                        # and without it a stale instance would keep
+                        # answering from its old cached state (and reference
+                        # vacuumed files) with no error.
                         self._cache = self._load_state()
                     else:
-                        for v in newer:
-                            with open(self._log_path(v)) as f:
-                                self._cache.apply(json.load(f))
+                        try:
+                            for v in newer:
+                                with open(self._log_path(v)) as f:
+                                    self._cache.apply(json.load(f))
+                        except FileNotFoundError:
+                            # a concurrent vacuum retired a listed commit
+                            # between the list and the open — refold from
+                            # the checkpoint that replaced it
+                            self._cache = self._load_state()
             return self._cache
 
     def _visible_state(self) -> _State:
@@ -310,10 +346,50 @@ class LogStore(StoreBackend):
                 return st
             pending = st.copy()
             for commit in self._hold_ops:
-                # buffered ops carry no log version yet (they publish as
-                # ONE commit at hold exit); fold them at the current one
-                pending.apply({**commit, "v": pending.version})
+                self._apply_buffered(pending, commit)
             return pending
+
+    @staticmethod
+    def _apply_buffered(state: _State, op: dict) -> None:
+        """Fold ONE buffered hold op into ``state``, re-deriving boundary
+        and epoch RELATIVE to the state being folded into (the op's
+        ``bound`` intent) rather than applying its buffer-time absolutes
+        verbatim. The absolutes are stale the moment an EXTERNAL writer
+        advances the boundary on a table the hold never touched (which the
+        ``expect`` file-set check deliberately does not constrain):
+        replaying them would silently rewind the published head — a lost
+        update with no epoch bump. Intents:
+
+        - ``write``: a markered batch advances the boundary to
+          ``max(hi, pre)`` and bumps the epoch iff its low edge overwrites
+          already-published blocks (``lo <= pre``) — evaluated against the
+          FOLD-TIME boundary, exactly as ``write_blocks`` evaluates it
+          against commit state in the direct path;
+        - ``retract``: rewinds to ``lo - 1`` (with an epoch bump) iff the
+          fold-time boundary reaches ``lo``;
+        - absent / ``keep``: boundary and epoch pass through unchanged
+          (dimension swaps, delta appends, optimize)."""
+        bound = op.get("bound") or {"kind": "keep"}
+        pre, epoch = state.boundary, state.epoch
+        kind = bound["kind"]
+        if kind == "write":
+            rewound = pre is not None and bound["lo"] <= pre
+            if bound["marker"]:
+                boundary = bound["hi"] if pre is None else max(bound["hi"], pre)
+            else:
+                boundary = pre  # marker-less writes only restore, never lead
+            if rewound:
+                epoch += 1
+        elif kind == "retract":
+            rewind = pre is not None and pre >= bound["lo"]
+            boundary = (bound["lo"] - 1) if rewind else pre
+            if rewind:
+                epoch += 1
+        else:
+            boundary = pre
+        # buffered ops carry no log version yet (they publish as ONE commit
+        # at hold exit); fold at the current one with the re-derived head
+        state.apply({**op, "v": state.version, "boundary": boundary, "epoch": epoch})
 
     # -- commit protocol ---------------------------------------------------------
 
@@ -356,11 +432,13 @@ class LogStore(StoreBackend):
             ops = build(st)
             if ops is None:
                 return
-            # "expect" (the touched tables' read sets) only constrains
-            # HOLD-buffered ops at publish; a direct commit re-plans against
-            # fresh state on every OCC retry, so it needs no validation and
-            # the log stays free of read-set noise
+            # "expect" (the touched tables' read sets) and "bound" (the
+            # boundary-intent record) only matter for HOLD-buffered ops at
+            # publish; a direct commit re-plans against fresh state on every
+            # OCC retry, so its absolute boundary/epoch are already derived
+            # from the state it extends and the log stays free of the noise
             ops.pop("expect", None)
+            ops.pop("bound", None)
             commit = {"v": st.version + 1, "writer": f"{os.getpid()}", **ops}
             if self._try_publish(st.version + 1, commit):
                 with self._mutex:
@@ -604,6 +682,7 @@ class LogStore(StoreBackend):
                 if pre is not None and lo <= pre:
                     rewound = True  # below-head overwrite of published blocks
             hi_all = max(hi for _, _, hi in staged.values())
+            lo_all = min(lo for _, lo, _ in staged.values())
             if has_marker:
                 boundary = hi_all if pre is None else max(hi_all, pre)
             else:
@@ -614,6 +693,13 @@ class LogStore(StoreBackend):
                 "tables": t_ops,
                 "schemas": schemas,
                 "expect": expect,
+                # boundary intent for hold-publish refold (_apply_buffered)
+                "bound": {
+                    "kind": "write",
+                    "hi": hi_all,
+                    "lo": lo_all,
+                    "marker": has_marker,
+                },
             }
 
         self._commit(build)
@@ -663,6 +749,7 @@ class LogStore(StoreBackend):
                 "epoch": st.epoch + (1 if rewind else 0),
                 "tables": t_ops,
                 "expect": {t: sorted(st.files.get(t, {})) for t in t_ops},
+                "bound": {"kind": "retract", "lo": lo},
             }
 
         self._commit(build)
@@ -850,7 +937,11 @@ class LogStore(StoreBackend):
                         schemas[t] = sch
                     for t, names in commit.get("deltas", {}).items():
                         deltas.setdefault(t, []).extend(names)
-                    merged.apply({**commit, "v": merged.version})
+                    # boundary/epoch are re-derived from PUBLISH-time state
+                    # via each op's intent ("bound"), never taken verbatim
+                    # from buffer time — an external writer advancing the
+                    # head on an untouched table must not be rewound
+                    self._apply_buffered(merged, commit)
                 return {
                     "boundary": merged.boundary,
                     "epoch": merged.epoch,
@@ -916,41 +1007,52 @@ class LogStore(StoreBackend):
         older than the horizon may lose files — exactly the paper's VACUUM
         semantics."""
         st = self._state(refresh=True)
-        horizon = max(0, st.version - retain_versions)
-        ckpts = self._list_checkpoints()
-        _, commits = self._list_log()
-        # fold base: the newest reconstructable state at or below the
-        # horizon — version 0 (full replay) is available only while commit 1
-        # survives log retention; afterwards retention guarantees a cut
-        # checkpoint. If every base sits ABOVE the horizon (caller asked to
-        # retain more than the log remembers), clamp the horizon up to the
-        # oldest base: files removed before it were already deleted by the
-        # earlier, shorter-retention vacuum, so the clamped fold loses
-        # nothing that still exists.
-        bases = ([0] if (st.version == 0 or (commits and commits[0] == 1)) else []) + ckpts
-        if not bases:  # defensive: unreadable log shape — delete nothing
-            return 0
-        below = [b for b in bases if b <= horizon]
-        base_v = max(below) if below else min(bases)
-        horizon = max(horizon, base_v)
-        if base_v == 0:
-            walk = _State()
-        else:
-            with open(self._log_path(base_v, checkpoint=True)) as f:
-                walk = _State.from_checkpoint(json.load(f))
-        protected: set[str] = set()
-        # files live at ANY version > horizon are protected, so mid-window
-        # snapshots stay readable
-        for v in commits:
-            if v <= walk.version:
-                continue
-            with open(self._log_path(v)) as f:
-                walk.apply(json.load(f))
-            if walk.version > horizon:
-                for fs in walk.files.values():
+        while True:
+            # the whole protection walk retries on FileNotFoundError: a
+            # vacuum in another process can retire a listed log file
+            # between the list and the open; re-listing converges because
+            # retired commits are always covered by a surviving checkpoint
+            try:
+                horizon = max(0, st.version - retain_versions)
+                ckpts = self._list_checkpoints()
+                _, commits = self._list_log()
+                # fold base: the newest reconstructable state at or below the
+                # horizon — version 0 (full replay) is available only while commit 1
+                # survives log retention; afterwards retention guarantees a cut
+                # checkpoint. If every base sits ABOVE the horizon (caller asked to
+                # retain more than the log remembers), clamp the horizon up to the
+                # oldest base: files removed before it were already deleted by the
+                # earlier, shorter-retention vacuum, so the clamped fold loses
+                # nothing that still exists.
+                bases = (
+                    [0] if (st.version == 0 or (commits and commits[0] == 1)) else []
+                ) + ckpts
+                if not bases:  # defensive: unreadable log shape — delete nothing
+                    return 0
+                below = [b for b in bases if b <= horizon]
+                base_v = max(below) if below else min(bases)
+                horizon = max(horizon, base_v)
+                if base_v == 0:
+                    walk = _State()
+                else:
+                    with open(self._log_path(base_v, checkpoint=True)) as f:
+                        walk = _State.from_checkpoint(json.load(f))
+                protected: set[str] = set()
+                # files live at ANY version > horizon are protected, so
+                # mid-window snapshots stay readable
+                for v in commits:
+                    if v <= walk.version:
+                        continue
+                    with open(self._log_path(v)) as f:
+                        walk.apply(json.load(f))
+                    if walk.version > horizon:
+                        for fs in walk.files.values():
+                            protected.update(fs.keys())
+                for fs in walk.files.values():  # current state always protected
                     protected.update(fs.keys())
-        for fs in walk.files.values():  # current state always protected
-            protected.update(fs.keys())
+                break
+            except FileNotFoundError:
+                continue
         deleted = 0
         data_root = os.path.join(self.root, _DATA_DIR)
         for table in os.listdir(data_root):
@@ -989,7 +1091,13 @@ class LogSnapshot:
     invisible by construction, so the check/guard/collect surface exists
     only for cross-backend symmetry — it can never raise. Prevention of
     the reorg-rewind reader race (the reference's MySQL isolation,
-    store/store.go:115-173), where the ParquetStore detects it."""
+    store/store.go:115-173), where the ParquetStore detects it.
+
+    Boundary of the guarantee: isolation holds within the VACUUM RETENTION
+    window. A snapshot pinned longer than ``retain_versions`` commits
+    before a vacuum may lose its files — reads then raise
+    :class:`SnapshotExpiredError` (loud, named, with the re-pin recovery
+    spelled out) via the existence check in :meth:`_read`."""
 
     def __init__(self, store: LogStore, state: _State):
         self.store = store
@@ -1016,13 +1124,37 @@ class LogSnapshot:
         return bool(self._st.files.get(table)) or table in self._st.schemas
 
     def read(self, table: str) -> DataFrame:
-        df = self.store._read_files(table, self._live(table), self._st)
+        df = self._read(table, self._live(table))
         if table in self._st.deltas and "ingest_delta" in df.columns:
             df = df.drop("ingest_delta")
         return df
 
     def _live(self, table: str) -> list[_FileMeta]:
         return list(self._st.files.get(table, {}).values())
+
+    def _read(self, table: str, metas: list[_FileMeta]) -> DataFrame:
+        """Pinned read with the retention contract enforced LOUDLY: if a
+        vacuum past the retention window deleted any of this snapshot's
+        files, raise :class:`SnapshotExpiredError` (named, actionable)
+        instead of an arbitrary Spark read failure. The check is a
+        driver-side ``os.path.exists`` over the PRUNED candidate list —
+        O(files this read touches), trivial beside the scan it fronts.
+        Best-effort by nature: a vacuum landing between this check and the
+        job's file reads still surfaces as Spark's FileNotFound — the check
+        pins the overwhelmingly common failure mode (a long-pinned snapshot
+        read AFTER maintenance), not a sub-second race."""
+        missing = [
+            m.path for m in metas if not os.path.exists(self.store._abs(m.path))
+        ]
+        if missing:
+            raise SnapshotExpiredError(
+                f"snapshot pinned at log version {self._st.version} references "
+                f"{len(missing)} file(s) of table {table!r} that vacuum has "
+                f"deleted (first: {missing[0]!r}) — the pin outlived the "
+                "vacuum retention window; re-pin with store.snapshot() and "
+                "re-read"
+            )
+        return self.store._read_files(table, metas, self._st)
 
     def read_range(
         self, table: str, lo: int | None = None, hi: int | None = None
@@ -1034,7 +1166,7 @@ class LogSnapshot:
             if (lo is None or m.hi is None or m.hi >= lo)
             and (hi is None or m.lo is None or m.lo <= hi)
         ]
-        df = self.store._read_files(table, metas, self._st)
+        df = self._read(table, metas)
         if lo is not None:
             df = df.filter(F.col(col) >= lo)
         if hi is not None:
@@ -1048,9 +1180,7 @@ class LogSnapshot:
             for m in self._live(table)
             if (m.lo is None or m.lo <= number) and (m.hi is None or m.hi >= number)
         ]
-        return self.store._read_files(table, metas, self._st).filter(
-            F.col(col) == number
-        )
+        return self._read(table, metas).filter(F.col(col) == number)
 
     def max_block(self, table: str) -> int | None:
         metas = self._live(table)
@@ -1061,7 +1191,7 @@ class LogSnapshot:
         if unstats:
             col = BLOCK_COLUMN[table]
             row = (
-                self.store._read_files(table, unstats, self._st)
+                self._read(table, unstats)
                 .agg(F.max(col).alias("m"))
                 .collect()[0]
             )
@@ -1070,7 +1200,7 @@ class LogSnapshot:
         return max(vals) if vals else None
 
     def read_deltas(self, table: str) -> DataFrame:
-        return self.store._read_files(table, self._live(table), self._st)
+        return self._read(table, self._live(table))
 
     def read_version(self) -> int | None:
         return self.version

@@ -577,22 +577,36 @@ def test_version_hold_publish_conflict_detected(spark, tmp_path):
     )
     assert _numbers(a) == list(range(100, 110))
 
-    # unrelated-table concurrency does NOT conflict
+    # unrelated-table concurrency does NOT conflict — and it must not be
+    # CLOBBERED either: B advances the published boundary (109 -> 111) on a
+    # table the hold never touches, so the hold's publish must re-derive
+    # boundary/epoch against publish-time state (its buffer-time absolutes
+    # say boundary=109; replaying them verbatim would silently rewind the
+    # head to 109 without an epoch bump — a lost update). The buffered write
+    # sits ABOVE both heads (block 115), so no below-head overwrite bump
+    # applies either: boundary and epoch must both pass through untouched.
+    epoch_before = a.read_rewind_epoch()
     with a.version_hold():
         a.write_blocks(
             {
                 "transfers": transfers_df(
-                    spark, [("0xt", 106, "0xh1", "0xf", "0xto", "1")]
+                    spark, [("0xt", 115, "0xh1", "0xf", "0xto", "1")]
                 )
             },
-            block_range=(106, 106),
+            block_range=(115, 115),
         )
         b.write_blocks(
             {"block_headers": headers_df(spark, range(110, 112))},
             block_range=(110, 111),
         )
+        assert b.read_version() == 111
     assert a.read("transfers").count() == 1
     assert _numbers(a) == list(range(100, 112))
+    assert a.read_version() == 111, "hold publish rewound the external head"
+    assert b.read_version() == 111
+    assert a.read_rewind_epoch() == epoch_before, (
+        "above-head marker-less hold publish must not bump the rewind epoch"
+    )
 
 
 def test_hold_delta_replay_skips_externally_landed_delta(spark, tmp_path):
@@ -653,3 +667,203 @@ def test_vacuum_retires_log_and_stale_cache_refolds(spark, tmp_path):
     # a second vacuum after the cleanup still folds and deletes nothing live
     assert a.vacuum(retain_versions=0) == 0
     assert _numbers(a) == list(range(100, 125))
+
+
+def test_pinned_snapshot_outliving_vacuum_raises_loud(spark, tmp_path):
+    """The retention contract's failure mode, pinned as a NAMED error: a
+    snapshot pinned, then > retain_versions commits plus a vacuum — the
+    snapshot's files are gone, and reads must raise SnapshotExpiredError
+    (loud, recognizable, says how to recover) instead of an arbitrary
+    Spark FileNotFound mid-job. A snapshot still inside the retention
+    window keeps reading fine across the same vacuum."""
+    from eth_indexer_spark.sinks.logstore import SnapshotExpiredError
+
+    store = LogStore(spark, str(tmp_path / "log"))
+    store.write_blocks(
+        {"block_headers": headers_df(spark, range(100, 105))},
+        block_range=(100, 104),
+    )
+    old_pin = store.snapshot()  # pinned at version 1
+
+    # churn: overwrite the SAME range repeatedly so the pin's files become
+    # dead weight, far past the retention window
+    for i in range(12):
+        store.write_blocks(
+            {"block_headers": headers_df(spark, range(100, 105))},
+            block_range=(100, 104),
+        )
+    fresh_pin = store.snapshot()  # inside the window at vacuum time
+    deleted = store.vacuum(retain_versions=2)
+    assert deleted > 0, "churned files should have been vacuumed"
+
+    # the in-window snapshot still reads (retention protected its files)
+    assert fresh_pin.read("block_headers").count() == 5
+    # the expired snapshot fails LOUDLY on every read form
+    with pytest.raises(SnapshotExpiredError, match="vacuum"):
+        old_pin.read("block_headers")
+    with pytest.raises(SnapshotExpiredError):
+        old_pin.read_range("block_headers", lo=100, hi=104)
+    with pytest.raises(SnapshotExpiredError):
+        old_pin.read_eq("block_headers", 102)
+    with pytest.raises(SnapshotExpiredError):
+        old_pin.read_deltas("block_headers")
+    # stats-only answers never touch files and stay available
+    assert old_pin.max_block("block_headers") == 104
+    # recovery is as documented: re-pin and read current state
+    assert store.snapshot().read("block_headers").count() == 5
+
+
+_OCC_CHILD = r"""
+import os, sys, time
+sys.path.insert(0, os.environ["OCC_REPO"])
+from eth_indexer_spark.session import get_spark
+from eth_indexer_spark.sinks.logstore import LogStore
+from tests.test_sink import headers_df
+
+spark = get_spark("occ-child", cpus=2)
+store = LogStore(spark, os.environ["OCC_ROOT"])
+ready, go = os.environ["OCC_READY"], os.environ["OCC_GO"]
+open(ready, "w").write("ready")
+for _ in range(600):
+    if os.path.exists(go):
+        break
+    time.sleep(0.1)
+else:
+    raise SystemExit("parent never signalled go")
+for i in range(int(os.environ["OCC_BATCHES"])):
+    lo = 2000 + 5 * i
+    store.write_blocks(
+        {"block_headers": headers_df(spark, range(lo, lo + 5))},
+        block_range=(lo, lo + 4),
+    )
+store.append_dimension_delta(
+    "shared_dim",
+    spark.createDataFrame([("d1", "x"), ("d2", "y")], "id string, v string"),
+    "shared-delta",
+)
+spark.stop()
+print("OCC-CHILD-OK")
+"""
+
+
+@pytest.mark.local_cluster
+def test_two_os_process_occ_convergence(spark, tmp_path):
+    """Cross-OS-process OCC (r8 verdict 'What's wrong #4'): the multi-writer
+    claim rests on ``os.link`` put-if-absent, but every prior two-writer
+    test raced two LogStore instances in ONE Python process. Here a child
+    process (own Spark JVM) and this process race interleaved
+    ``write_blocks`` commits on one store root, plus the SAME delta name —
+    the deployment story: two independent indexer processes on one store.
+    Assert convergence (all blocks from both writers, exactly once), a
+    contiguous commit history, and delta exactly-once across processes."""
+    import subprocess
+    import sys as _sys
+    import time
+
+    if _sys.platform != "linux" or not os.environ.get("JAVA_HOME"):
+        pytest.skip("needs Linux + JAVA_HOME (second Spark JVM)")
+    root = str(tmp_path / "shared")
+    batches = 6
+    store = LogStore(spark, root)
+    # seed so both writers contend against existing state
+    store.write_blocks(
+        {"block_headers": headers_df(spark, range(100, 105))},
+        block_range=(100, 104),
+    )
+    script = tmp_path / "occ_child.py"
+    script.write_text(_OCC_CHILD)
+    ready, go = str(tmp_path / "ready"), str(tmp_path / "go")
+    env = dict(
+        os.environ,
+        OCC_REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        OCC_ROOT=root,
+        OCC_READY=ready,
+        OCC_GO=go,
+        OCC_BATCHES=str(batches),
+        MASTER="local[2]",
+    )
+    proc = subprocess.Popen(
+        [_sys.executable, str(script)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=env,
+    )
+    try:
+        for _ in range(1200):  # child session spin-up
+            if os.path.exists(ready) or proc.poll() is not None:
+                break
+            time.sleep(0.1)
+        assert proc.poll() is None, proc.communicate()[1][-3000:]
+        open(go, "w").write("go")
+        # parent writes interleave with the child's: disjoint block ranges,
+        # same log — every commit version is contended
+        for i in range(batches):
+            lo = 3000 + 5 * i
+            store.write_blocks(
+                {"block_headers": headers_df(spark, range(lo, lo + 5))},
+                block_range=(lo, lo + 4),
+            )
+        store.append_dimension_delta(
+            "shared_dim",
+            spark.createDataFrame(
+                [("d1", "x"), ("d2", "y")], "id string, v string"
+            ),
+            "shared-delta",
+        )
+        out, err = proc.communicate(timeout=600)
+        assert proc.returncode == 0, err[-3000:]
+        assert "OCC-CHILD-OK" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    expected = (
+        list(range(100, 105))
+        + [n for i in range(batches) for n in range(2000 + 5 * i, 2005 + 5 * i)]
+        + [n for i in range(batches) for n in range(3000 + 5 * i, 3005 + 5 * i)]
+    )
+    assert _numbers(store) == sorted(expected)
+    # delta exactly-once ACROSS processes: one copy, not two
+    assert store.read("shared_dim").count() == 2
+    # commit history is contiguous — every contended version resolved to
+    # exactly one winner and every loser re-planned onto the next version;
+    # 1 seed + 6 parent + 6 child batches + ONE delta commit (the losing
+    # process's same-name append no-ops) = versions 1..14 exactly
+    assert _commit_versions(store) == list(range(1, 15))
+    fresh = LogStore(spark, root)
+    assert _numbers(fresh) == sorted(expected)
+    assert fresh.read_version() == max(expected)
+
+
+def test_stale_cache_refolds_when_all_commits_retired(spark, tmp_path):
+    """The nastier retention shape: a vacuum at an exact checkpoint
+    version with retain 0 retires EVERY commit into the checkpoint — the
+    commit list goes empty, so the gap heuristic (`newer[0] != cache+1`)
+    never fires. A stale instance must still notice the checkpoint PAST its
+    cached version and refold, or it silently answers from stale stats and
+    references vacuumed files."""
+    root = str(tmp_path / "log")
+    a = LogStore(spark, root)
+    for i in range(3):
+        a.write_blocks(
+            {"block_headers": headers_df(spark, [100 + i])},
+            block_range=(100 + i, 100 + i),
+        )
+    stale = LogStore(spark, root)
+    assert stale.read_version() == 102  # cache pinned at version 3
+
+    # advance to EXACTLY a checkpoint version (20), then retire everything
+    for i in range(3, 20):
+        a.write_blocks(
+            {"block_headers": headers_df(spark, [100 + i])},
+            block_range=(100 + i, 100 + i),
+        )
+    a.vacuum(retain_versions=0)  # horizon 20 -> cut = checkpoint 20
+    assert _commit_versions(a) == [], "all commits should fold into ckpt 20"
+
+    # stale instance: no commits newer than its cache exist, but the
+    # checkpoint is ahead — it must refold, not answer from version 3
+    assert stale.read_version() == 119
+    assert stale.max_block("block_headers") == 119
+    assert _numbers(stale) == list(range(100, 120))
