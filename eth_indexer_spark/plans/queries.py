@@ -201,8 +201,11 @@ class StoreQueries:
         raises :class:`~eth_indexer_spark.sinks.store.
         SnapshotRetractedError` when a reorg rewind overlaps the action,
         instead of silently returning retracted rows. Frames DERIVED from
-        the returned one (further ``.filter``/joins) revert to plain
-        DataFrames — bracket those with ``snapshot.guard()`` yourself."""
+        the returned one through the common transformations (``.filter``/
+        ``.select``/``.withColumn``/joins/``limit``/``orderBy``/...) stay
+        guarded — composition re-wraps. Only compositions that leave the
+        DataFrame type (``groupBy().agg``, SQL over a temp view) need an
+        explicit ``snapshot.guard()`` bracket."""
         return StoreQueries(self.store.snapshot())
 
     def _finish(self, df: DataFrame) -> DataFrame:
@@ -220,6 +223,13 @@ class StoreQueries:
         return self._finish(
             header_by_number(self.store.read_eq("block_headers", number), number)
         )
+
+    def headers_in_range(
+        self, lo: int | None = None, hi: int | None = None
+    ) -> DataFrame:
+        """P2 range scan through the pinned view — bucket-pruned on the
+        parquet layout, log-stats-pruned on the commit-log backend."""
+        return self._finish(self.store.read_range("block_headers", lo=lo, hi=hi))
 
     def latest_header(self) -> DataFrame:
         """T1 in O(top bucket): max_block bounds the answer (itself an

@@ -1376,12 +1376,18 @@ class GuardedDataFrame(_ConcreteDataFrame):
 
     Scope: the guarded frame's OWN terminal actions (`collect`, `toPandas`,
     `count`, `first`/`head`/`take`/`tail`, `show`, `isEmpty`, `foreach*`,
-    `toLocalIterator`) are bracketed. Transformations (`filter`, `select`,
-    joins, ...) return PLAIN DataFrames — Spark's internals construct
-    base-class frames — so a caller that composes further must bracket its
-    action with ``snapshot.guard()`` explicitly (or re-wrap). That matches
-    the surface being protected: StoreQueries hands back finished answers
-    the naive caller acts on directly.
+    `toLocalIterator`) are bracketed, and the COMMON TRANSFORMATIONS
+    (`filter`/`where`, `select`/`selectExpr`, `withColumn*`, `drop`,
+    `distinct`/`dropDuplicates`, `join`/`crossJoin`, `union*`, set ops,
+    `limit`/`offset`, `orderBy`/`sort`, `alias`, `repartition`/`coalesce`,
+    `sample`, `hint`) RE-WRAP: a caller that composes and then acts keeps
+    the detection (closing the silent-downgrade hole the r8 verdict named).
+    A join of two guarded frames is bracketed by the LEFT side's snapshot —
+    one pin per composed plan; cross-snapshot joins should re-pin. Exotic
+    compositions that leave the DataFrame type (``groupBy(...).agg``,
+    ``df.na``, SQL over a temp view) still return plain frames — bracket
+    those actions with ``snapshot.guard()`` explicitly (the documented
+    escape hatch, exercised by StoreQueries' own internals).
     """
 
     _GUARDED_ACTIONS = (
@@ -1396,6 +1402,44 @@ class GuardedDataFrame(_ConcreteDataFrame):
         "isEmpty",
         "foreach",
         "foreachPartition",
+    )
+
+    # transformations that re-wrap their result so composition keeps the
+    # guard (each is a one-line wrapper over the base method)
+    _GUARDED_TRANSFORMS = (
+        "filter",
+        "where",
+        "select",
+        "selectExpr",
+        "withColumn",
+        "withColumns",
+        "withColumnRenamed",
+        "withColumnsRenamed",
+        "drop",
+        "distinct",
+        "dropDuplicates",
+        "dropna",
+        "fillna",
+        "join",
+        "crossJoin",
+        "union",
+        "unionAll",
+        "unionByName",
+        "exceptAll",
+        "intersect",
+        "intersectAll",
+        "subtract",
+        "limit",
+        "offset",
+        "orderBy",
+        "sort",
+        "sortWithinPartitions",
+        "alias",
+        "repartition",
+        "repartitionByRange",
+        "coalesce",
+        "sample",
+        "hint",
     )
 
     def __init__(self, df: DataFrame, snapshot: "StoreSnapshot"):
@@ -1435,6 +1479,26 @@ def _make_guarded_action(name: str):
     return action
 
 
+def _make_guarded_transform(name: str):
+    base = getattr(_ConcreteDataFrame, name)
+
+    def transform(self, *args, **kwargs):
+        out = base(self, *args, **kwargs)
+        if isinstance(out, DataFrame) and not isinstance(out, GuardedDataFrame):
+            return GuardedDataFrame(out, self._graft_snapshot)
+        return out
+
+    transform.__name__ = name
+    transform.__qualname__ = f"GuardedDataFrame.{name}"
+    transform.__doc__ = (
+        f"``DataFrame.{name}`` returning a guarded frame over the same "
+        f"snapshot, so composed plans keep the rewind detection."
+    )
+    return transform
+
+
 for _name in GuardedDataFrame._GUARDED_ACTIONS:
     setattr(GuardedDataFrame, _name, _make_guarded_action(_name))
+for _name in GuardedDataFrame._GUARDED_TRANSFORMS:
+    setattr(GuardedDataFrame, _name, _make_guarded_transform(_name))
 del _name

@@ -286,6 +286,59 @@ def test_store_queries_naive_read_detects_reorg_rewind(spark, tmp_path):
     assert live_frame.collect()[0]["number"] == 9
 
 
+def test_guarded_frame_transformations_propagate_guard(spark, tmp_path):
+    """Guard propagation through composition (r8 verdict #3/#4): a caller
+    that takes a snapshot frame, composes further (`filter`/`select`/
+    `withColumn`/`join`/`limit`/`orderBy`/...), and THEN acts must still get
+    SnapshotRetractedError after a rewind — transformations re-wrap instead
+    of silently downgrading to plain DataFrames."""
+    from eth_indexer_spark.sinks.store import (
+        GuardedDataFrame,
+        ParquetStore,
+        SnapshotRetractedError,
+    )
+
+    store = ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
+    store.write_blocks(
+        {
+            "block_headers": spark.createDataFrame(
+                [(f"h{n}", f"h{n-1}", n, 100 + n) for n in range(0, 20)],
+                "hash string, parent_hash string, number long, difficulty long",
+            )
+        },
+        block_range=(0, 19),
+    )
+    pinned = q.StoreQueries(store).snapshot()
+    base = pinned.headers_in_range(0, 19)
+
+    composed = (
+        base.filter(F.col("number") >= 5)
+        .select("hash", "number", "difficulty")
+        .withColumn("gas", F.col("difficulty") * 2)
+        .orderBy(F.col("number").desc())
+        .limit(5)
+    )
+    joined = base.select("number").join(
+        composed.select("number", "gas"), "number"
+    )
+    dedup = base.select("difficulty").distinct()
+    for frame in (composed, joined, dedup):
+        assert isinstance(frame, GuardedDataFrame), type(frame)
+    # healthy pin: composed reads pass and compute the right answer
+    assert composed.count() == 5
+    assert joined.count() == 5
+    top = composed.collect()[0]
+    assert top["number"] == 19 and top["gas"] == 2 * 119
+
+    # reorg rewind below the pin: every DERIVED frame's action raises
+    store.retract_blocks(10, 19, tables=("block_headers",))
+    for frame in (composed, joined, dedup):
+        with pytest.raises(SnapshotRetractedError):
+            frame.collect()
+    with pytest.raises(SnapshotRetractedError):
+        composed.where(F.col("gas") > 0).count()  # compose-after-rewind too
+
+
 def test_store_queries_over_logstore_prevents_reorg_rewind_race(spark, tmp_path):
     """The EP3 query surface is backend-agnostic through the StoreBackend
     seam (sinks/backend.py): the SAME StoreQueries code over the MVCC
