@@ -261,9 +261,17 @@ def semantic_dedup(
     expression's practical bound); past that rung, assignment itself wants
     the ANN form (bucketed RHP-LSH / IVF probe, similarity.py) rather than
     a bigger expression tree."""
+    from eth_indexer_spark.operators._persist import persist_bounded
     from eth_indexer_spark.operators.dedup import dedup_clusters
 
     if k is None:
+        # the auto-k count is an EXTRA full action over the upstream
+        # embedding lineage, which kmeans and the pair join re-materialize
+        # again — for derived inputs (x_semantic_dedup's union-of-perturbed)
+        # that recomputes the whole pipeline once more. Persist first, so
+        # count/fit/pairs all share one materialization (the repo-wide
+        # persist_bounded discipline; released when the site is reused).
+        emb = persist_bounded("clustering.semantic_dedup.emb", emb)
         # bounded control-flow read: one count aggregate, O(1) result
         k = derive_k(emb.count(), target_cluster_size, k_max)
     assignments = kmeans(emb, k, id_col, vec_col, max_iter)
