@@ -79,11 +79,59 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _calibration(spark) -> dict:
+    """Fixed host-drift probe (r8 verdict "What's wrong #1"): two constant
+    microbenches with NO engine code under test, measured every round so
+    cross-round BENCH diffs can be normalized for host noise — the r8
+    round's +15% phantom regression on unchanged queries cost a full
+    adjudication cycle that one recorded constant would have settled.
+
+    - ``cpu_sec``: synthetic range scan -> hash aggregate (2e8 rows, fixed
+      partitioning) — pure JVM/codegen/shuffle-machinery throughput.
+    - ``scan_sec``: parquet scan + sum over one fixed target-SF table
+      column — disk/page-cache + parquet decode throughput.
+
+    Each is median of 5 after one unmeasured JIT rep. Interpreting BENCH
+    r(N) vs r(N-1): divide query medians by the calibration ratio before
+    calling a delta a regression."""
+    from pyspark.sql import functions as F
+
+    def med(fn) -> float:
+        fn()  # unmeasured: JIT/codegen warm
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        return round(samples[len(samples) // 2], 4)
+
+    def cpu():
+        (
+            spark.range(0, 200_000_000, 1, CPUS)
+            .select((F.col("id") % 997).alias("k"), (F.col("id") * 31).alias("v"))
+            .groupBy("k")
+            .agg(F.sum("v"))
+            .count()
+        )
+
+    lineitem = os.path.join(SF_DIR, "lineitem.parquet")
+
+    def scan():
+        spark.read.parquet(lineitem).agg(F.sum("l_extendedprice")).collect()
+        spark.catalog.clearCache()
+
+    return {"cpu_sec": med(cpu), "scan_sec": med(scan)}
+
+
 def main() -> None:
     from eth_indexer_spark.session import get_spark
     import __spark_entry__ as entrymod
 
     spark = get_spark("bench", cpus=CPUS)
+    # host-drift calibration FIRST (constant work, no engine code), so the
+    # recorded number reflects the host the queries are about to run on
+    calibration = _calibration(spark)
     registry = entrymod.queries()
     names = [n for n in BENCH_QUERIES if n in registry]
     ungated = [n for n in UNGATED_QUERIES if n in registry]
@@ -152,6 +200,7 @@ def main() -> None:
                 "queries": timings,
                 "ungated": ungated_timings,
                 "bands": bands,
+                "calibration": calibration,
                 "sf": _sf_from_dir(SF_DIR),
                 "cpus": CPUS,
             }
