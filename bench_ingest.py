@@ -217,6 +217,7 @@ def main() -> None:
 
         timed = header_dicts[PRESEED:]
         batch_secs: list[float] = []
+        batch_starts: list[float] = []  # epoch secs: aligns with GC-log stamps
         maintain_secs: list[float] = []
         t0 = time.perf_counter()
         for bi, i in enumerate(range(0, len(timed), BATCH)):
@@ -229,6 +230,7 @@ def main() -> None:
                 and bi % MAINTAIN_EVERY == 0
             ):
                 maintain_secs.append(maintain())
+            batch_starts.append(time.time())
             tb = time.perf_counter()
             ing.process_headers(timed[i : i + BATCH])
             batch_secs.append(time.perf_counter() - tb)
@@ -270,6 +272,7 @@ def main() -> None:
                     "maintain_every": MAINTAIN_EVERY,
                     "maintain_secs": [round(s, 2) for s in maintain_secs],
                     "batch_secs": [round(s, 2) for s in batch_secs],
+                    "batch_starts_epoch": [round(s, 2) for s in batch_starts],
                     "gc_log": GC_LOG or None,
                     "cpus": CPUS,
                 }

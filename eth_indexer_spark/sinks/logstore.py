@@ -958,9 +958,18 @@ class LogStore(StoreBackend):
         """Compact small files (micro-batch residue) into few block-sorted
         files — remove+add in one commit, fully snapshot-safe (the paper's
         OPTIMIZE). Sorting by the block column keeps row-group min/max
-        tight for point reads."""
+        tight for point reads.
+
+        INCREMENTAL by design: only files below the target size are
+        compaction candidates — files a previous optimize already wrote at
+        target size are left alone, so a periodic cadence inside an ingest
+        loop costs O(files written since the last cadence), never O(table).
+        A full-table rewrite every maintenance round would make maintenance
+        itself the O(history) stage the rest of the write path avoids."""
         st = self._state(refresh=True)
-        metas = self._live(st, table)
+        metas = [
+            m for m in self._live(st, table) if m.rows < target_file_rows
+        ]
         if len(metas) <= 1:
             return
         col = BLOCK_COLUMN.get(table)
