@@ -87,7 +87,16 @@ from eth_indexer_spark.sinks.store import (
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _STAGING_DIR = "_staging"
+# monotonic vacuum high-water mark (log-version horizon), published BEFORE
+# any data-file deletion — snapshots pinned at-or-below it re-verify their
+# file set after every action (see LogSnapshot.check)
+_VACUUM_MARKER = "_vacuum_horizon.json"
 CHECKPOINT_EVERY = 10
+# log-read retry cap: FileNotFoundError during a fold is normally a benign
+# race with another process's vacuum (retry converges via the covering
+# checkpoint); past this many re-lists it is an invariant violation and the
+# reader raises a diagnostic instead of spinning forever
+_LOG_READ_RETRIES = 50
 _COMMIT_WIDTH = 20  # zero-padded version in file names → lexicographic order
 
 
@@ -281,8 +290,12 @@ class LogStore(StoreBackend):
         retire a listed commit between the list and the open (log
         retention made log reads non-append-only). Each retry re-lists,
         so it converges — a retired commit is always covered by a
-        surviving checkpoint."""
-        while True:
+        surviving checkpoint. The retry is CAPPED (``_LOG_READ_RETRIES``):
+        if the covering-checkpoint invariant is violated (half-written log
+        dir, manual deletion, a vacuum crashed between commit removal and
+        checkpoint visibility), a loud diagnostic beats an infinite spin."""
+        last_missing: FileNotFoundError | None = None
+        for _ in range(_LOG_READ_RETRIES):
             try:
                 ckpt_v, commits = self._list_log()
                 if ckpt_v is not None:
@@ -296,8 +309,17 @@ class LogStore(StoreBackend):
                     with open(self._log_path(v)) as f:
                         st.apply(json.load(f))
                 return st
-            except FileNotFoundError:
+            except FileNotFoundError as e:
+                last_missing = e
                 continue  # concurrent vacuum raced the fold: re-list, refold
+        raise FileNotFoundError(
+            f"log fold failed {_LOG_READ_RETRIES} times at {self.root!r}: "
+            f"{last_missing.filename!r} is listed but unreadable and no "
+            f"covering checkpoint appeared — the log-retention invariant "
+            f"(every retired commit is folded by a surviving checkpoint) is "
+            f"violated (half-written log dir, manual deletion, or a vacuum "
+            f"that crashed between commit removal and checkpoint publish)"
+        ) from last_missing
 
     def _state(self, refresh: bool = False) -> _State:
         """Current committed state. The in-process cache is advanced by our
@@ -503,12 +525,23 @@ class LogStore(StoreBackend):
     def _read_files(
         self, table: str, metas: list[_FileMeta], st: _State
     ) -> DataFrame:
+        """Scan exactly ``metas``, with the schema served FROM THE LOG
+        (the Delta design: the log's schema is authoritative). The explicit
+        schema skips Spark's footer-inference pass — frame construction is
+        pure driver-side metadata, no job, no file opens — so (a) every
+        cold read saves one footer-merge job over the candidate files and
+        (b) a concurrent vacuum deleting a pinned file surfaces at ACTION
+        time, inside the snapshot guard that translates it to the named
+        SnapshotExpiredError, never as a construction-time Java stack."""
+        sch = st.schemas.get(table)
         if not metas:
-            sch = st.schemas.get(table)
             if sch is None:
                 raise FileNotFoundError(f"unknown table {table!r} (never committed)")
             return self.spark.createDataFrame([], StructType.fromJson(sch))
-        return self.spark.read.parquet(*[self._abs(m.path) for m in metas])
+        reader = self.spark.read
+        if sch is not None:
+            reader = reader.schema(StructType.fromJson(sch))
+        return reader.parquet(*[self._abs(m.path) for m in metas])
 
     def _live(self, st: _State, table: str) -> list[_FileMeta]:
         return list(st.files.get(table, {}).values())
@@ -954,28 +987,49 @@ class LogStore(StoreBackend):
 
     # -- maintenance (log-layout extras, outside the StoreBackend contract) ----
 
-    def optimize(self, table: str, target_file_rows: int = 4_000_000) -> None:
+    def optimize(
+        self,
+        table: str,
+        target_file_rows: int = 4_000_000,
+        max_files: int | None = None,
+    ) -> None:
         """Compact small files (micro-batch residue) into few block-sorted
         files — remove+add in one commit, fully snapshot-safe (the paper's
         OPTIMIZE). Sorting by the block column keeps row-group min/max
         tight for point reads.
 
-        INCREMENTAL by design: only files below the target size are
-        compaction candidates — files a previous optimize already wrote at
-        target size are left alone, so a periodic cadence inside an ingest
-        loop costs O(files written since the last cadence), never O(table).
-        A full-table rewrite every maintenance round would make maintenance
-        itself the O(history) stage the rest of the write path avoids."""
+        INCREMENTAL by design, in two senses. (1) Only files below the
+        target size are compaction candidates, and outputs are bin-packed
+        UP to the target (floor division: output files average at-or-above
+        ``target_file_rows``), so a file one optimize wrote never
+        re-qualifies as the next one's input — a periodic cadence inside an
+        ingest loop costs O(files written since the last cadence), never
+        O(table). (The previous ceil-division packing produced sub-target
+        outputs that re-qualified every round, silently making maintenance
+        O(table) — the exact cost this docstring claims to avoid.)
+        (2) ``max_files`` bounds the candidate set per call (smallest
+        files first, the highest-leverage merges): a cadence enabled LATE
+        on a table with accumulated micro-file residue amortizes the
+        backlog over several calls instead of paying one O(accumulated)
+        spike — the r9 decade trace measured 45.6 s for the first cadence
+        over an unmaintained 20k-block preseed vs 5-11 s steady-state;
+        ``max_files`` caps that first-call envelope at roughly
+        steady-state cost. Idempotence: a second optimize over an
+        already-compacted table is a metadata-only no-op (no commit)."""
         st = self._state(refresh=True)
         metas = [
             m for m in self._live(st, table) if m.rows < target_file_rows
         ]
+        if max_files is not None and len(metas) > max_files:
+            metas = sorted(metas, key=lambda m: m.rows)[:max_files]
         if len(metas) <= 1:
             return
+        total = sum(m.rows for m in metas)
+        nparts = max(1, total // target_file_rows)
+        if len(metas) <= nparts:
+            return  # inputs already at-or-above target density: no-op
         col = BLOCK_COLUMN.get(table)
         df = self._read_files(table, metas, st)
-        total = sum(m.rows for m in metas)
-        nparts = max(1, (total + target_file_rows - 1) // target_file_rows)
         if col is not None:
             df = df.repartitionByRange(nparts, F.col(col)).sortWithinPartitions(col)
         else:
@@ -999,6 +1053,27 @@ class LogStore(StoreBackend):
 
         self._commit(build)
 
+    def _publish_vacuum_horizon(self, horizon: int) -> None:
+        """Best-effort monotonic max over the marker (atomic replace).
+        Two concurrent vacuums can race the read-then-replace and leave the
+        lower horizon; the marker is a defense-in-depth trigger for the
+        snapshot's post-action re-verification, not the source of truth —
+        the truth is always the on-disk file set it prompts a re-check of."""
+        path = os.path.join(self.root, _VACUUM_MARKER)
+        if self._read_vacuum_horizon() >= horizon:
+            return
+        tmp = path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"horizon": horizon}, f)
+        os.replace(tmp, path)
+
+    def _read_vacuum_horizon(self) -> int:
+        try:
+            with open(os.path.join(self.root, _VACUUM_MARKER)) as f:
+                return int(json.load(f).get("horizon", -1))
+        except (FileNotFoundError, json.JSONDecodeError, ValueError):
+            return -1
+
     def _list_checkpoints(self) -> list[int]:
         return sorted(
             int(n.split(".", 1)[0])
@@ -1016,7 +1091,18 @@ class LogStore(StoreBackend):
         older than the horizon may lose files — exactly the paper's VACUUM
         semantics."""
         st = self._state(refresh=True)
-        while True:
+        last_missing: FileNotFoundError | None = None
+        for _attempt in range(_LOG_READ_RETRIES + 1):
+            if _attempt == _LOG_READ_RETRIES:
+                # capped (see _load_state): a violated covering-checkpoint
+                # invariant must fail loudly, not spin forever
+                raise FileNotFoundError(
+                    f"vacuum protection walk failed {_LOG_READ_RETRIES} "
+                    f"times at {self.root!r}: {last_missing.filename!r} is "
+                    f"listed but unreadable with no covering checkpoint — "
+                    f"log-retention invariant violated; refusing to delete "
+                    f"data files from an unreadable log"
+                ) from last_missing
             # the whole protection walk retries on FileNotFoundError: a
             # vacuum in another process can retire a listed log file
             # between the list and the open; re-listing converges because
@@ -1060,8 +1146,18 @@ class LogStore(StoreBackend):
                 for fs in walk.files.values():  # current state always protected
                     protected.update(fs.keys())
                 break
-            except FileNotFoundError:
+            except FileNotFoundError as e:
+                last_missing = e
                 continue
+        # publish the horizon BEFORE deleting anything: a pinned snapshot
+        # racing these deletions must be able to OBSERVE that a vacuum
+        # passed its version — Spark's file listing tolerates concurrently
+        # deleted paths (skips them with a warning), so without this marker
+        # a vacuum landing between a pinned read's existence pre-check and
+        # the listing job yields a silently PARTIAL result, not an error.
+        # LogSnapshot.check() reads the marker post-action and re-verifies
+        # the pinned file set whenever horizon >= its version.
+        self._publish_vacuum_horizon(horizon)
         deleted = 0
         data_root = os.path.join(self.root, _DATA_DIR)
         for table in os.listdir(data_root):
@@ -1097,10 +1193,12 @@ class LogStore(StoreBackend):
 class LogSnapshot:
     """Immutable read view at one log version. Every read answers from the
     PINNED file set; concurrent commits (including reorg retractions) are
-    invisible by construction, so the check/guard/collect surface exists
-    only for cross-backend symmetry — it can never raise. Prevention of
-    the reorg-rewind reader race (the reference's MySQL isolation,
-    store/store.go:115-173), where the ParquetStore detects it.
+    invisible by construction — rewind detection can never fire. Prevention
+    of the reorg-rewind reader race (the reference's MySQL isolation,
+    store/store.go:115-173), where the ParquetStore detects it. The
+    check/guard surface instead enforces the RETENTION contract (see the
+    comment block below): it raises :class:`SnapshotExpiredError`, never
+    the rewind error.
 
     Boundary of the guarantee: isolation holds within the VACUUM RETENTION
     window. A snapshot pinned longer than ``retain_versions`` commits
@@ -1115,16 +1213,79 @@ class LogSnapshot:
         self.version = state.boundary  # parity with StoreSnapshot.version
         self.epoch = state.epoch
 
-    # check/guard/collect: the detection surface, trivially satisfied
+    # check/guard/collect: the detection surface. Rewind detection can
+    # never fire here (the pin is an immutable file set), but the RETENTION
+    # contract can, in two shapes a vacuum racing a pinned action produces:
+    #   (a) LOUD — the job opens a deleted file and fails with a raw
+    #       FileNotFound-class error; guard() translates exactly that case
+    #       (verified against the pin's actual file set, so unrelated read
+    #       failures pass through) into the named SnapshotExpiredError;
+    #   (b) SILENT — Spark's file listing TOLERATES concurrently-deleted
+    #       paths (skips them with a warning), so a vacuum landing between
+    #       the existence pre-check and the listing job yields a partial
+    #       result with no error at all. check() closes this: vacuum
+    #       publishes its horizon BEFORE deleting (_VACUUM_MARKER), and a
+    #       post-action check on a pin at-or-below that horizon re-verifies
+    #       the pinned file set — one small JSON stat in the happy path,
+    #       the os.path.exists sweep only once a vacuum has actually
+    #       passed the pin.
+    # The EP3 surface brackets every action with guard(), so a naive
+    # consumer gets the actionable re-pin error in all failure modes —
+    # never a Java stack, never a silently truncated answer.
     def check(self) -> None:
-        return None
+        if self.store._read_vacuum_horizon() >= self._st.version:
+            missing = self._missing_files()
+            if missing:
+                raise SnapshotExpiredError(
+                    f"snapshot pinned at log version {self._st.version} "
+                    f"lost {len(missing)} file(s) to a vacuum whose horizon "
+                    f"passed the pin (first: {missing[0]!r}) — results read "
+                    "under this condition may be partial; re-pin with "
+                    "store.snapshot() and re-read"
+                )
+
+    def _missing_files(self) -> list[str]:
+        return [
+            m.path
+            for fs in self._st.files.values()
+            for m in fs.values()
+            if not os.path.exists(self.store._abs(m.path))
+        ]
 
     @contextmanager
     def guard(self):
-        yield
+        try:
+            yield
+        except SnapshotExpiredError:
+            raise
+        except Exception as e:
+            text = f"{type(e).__name__} {e}"
+            if any(
+                s in text
+                for s in (
+                    "FileNotFound",
+                    "PATH_NOT_FOUND",
+                    "FILE_NOT_FOUND",
+                    "FILE_NOT_EXIST",
+                )
+            ):
+                missing = self._missing_files()
+                if missing:
+                    raise SnapshotExpiredError(
+                        f"snapshot pinned at log version {self._st.version} "
+                        f"lost {len(missing)} file(s) to vacuum mid-action "
+                        f"(first: {missing[0]!r}) — the pin outlived the "
+                        "vacuum retention window; re-pin with "
+                        "store.snapshot() and re-read"
+                    ) from e
+            raise
+        # the action SUCCEEDED: rule out the silent-partial shape before
+        # handing the result to the caller
+        self.check()
 
     def collect(self, df: DataFrame) -> list:
-        return df.collect()
+        with self.guard():
+            return df.collect()
 
     def snapshot(self) -> "LogSnapshot":
         return self
@@ -1163,7 +1324,11 @@ class LogSnapshot:
                 "vacuum retention window; re-pin with store.snapshot() and "
                 "re-read"
             )
-        return self.store._read_files(table, metas, self._st)
+        # construction is lazy (log-served schema, no footer job), but any
+        # residual driver-side path probe racing a vacuum must surface as
+        # the named error too — same translation as the action bracket
+        with self.guard():
+            return self.store._read_files(table, metas, self._st)
 
     def read_range(
         self, table: str, lo: int | None = None, hi: int | None = None

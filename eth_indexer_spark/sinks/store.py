@@ -71,12 +71,14 @@ repo dependency-free while preserving the partition economics.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.group import GroupedData
 from pyspark.sql import functions as F
 
 from eth_indexer_spark.sinks.backend import StoreBackend
@@ -1382,12 +1384,17 @@ class GuardedDataFrame(_ConcreteDataFrame):
     `limit`/`offset`, `orderBy`/`sort`, `alias`, `repartition`/`coalesce`,
     `sample`, `hint`) RE-WRAP: a caller that composes and then acts keeps
     the detection (closing the silent-downgrade hole the r8 verdict named).
-    A join of two guarded frames is bracketed by the LEFT side's snapshot —
-    one pin per composed plan; cross-snapshot joins should re-pin. Exotic
-    compositions that leave the DataFrame type (``groupBy(...).agg``,
-    ``df.na``, SQL over a temp view) still return plain frames — bracket
-    those actions with ``snapshot.guard()`` explicitly (the documented
-    escape hatch, exercised by StoreQueries' own internals).
+    A join/union of two guarded frames pinned to DIFFERENT snapshots is
+    bracketed by BOTH pins (:class:`_CompositeSnapshotGuard`), so a rewind
+    overlapping EITHER side's read raises — cross-snapshot composition is
+    fully guarded, never silently half-guarded. ``groupBy``/``rollup``/
+    ``cube`` return a :class:`GuardedGroupedData` whose ``agg``/``count``/
+    ``pivot``/``applyInPandas`` re-wrap into guarded frames, closing the
+    last common composition that dropped detection. Exotic compositions
+    that leave the DataFrame type entirely (``df.na``, ``df.stat``, SQL
+    over a temp view) still return plain frames — bracket those actions
+    with ``snapshot.guard()`` explicitly (the documented escape hatch,
+    exercised by StoreQueries' own internals).
     """
 
     _GUARDED_ACTIONS = (
@@ -1479,20 +1486,116 @@ def _make_guarded_action(name: str):
     return action
 
 
+class _CompositeSnapshotGuard:
+    """Guard over SEVERAL snapshots at once — the pin of a plan composed
+    from guarded frames pinned to different snapshots (e.g. a join of two
+    independently-taken snapshots). ``check``/``guard`` fan out to every
+    member, so a rewind overlapping ANY side's read raises — without this,
+    a cross-snapshot join silently kept only the left pin (the r9 ADVICE
+    silent-downgrade finding). Members are deduplicated by identity;
+    nesting flattens, so chained joins stay a flat member list."""
+
+    __slots__ = ("_parts",)
+
+    def __init__(self, *snapshots):
+        parts: list = []
+        seen: set[int] = set()
+        for s in snapshots:
+            members = s._parts if isinstance(s, _CompositeSnapshotGuard) else (s,)
+            for m in members:
+                if id(m) not in seen:
+                    seen.add(id(m))
+                    parts.append(m)
+        self._parts = tuple(parts)
+
+    def check(self) -> None:
+        for s in self._parts:
+            s.check()
+
+    @contextmanager
+    def guard(self):
+        self.check()
+        yield
+        self.check()
+
+
+def _combined_guard(snapshot, args, kwargs):
+    """The guard for a transform's OUTPUT: the receiver's snapshot, plus
+    the snapshot of every GuardedDataFrame argument (join/union other
+    side) pinned elsewhere — one composite pin per composed plan."""
+    others = [
+        a._graft_snapshot
+        for a in (*args, *kwargs.values())
+        if isinstance(a, GuardedDataFrame) and a._graft_snapshot is not snapshot
+    ]
+    if not others:
+        return snapshot
+    return _CompositeSnapshotGuard(snapshot, *others)
+
+
+class GuardedGroupedData:
+    """``GroupedData`` over a guarded frame: every method whose result is a
+    DataFrame (``agg``/``count``/``min``/``max``/``sum``/``avg``/``mean``/
+    ``applyInPandas``/``applyInArrow``/…) re-wraps into a
+    :class:`GuardedDataFrame` over the same snapshot, and ``pivot`` stays
+    guarded-grouped — ``snapshot().read(...).groupBy(...).agg(...)`` keeps
+    the rewind detection end-to-end (previously the one common composition
+    that silently returned a plain frame)."""
+
+    def __init__(self, grouped, snapshot):
+        self._graft_grouped = grouped
+        self._graft_snapshot = snapshot
+
+    def __getattr__(self, name):
+        attr = getattr(self._graft_grouped, name)
+        if not callable(attr):
+            return attr
+        snapshot = self._graft_snapshot
+
+        @functools.wraps(attr)
+        def method(*args, **kwargs):
+            out = attr(*args, **kwargs)
+            if isinstance(out, DataFrame) and not isinstance(out, GuardedDataFrame):
+                return GuardedDataFrame(out, snapshot)
+            if isinstance(out, GroupedData):
+                return GuardedGroupedData(out, snapshot)
+            return out
+
+        return method
+
+
+def _make_guarded_grouping(name: str):
+    base = getattr(_ConcreteDataFrame, name)
+
+    def grouping(self, *args, **kwargs):
+        return GuardedGroupedData(base(self, *args, **kwargs), self._graft_snapshot)
+
+    grouping.__name__ = name
+    grouping.__qualname__ = f"GuardedDataFrame.{name}"
+    grouping.__doc__ = (
+        f"``DataFrame.{name}`` returning :class:`GuardedGroupedData`, so "
+        f"``.{name}(...).agg(...)`` keeps the rewind detection."
+    )
+    return grouping
+
+
 def _make_guarded_transform(name: str):
     base = getattr(_ConcreteDataFrame, name)
 
     def transform(self, *args, **kwargs):
         out = base(self, *args, **kwargs)
         if isinstance(out, DataFrame) and not isinstance(out, GuardedDataFrame):
-            return GuardedDataFrame(out, self._graft_snapshot)
+            return GuardedDataFrame(
+                out, _combined_guard(self._graft_snapshot, args, kwargs)
+            )
         return out
 
     transform.__name__ = name
     transform.__qualname__ = f"GuardedDataFrame.{name}"
     transform.__doc__ = (
-        f"``DataFrame.{name}`` returning a guarded frame over the same "
-        f"snapshot, so composed plans keep the rewind detection."
+        f"``DataFrame.{name}`` returning a guarded frame pinned to the "
+        f"receiver's snapshot plus any differently-pinned guarded-frame "
+        f"argument's, so composed plans keep full rewind detection."
     )
     return transform
 
@@ -1501,4 +1604,6 @@ for _name in GuardedDataFrame._GUARDED_ACTIONS:
     setattr(GuardedDataFrame, _name, _make_guarded_action(_name))
 for _name in GuardedDataFrame._GUARDED_TRANSFORMS:
     setattr(GuardedDataFrame, _name, _make_guarded_transform(_name))
+for _name in ("groupBy", "groupby", "rollup", "cube"):
+    setattr(GuardedDataFrame, _name, _make_guarded_grouping(_name))
 del _name

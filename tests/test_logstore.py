@@ -867,3 +867,244 @@ def test_stale_cache_refolds_when_all_commits_retired(spark, tmp_path):
     assert stale.read_version() == 119
     assert stale.max_block("block_headers") == 119
     assert _numbers(stale) == list(range(100, 120))
+
+
+def test_second_optimize_is_noop(spark, lstore):
+    """r9 ADVICE (medium): ceil-division packing wrote sub-target output
+    files that RE-QUALIFIED as candidates, so every maintenance cadence
+    re-read and rewrote the whole sub-target bulk — O(table) per round.
+    Floor-division bin-packing makes outputs at-or-above target: a file one
+    optimize wrote never re-enters the next one's candidate set, so the
+    second optimize right after a compaction commits NOTHING."""
+    for base in range(100, 160, 10):
+        lstore.write_blocks(
+            {"block_headers": headers_df(spark, range(base, base + 10))},
+            block_range=(base, base + 9),
+        )
+    lstore.optimize("block_headers", target_file_rows=25)
+    st1 = lstore._state(refresh=True)
+    files1 = dict(st1.files["block_headers"])
+    # 60 rows at target 25 -> floor(60/25)=2 output files of ~30 rows,
+    # each at-or-above target: neither is a candidate again
+    assert len(files1) == 2
+    lstore.optimize("block_headers", target_file_rows=25)
+    st2 = lstore._state(refresh=True)
+    assert st2.version == st1.version, "second optimize must not commit"
+    assert dict(st2.files["block_headers"]) == files1
+    assert _numbers(lstore) == list(range(100, 160))
+
+
+def test_optimize_max_files_bounds_backlog_and_converges(spark, lstore):
+    """`max_files` (r9 verdict #4): a cadence enabled LATE on accumulated
+    micro-file residue amortizes the backlog over several bounded calls
+    instead of one O(accumulated) spike — and repeated capped calls still
+    converge to the steady compacted shape with no data loss."""
+    for base in range(100, 180, 10):
+        lstore.write_blocks(
+            {"block_headers": headers_df(spark, range(base, base + 10))},
+            block_range=(base, base + 9),
+        )
+    st = lstore._state(refresh=True)
+    assert len(st.files["block_headers"]) == 8
+    # each capped call reads at most 3 files -> bounded cadence cost
+    lstore.optimize("block_headers", target_file_rows=1000, max_files=3)
+    n1 = len(lstore._state(refresh=True).files["block_headers"])
+    assert n1 == 6  # 3 merged into 1
+    # repeated capped cadences converge to a single file
+    for _ in range(6):
+        lstore.optimize("block_headers", target_file_rows=1000, max_files=3)
+    assert len(lstore._state(refresh=True).files["block_headers"]) == 1
+    assert _numbers(lstore) == list(range(100, 180))
+
+
+def test_log_fold_invariant_violation_raises_loud(spark, tmp_path):
+    """r9 ADVICE (low): the FileNotFoundError retry in _load_state relies
+    on the covering-checkpoint invariant; when the invariant is VIOLATED
+    (a listed commit that never becomes readable and no checkpoint
+    appears), the fold must raise a diagnostic naming the missing file
+    instead of spinning forever."""
+    root = str(tmp_path / "log")
+    store = LogStore(spark, root)
+    store.write_blocks(
+        {"block_headers": headers_df(spark, [100])}, block_range=(100, 100)
+    )
+    # simulate the violated invariant: the listing forever names a commit
+    # whose file does not exist and no checkpoint covers it
+    store._list_log = lambda: (None, [999])
+    with pytest.raises(FileNotFoundError, match="invariant"):
+        store._load_state()
+
+
+_VACUUM_CHILD = r"""
+import os, sys, time
+sys.path.insert(0, os.environ["VAC_REPO"])
+from eth_indexer_spark.session import get_spark
+from eth_indexer_spark.sinks.logstore import LogStore
+from tests.test_sink import headers_df
+
+spark = get_spark("vac-child", cpus=2)
+store = LogStore(spark, os.environ["VAC_ROOT"])
+ready, go = os.environ["VAC_READY"], os.environ["VAC_GO"]
+open(ready, "w").write("ready")
+for _ in range(600):
+    if os.path.exists(go):
+        break
+    time.sleep(0.1)
+else:
+    raise SystemExit("parent never signalled go")
+for i in range(int(os.environ["VAC_BATCHES"])):
+    n = 2000 + i
+    store.write_blocks(
+        {"block_headers": headers_df(spark, [n])}, block_range=(n, n)
+    )
+    if i % 5 == 4:
+        # rewrite files so later vacuums have something to DELETE (adds
+        # alone never orphan a pinned snapshot's file set)
+        store.optimize("block_headers", target_file_rows=1000)
+    store.vacuum(retain_versions=0)  # maximum log churn: retire eagerly
+spark.stop()
+print("VAC-CHILD-OK")
+"""
+
+
+@pytest.mark.local_cluster
+def test_two_os_process_vacuum_vs_reader_race(spark, tmp_path):
+    """Cross-OS-process vacuum-vs-reader race (r9 verdict 'Next round #5'):
+    the FileNotFoundError retry paths (_load_state, _state incremental fold,
+    vacuum's protection walk) were only ever raced in-process. Here a child
+    process (own Spark JVM) loops write -> optimize -> vacuum(retain 0) —
+    maximum log churn, commits retired into checkpoints while files are
+    rewritten and deleted — while THIS process repeatedly cold-folds the log
+    (fresh LogStore per iteration) and reads through pinned snapshots.
+    Asserts: no reader ever crashes with anything but the NAMED expiry
+    error (including the sub-second window where vacuum lands between the
+    driver-side existence check and the job's file opens — guard()
+    translates the raw Spark FileNotFound), observed versions are
+    monotone, expired pins recover by re-pinning, and the final state
+    converges in both processes."""
+    import subprocess
+    import sys as _sys
+    import time
+
+    if _sys.platform != "linux" or not os.environ.get("JAVA_HOME"):
+        pytest.skip("needs Linux + JAVA_HOME (second Spark JVM)")
+    from eth_indexer_spark.sinks.logstore import SnapshotExpiredError
+
+    root = str(tmp_path / "shared")
+    batches = 20
+    store = LogStore(spark, root)
+    store.write_blocks(
+        {"block_headers": headers_df(spark, range(100, 110))},
+        block_range=(100, 109),
+    )
+    script = tmp_path / "vac_child.py"
+    script.write_text(_VACUUM_CHILD)
+    ready, go = str(tmp_path / "ready"), str(tmp_path / "go")
+    env = dict(
+        os.environ,
+        VAC_REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        VAC_ROOT=root,
+        VAC_READY=ready,
+        VAC_GO=go,
+        VAC_BATCHES=str(batches),
+        MASTER="local[2]",
+    )
+    proc = subprocess.Popen(
+        [_sys.executable, str(script)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=env,
+    )
+    versions, expired, folds = [], 0, 0
+    try:
+        for _ in range(1200):
+            if os.path.exists(ready) or proc.poll() is not None:
+                break
+            time.sleep(0.1)
+        assert proc.poll() is None, proc.communicate()[1][-3000:]
+        open(go, "w").write("go")
+
+        from eth_indexer_spark.plans import queries as q
+
+        pinned = q.StoreQueries(store).snapshot()
+        while proc.poll() is None:
+            # cold fold: a fresh instance lists the log and replays it —
+            # the exact read that races the child's log retirement
+            fresh = LogStore(spark, root)
+            v = fresh.read_version()
+            assert v is not None and v >= 109
+            versions.append(v)
+            folds += 1
+            # a pinned EP3 read across the churn: either serves its
+            # immutable view or raises the NAMED expiry (never a raw
+            # Spark FileNotFound — guard() translates the mid-job window
+            # too), recovered by re-pinning
+            try:
+                assert pinned.headers_in_range(100, 5000).count() >= 10
+            except SnapshotExpiredError:
+                expired += 1
+                pinned = q.StoreQueries(fresh).snapshot()
+            # incremental refold on a warm instance races retirement too
+            store._state(refresh=True)
+        out, err = proc.communicate(timeout=600)
+        assert proc.returncode == 0, err[-3000:]
+        assert "VAC-CHILD-OK" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    assert folds >= 5, "race never overlapped the child's loop"
+    assert versions == sorted(versions), "a cold fold observed a version rewind"
+    expected = list(range(100, 110)) + list(range(2000, 2000 + batches))
+    assert _numbers(store) == expected
+    fresh = LogStore(spark, root)
+    assert _numbers(fresh) == expected
+    # the log dir stayed O(retention + tail), not O(history): vacuum's
+    # retirement actually ran under the race
+    assert len(_commit_versions(store)) <= 15
+
+
+def test_vacuum_horizon_marker_gates_post_action_verification(spark, lstore):
+    """The silent-partial defense (vacuum-vs-reader race): Spark's file
+    listing skips concurrently-deleted paths with only a warning, so a
+    vacuum racing a pinned scan can truncate results with no error. Vacuum
+    therefore publishes its horizon BEFORE deleting; a snapshot's check()
+    sweeps its pinned file set iff the horizon reached its version —
+    cheap JSON stat in the happy path, loud named error when files are
+    actually gone."""
+    from eth_indexer_spark.sinks.logstore import SnapshotExpiredError
+
+    lstore.write_blocks(
+        {"block_headers": headers_df(spark, range(100, 110))},
+        block_range=(100, 109),
+    )
+    snap = lstore.snapshot()
+    v = snap._st.version
+    snap.check()  # no marker yet: nothing to verify
+
+    # a vacuum horizon BELOW the pin never triggers the sweep (no vacuum
+    # has passed this pin, so its files are contractually protected)
+    lstore._publish_vacuum_horizon(v - 1)
+    snap.check()
+
+    # horizon AT the pin with all files present: still clean
+    lstore._publish_vacuum_horizon(v)
+    snap.check()
+
+    # the marker is monotonic: a racing lower publish cannot regress it
+    lstore._publish_vacuum_horizon(v - 5)
+    assert lstore._read_vacuum_horizon() == v
+
+    # now the failure shape: a pinned file is gone AND the horizon reached
+    # the pin -> post-action verification raises the NAMED error
+    meta = next(iter(snap._st.files["block_headers"].values()))
+    os.remove(lstore._abs(meta.path))
+    with pytest.raises(SnapshotExpiredError, match="horizon passed the pin"):
+        snap.check()
+    # the guard's post-body check carries the same detection, so even an
+    # action that silently skipped the deleted file raises before the
+    # caller sees a truncated result
+    with pytest.raises(SnapshotExpiredError):
+        with snap.guard():
+            pass  # stand-in for an action whose listing skipped the file

@@ -388,3 +388,108 @@ def test_store_queries_over_logstore_prevents_reorg_rewind_race(spark, tmp_path)
     fresh = q.StoreQueries(store).snapshot()
     assert fresh.latest_header().collect()[0]["number"] == 15
     assert fresh.header_by_number(18).count() == 0
+
+
+def test_guarded_groupby_agg_raises_on_rewind(spark, tmp_path):
+    """r9 verdict #3: `groupBy(...).agg(...)` was the last COMMON
+    composition that silently dropped the guard (GroupedData leaves the
+    DataFrame type). GuardedGroupedData closes it: aggregates, counts and
+    pivots derived from a pinned frame raise SnapshotRetractedError when a
+    reorg rewind lands under the pin."""
+    from eth_indexer_spark.sinks.store import (
+        GuardedDataFrame,
+        GuardedGroupedData,
+        ParquetStore,
+        SnapshotRetractedError,
+    )
+
+    store = ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
+    store.write_blocks(
+        {
+            "block_headers": spark.createDataFrame(
+                [(f"h{n}", f"h{n-1}", n, 100 + n) for n in range(0, 20)],
+                "hash string, parent_hash string, number long, difficulty long",
+            )
+        },
+        block_range=(0, 19),
+    )
+    pinned = q.StoreQueries(store).snapshot()
+    base = pinned.headers_in_range(0, 19)
+
+    grouped = base.withColumn("bucket", F.col("number") % 2).groupBy("bucket")
+    assert isinstance(grouped, GuardedGroupedData)
+    agged = grouped.agg(F.sum("difficulty").alias("d"))
+    counted = base.groupBy((F.col("number") % 3).alias("m")).count()
+    rolled = base.rollup("number").agg(F.max("difficulty").alias("d"))
+    pivoted = (
+        base.withColumn("par", F.col("number") % 2)
+        .groupBy("par")
+        .pivot("par", [0, 1])
+        .agg(F.count(F.lit(1)))
+    )
+    for frame in (agged, counted, rolled, pivoted):
+        assert isinstance(frame, GuardedDataFrame), type(frame)
+    # healthy pin: the grouped plans compute the right answers
+    assert {r["bucket"]: r["d"] for r in agged.collect()} == {
+        0: sum(100 + n for n in range(0, 20, 2)),
+        1: sum(100 + n for n in range(1, 20, 2)),
+    }
+    assert counted.count() == 3
+    assert rolled.count() == 21  # 20 groups + grand total
+
+    # reorg rewind below the pin: every grouped derivation raises
+    store.retract_blocks(10, 19, tables=("block_headers",))
+    for frame in (agged, counted, rolled, pivoted):
+        with pytest.raises(SnapshotRetractedError):
+            frame.collect()
+    # compose-after-rewind through the grouped seam raises too
+    with pytest.raises(SnapshotRetractedError):
+        base.groupBy("number").agg(F.count("*").alias("c")).count()
+
+
+def test_cross_snapshot_join_guards_both_pins(spark, tmp_path):
+    """r9 ADVICE (low): a join/union of frames pinned to DIFFERENT
+    snapshots used to keep only the LEFT guard — a rewind invalidating the
+    right pin passed silently. The composite guard brackets actions with
+    BOTH pins, so a rewind on EITHER store raises."""
+    from eth_indexer_spark.sinks.store import (
+        GuardedDataFrame,
+        ParquetStore,
+        SnapshotRetractedError,
+    )
+
+    def mkstore(name, n):
+        st = ParquetStore(spark, str(tmp_path / name), bucket_size=10)
+        st.write_blocks(
+            {
+                "block_headers": spark.createDataFrame(
+                    [(f"{name}{i}", f"{name}{i-1}", i, 100 + i) for i in range(n)],
+                    "hash string, parent_hash string, number long, difficulty long",
+                )
+            },
+            block_range=(0, n - 1),
+        )
+        return st
+
+    left_store, right_store = mkstore("l", 20), mkstore("r", 20)
+    left = q.StoreQueries(left_store).snapshot().headers_in_range(0, 19)
+    right = q.StoreQueries(right_store).snapshot().headers_in_range(0, 19)
+
+    joined = left.select("number", "difficulty").join(
+        right.select("number", F.col("hash").alias("rhash")), "number"
+    )
+    unioned = left.select("number").union(right.select("number"))
+    assert isinstance(joined, GuardedDataFrame)
+    assert joined.count() == 20 and unioned.count() == 40  # both pins healthy
+
+    # rewind the RIGHT store only: the left pin is untouched, so the old
+    # left-guard-only behavior would return silently — both must raise
+    right_store.retract_blocks(10, 19, tables=("block_headers",))
+    left.collect()  # left pin alone is still healthy
+    with pytest.raises(SnapshotRetractedError):
+        joined.collect()
+    with pytest.raises(SnapshotRetractedError):
+        unioned.count()
+    # further composition off the cross-pinned frame keeps BOTH pins
+    with pytest.raises(SnapshotRetractedError):
+        joined.filter(F.col("number") > 0).count()
