@@ -141,7 +141,10 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=CPUS)
     # host-drift calibration FIRST (constant work, no engine code), so the
-    # recorded number reflects the host the queries are about to run on
+    # recorded number reflects the host the queries are about to run on —
+    # and AGAIN after the query loop (see below): host state can flip on
+    # tens-of-minutes timescales (measured in r9), so a single start-of-run
+    # probe can misrepresent the window the queries actually ran in
     calibration = _calibration(spark)
     registry = entrymod.queries()
     names = [n for n in BENCH_QUERIES if n in registry]
@@ -202,6 +205,11 @@ def main() -> None:
         ungated_timings[name] = round(med, 4)
         bands[name] = [round(band[0], 4), round(band[1], 4)]
     total = round(sum(timings.values()), 4)
+    # post-run calibration: brackets the measurement window, so a host that
+    # drifted mid-run is visible as pre/post disagreement instead of
+    # silently mis-normalizing every query (scripts/compare_bench.py treats
+    # both as hypotheses)
+    calibration_post = _calibration(spark)
     print(
         json.dumps(
             {
@@ -212,6 +220,7 @@ def main() -> None:
                 "ungated": ungated_timings,
                 "bands": bands,
                 "calibration": calibration,
+                "calibration_post": calibration_post,
                 "sf": _sf_from_dir(SF_DIR),
                 "cpus": CPUS,
             }

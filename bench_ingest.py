@@ -78,7 +78,9 @@ _ap.add_argument(
     "correlate major-GC timestamps against the batch_secs trace to "
     "attribute the bounded within-session transients (r8 open item)",
 )
-_args = _ap.parse_args()
+# parse the REAL argv only when run as a script: importers (ab_ingest_order,
+# bench_store_queries reuse build_chain) have their own argv and flags
+_args = _ap.parse_args() if __name__ == "__main__" else _ap.parse_args([])
 
 N_BLOCKS = _args.n_blocks
 BATCH = _args.batch

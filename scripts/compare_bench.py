@@ -41,19 +41,24 @@ def _load(path: str) -> dict:
     return d
 
 
-def _ratio(new: dict, old: dict, key: str) -> float | None:
-    a, b = (new.get("calibration") or {}).get(key), (
-        old.get("calibration") or {}
-    ).get(key)
-    if not a or not b:  # missing or null probe: no normalization available
-        return None
-    return a / b
+def _ratios(new: dict, old: dict) -> dict[str, float]:
+    """Host-speed hypotheses from every calibration record both sides
+    carry. Since bench.py brackets the run (pre AND post probes — host
+    state can flip mid-run), each (record, probe) pair that exists on both
+    sides contributes one hypothesis; a drifting host widens the hypothesis
+    set instead of silently mis-normalizing."""
+    out: dict[str, float] = {}
+    for rec, suffix in (("calibration", ""), ("calibration_post", "_post")):
+        cal_new, cal_old = new.get(rec) or {}, old.get(rec) or {}
+        for key, label in (("cpu_sec", "cpu"), ("scan_sec", "scan")):
+            a, b = cal_new.get(key), cal_old.get(key)
+            if a and b:  # missing/null probe: no hypothesis from this pair
+                out[label + suffix] = a / b
+    return out
 
 
 def compare(old: dict, new: dict, threshold: float) -> dict:
-    r_cpu = _ratio(new, old, "cpu_sec")
-    r_scan = _ratio(new, old, "scan_sec")
-    ratios = {k: v for k, v in {"cpu": r_cpu, "scan": r_scan}.items() if v}
+    ratios = _ratios(new, old)
     qold, qnew = old.get("queries", {}), new.get("queries", {})
     rows, verdicts = [], {"REGRESSION": 0, "IMPROVED": 0, "FLAT": 0, "HOST": 0}
     for name in sorted(set(qold) & set(qnew)):
@@ -61,9 +66,32 @@ def compare(old: dict, new: dict, threshold: float) -> dict:
         if not o or not n:
             continue
         raw = n / o
-        normed = {probe: raw / r for probe, r in ratios.items()} or {"raw": raw}
+        # the hypothesis set always includes RAW: many gated queries at
+        # small SF are dominated by fixed per-job scheduling overhead that
+        # does NOT scale with host throughput, so dividing a 0.3 s median
+        # by the calibration ratio OVER-corrects when the host got faster
+        # (observed r10-vs-r9: a faster host turned unchanged queries into
+        # phantom normalized regressions). A query is only called a
+        # regression if it is slower under EVERY hypothesis — including
+        # "the calibration doesn't transfer to this query at all".
+        normed = {"raw": raw, **{p: raw / r for p, r in ratios.items()}}
         lo, hi = min(normed.values()), max(normed.values())
-        if lo > 1 + threshold:
+        # per-query min/max bands (3 reps) recorded since r7: overlapping
+        # bands mean the two medians are draws from indistinguishable
+        # distributions — no verdict stronger than FLAT is supportable,
+        # whatever the median ratio says (e.g. q3 r8/r9/r10 medians wander
+        # 1.15-1.41 inside a stable [0.9, 1.8] band)
+        b_old = (old.get("bands") or {}).get(name)
+        b_new = (new.get("bands") or {}).get(name)
+        bands_overlap = (
+            b_old is not None
+            and b_new is not None
+            and b_old[0] <= b_new[1]
+            and b_new[0] <= b_old[1]
+        )
+        if bands_overlap:
+            verdict = "FLAT"
+        elif lo > 1 + threshold:
             verdict = "REGRESSION"  # slower under EVERY host hypothesis
         elif hi < 1 - threshold:
             verdict = "IMPROVED"  # faster under every host hypothesis

@@ -101,3 +101,50 @@ def test_cli_unwraps_driver_artifact_shape(tmp_path):
     assert proc.returncode == 0, proc.stderr
     rep = json.loads(proc.stdout)
     assert rep["rows"][0]["verdict"] == "FLAT"
+
+
+def test_mid_run_drift_widens_hypotheses():
+    """The r9 paradox shape: a run whose host flipped mid-run (clean pre
+    probe, degraded post probe — or vice versa). With the run bracketed by
+    TWO calibrations, a query movement explained by EITHER window's ratio
+    must adjudicate as HOST, not REGRESSION."""
+    old = {
+        "value": 0.30,
+        "queries": {"q": 0.30},
+        "calibration": {"cpu_sec": 0.5, "scan_sec": 0.3},
+        "calibration_post": {"cpu_sec": 0.5, "scan_sec": 0.3},
+    }
+    new = {
+        "value": 0.60,
+        "queries": {"q": 0.60},
+        # pre probe caught a clean window (ratio 1.0 -> looks like a raw 2x
+        # regression), but the post probe shows the degraded window the
+        # queries actually ran in (ratio 2.0 -> fully explained)
+        "calibration": {"cpu_sec": 0.5, "scan_sec": 0.3},
+        "calibration_post": {"cpu_sec": 1.0, "scan_sec": 0.6},
+    }
+    rep = cb.compare(old, new, threshold=0.15)
+    assert set(rep["calibration_ratio"]) == {"cpu", "scan", "cpu_post", "scan_post"}
+    assert rep["rows"][0]["verdict"] == "HOST"
+
+
+def test_overlapping_bands_cap_verdict_at_flat():
+    """Per-query min/max bands: when the two runs' rep ranges overlap, the
+    median movement is not distinguishable from intra-run variance — no
+    REGRESSION/IMPROVED verdict is supportable. Disjoint bands still
+    adjudicate normally."""
+    old = {
+        "value": 2.0,
+        "queries": {"wander": 1.15, "real": 0.40},
+        "bands": {"wander": [0.98, 1.63], "real": [0.39, 0.41]},
+        "calibration": {"cpu_sec": 0.5, "scan_sec": 0.3},
+    }
+    new = {
+        "value": 2.6,
+        "queries": {"wander": 1.41, "real": 1.20},
+        "bands": {"wander": [0.97, 1.76], "real": [1.18, 1.25]},
+        "calibration": {"cpu_sec": 0.5, "scan_sec": 0.3},
+    }
+    rep = cb.compare(old, new, threshold=0.15)
+    verdicts = {r["query"]: r["verdict"] for r in rep["rows"]}
+    assert verdicts == {"wander": "FLAT", "real": "REGRESSION"}
