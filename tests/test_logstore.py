@@ -1108,3 +1108,30 @@ def test_vacuum_horizon_marker_gates_post_action_verification(spark, lstore):
     with pytest.raises(SnapshotExpiredError):
         with snap.guard():
             pass  # stand-in for an action whose listing skipped the file
+
+
+def test_read_construction_runs_zero_spark_jobs(spark, lstore):
+    """The log-served-schema economics (Delta design): the commit log is
+    the schema authority, so building a read DataFrame must run ZERO Spark
+    jobs — no footer-inference pass over candidate files. At 100 TB a
+    footer-merge job per cold read is a real per-query tax (and its
+    eager file opens were how vacuum races surfaced as construction-time
+    Java stacks); the scan itself should be the first job."""
+    for base in (100, 200, 300):
+        lstore.write_blocks(
+            {"block_headers": headers_df(spark, range(base, base + 20))},
+            block_range=(base, base + 19),
+        )
+    sc = spark.sparkContext
+    sc.setJobGroup("graft-construct-probe", "read construction must be lazy")
+    try:
+        df = lstore.read_range("block_headers", lo=205, hi=210)
+        snap_df = lstore.snapshot().read("block_headers")
+        jobs = sc.statusTracker().getJobIdsForGroup("graft-construct-probe")
+        assert list(jobs) == [], f"construction ran Spark jobs: {list(jobs)}"
+    finally:
+        sc.setJobGroup(None, None)
+    # the frames are real: schema comes from the log, rows from the scan
+    assert df.columns == ["hash", "parent_hash", "number", "difficulty"]
+    assert df.count() == 6
+    assert snap_df.count() == 60
