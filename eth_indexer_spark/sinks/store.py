@@ -1389,12 +1389,13 @@ class GuardedDataFrame(_ConcreteDataFrame):
     overlapping EITHER side's read raises — cross-snapshot composition is
     fully guarded, never silently half-guarded. ``groupBy``/``rollup``/
     ``cube`` return a :class:`GuardedGroupedData` whose ``agg``/``count``/
-    ``pivot``/``applyInPandas`` re-wrap into guarded frames, closing the
-    last common composition that dropped detection. Exotic compositions
-    that leave the DataFrame type entirely (``df.na``, ``df.stat``, SQL
-    over a temp view) still return plain frames — bracket those actions
-    with ``snapshot.guard()`` explicitly (the documented escape hatch,
-    exercised by StoreQueries' own internals).
+    ``pivot``/``applyInPandas`` re-wrap into guarded frames, and the
+    ``df.na``/``df.stat`` namespaces proxy the same way — every
+    intermediate that leaves the DataFrame type re-enters guarded. The one
+    remaining escape hatch is SQL over a temp view (the registration
+    erases the Python wrapper): bracket those actions with
+    ``snapshot.guard()`` explicitly (documented, exercised by
+    StoreQueries' own internals).
     """
 
     _GUARDED_ACTIONS = (
@@ -1452,6 +1453,22 @@ class GuardedDataFrame(_ConcreteDataFrame):
     def __init__(self, df: DataFrame, snapshot: "StoreSnapshot"):
         super().__init__(df._jdf, df.sparkSession)
         self._graft_snapshot = snapshot
+
+    @property
+    def na(self):
+        """``df.na`` with the guard preserved: fill/drop/replace re-wrap."""
+        return _GuardedDelegate(
+            _ConcreteDataFrame.na.fget(self), self._graft_snapshot
+        )
+
+    @property
+    def stat(self):
+        """``df.stat`` with the guard preserved: crosstab/freqItems/
+        sampleBy re-wrap; scalar results (corr/cov) pass through — bracket
+        those with ``snapshot.guard()`` if the action-level check matters."""
+        return _GuardedDelegate(
+            _ConcreteDataFrame.stat.fget(self), self._graft_snapshot
+        )
 
     def toLocalIterator(self, prefetchPartitions: bool = False):
         """Iterator form: checked at creation and again at EXHAUSTION (a
@@ -1533,21 +1550,21 @@ def _combined_guard(snapshot, args, kwargs):
     return _CompositeSnapshotGuard(snapshot, *others)
 
 
-class GuardedGroupedData:
-    """``GroupedData`` over a guarded frame: every method whose result is a
-    DataFrame (``agg``/``count``/``min``/``max``/``sum``/``avg``/``mean``/
-    ``applyInPandas``/``applyInArrow``/…) re-wraps into a
-    :class:`GuardedDataFrame` over the same snapshot, and ``pivot`` stays
-    guarded-grouped — ``snapshot().read(...).groupBy(...).agg(...)`` keeps
-    the rewind detection end-to-end (previously the one common composition
-    that silently returned a plain frame)."""
+class _GuardedDelegate:
+    """Generic guard-preserving proxy for the intermediate namespace
+    objects a DataFrame hands out (``GroupedData``, ``df.na``, ``df.stat``):
+    every method whose result is a DataFrame re-wraps into a
+    :class:`GuardedDataFrame` over the same snapshot; results that are
+    themselves intermediates (``pivot`` → GroupedData) stay proxied;
+    scalars (``stat.corr``) pass through. One proxy class closes every
+    leaves-the-DataFrame-type seam with the same three lines."""
 
-    def __init__(self, grouped, snapshot):
-        self._graft_grouped = grouped
+    def __init__(self, inner, snapshot):
+        self._graft_inner = inner
         self._graft_snapshot = snapshot
 
     def __getattr__(self, name):
-        attr = getattr(self._graft_grouped, name)
+        attr = getattr(self._graft_inner, name)
         if not callable(attr):
             return attr
         snapshot = self._graft_snapshot
@@ -1562,6 +1579,15 @@ class GuardedGroupedData:
             return out
 
         return method
+
+
+class GuardedGroupedData(_GuardedDelegate):
+    """``GroupedData`` over a guarded frame: ``agg``/``count``/``min``/
+    ``max``/``sum``/``avg``/``mean``/``applyInPandas``/``applyInArrow``/…
+    re-wrap into guarded frames and ``pivot`` stays guarded-grouped —
+    ``snapshot().read(...).groupBy(...).agg(...)`` keeps the rewind
+    detection end-to-end (previously the one common composition that
+    silently returned a plain frame)."""
 
 
 def _make_guarded_grouping(name: str):

@@ -493,3 +493,44 @@ def test_cross_snapshot_join_guards_both_pins(spark, tmp_path):
     # further composition off the cross-pinned frame keeps BOTH pins
     with pytest.raises(SnapshotRetractedError):
         joined.filter(F.col("number") > 0).count()
+
+
+def test_guarded_na_and_stat_namespaces_propagate_guard(spark, tmp_path):
+    """The df.na / df.stat namespaces were the last intermediates that left
+    the DataFrame type unguarded: fill/drop/replace/crosstab now re-enter
+    guarded frames, so the only remaining escape hatch is SQL over a temp
+    view (documented)."""
+    from eth_indexer_spark.sinks.store import (
+        GuardedDataFrame,
+        ParquetStore,
+        SnapshotRetractedError,
+    )
+
+    store = ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
+    store.write_blocks(
+        {
+            "block_headers": spark.createDataFrame(
+                [(f"h{n}", f"h{n-1}", n, 100 + n) for n in range(0, 20)],
+                "hash string, parent_hash string, number long, difficulty long",
+            )
+        },
+        block_range=(0, 19),
+    )
+    base = q.StoreQueries(store).snapshot().headers_in_range(0, 19)
+
+    filled = base.na.fill({"difficulty": 0})
+    dropped = base.na.drop()
+    crossed = base.withColumn("par", F.col("number") % 2).stat.crosstab(
+        "par", "par"
+    )
+    for frame in (filled, dropped, crossed):
+        assert isinstance(frame, GuardedDataFrame), type(frame)
+    assert filled.count() == 20 and dropped.count() == 20
+    assert crossed.count() == 2
+    # scalar stat results pass through (no frame to guard)
+    assert isinstance(base.stat.corr("number", "difficulty"), float)
+
+    store.retract_blocks(10, 19, tables=("block_headers",))
+    for frame in (filled, dropped, crossed):
+        with pytest.raises(SnapshotRetractedError):
+            frame.collect()
