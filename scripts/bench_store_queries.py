@@ -48,6 +48,11 @@ def main() -> None:
     from eth_indexer_spark.streaming.ingest import BlockIngestor
 
     spark = get_spark("bench_store_queries", cpus=CPUS)
+    # host-drift probe (same constants as bench.py), so cross-session
+    # STOREQ comparisons can be normalized instead of hand-adjudicated
+    from bench import _calibration
+
+    calibration = _calibration(spark)
     hdrs, txs, rec, logs, subs, erc20 = build_chain(N_BLOCKS)
     header_dicts = [r.to_dict() for _, r in hdrs.iterrows()]
     workdir = tempfile.mkdtemp(prefix="bench_storeq_")
@@ -117,6 +122,7 @@ def main() -> None:
                 "metric": "store_queries_sec",
                 "backends": results,
                 "blocks": N_BLOCKS,
+                "calibration": calibration,
                 "cpus": CPUS,
             }
         )
