@@ -15,6 +15,15 @@ same ingested data on both backends, so the comparison is apples-to-apples:
 Each query is median of 5 (after a warm-up rep) to a driver-side action.
 Run SOLO — concurrent Spark JVMs give 2-5x timing noise.
 
+The per-backend `_ingest_sec` is reported for context only: the backends
+ingest in a FIXED order here (parquet first), so the first leg carries the
+session's JIT warm-up and the ranking is not interpretable. The
+write-path ranking question is owned by `scripts/ab_ingest_order.py`
+(order-counterbalanced, both leg orders — AB_INGEST_r10.json adjudicated
+the backends equivalent within noise). The READ comparisons are unbiased:
+every query is warmed before its reps, and STOREQ_r10 showed parquet
+reads unchanged vs r9 (the same-session control) while log reads halved.
+
 Prints ONE JSON line:
   {"metric": "store_queries_sec", "backends": {"parquet": {...}, "log": {...}},
    "blocks": N, ...}
