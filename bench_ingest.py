@@ -95,6 +95,31 @@ N_SUBS = 100           # subscribed addresses
 TXS_PER_BLOCK = 4
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+# the tables the ingest loop writes every batch — the ones whose
+# micro-batch file residue the maintenance cadence compacts. Single source
+# of truth: scripts/ab_ingest_order.py and scripts/bench_store_queries.py
+# import these, so adding an ingest table cannot silently leave one bench
+# maintaining (and therefore measuring) a different table set.
+MAINTAIN_TABLES = (
+    "block_headers",
+    "transactions",
+    "receipts",
+    "transfers",
+    "balances",
+    "total_balances",
+)
+
+
+def maintain_store(store) -> float:
+    """One optimize+vacuum maintenance cadence over the ingest tables
+    (LogStore backend); returns elapsed seconds."""
+    tm = time.perf_counter()
+    for t in MAINTAIN_TABLES:
+        if store.exists(t):
+            store.optimize(t)
+    store.vacuum()
+    return time.perf_counter() - tm
+
 
 def build_chain(n_blocks: int, seed: int = 7):
     rng = random.Random(seed)
@@ -198,24 +223,8 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-        # the tables the ingest loop writes every batch — the ones whose
-        # micro-batch file residue the maintenance cadence compacts
-        maintain_tables = (
-            "block_headers",
-            "transactions",
-            "receipts",
-            "transfers",
-            "balances",
-            "total_balances",
-        )
-
         def maintain() -> float:
-            tm = time.perf_counter()
-            for t in maintain_tables:
-                if store.exists(t):
-                    store.optimize(t)
-            store.vacuum()
-            return time.perf_counter() - tm
+            return maintain_store(store)
 
         preseed_maintain_sec = 0.0
         if PRESEED and MAINTAIN_EVERY and BACKEND == "log":

@@ -89,7 +89,11 @@ _DATA_DIR = "data"
 _STAGING_DIR = "_staging"
 # monotonic vacuum high-water mark (log-version horizon), published BEFORE
 # any data-file deletion — snapshots pinned at-or-below it re-verify their
-# file set after every action (see LogSnapshot.check)
+# file set after every action (see LogSnapshot.check). The DIRECTORY holds
+# one immutable empty file per published horizon (monotone max by
+# construction); the single-file JSON name is the legacy location, still
+# read for roots written by older code.
+_VACUUM_MARKER_DIR = "_vacuum_horizon"
 _VACUUM_MARKER = "_vacuum_horizon.json"
 CHECKPOINT_EVERY = 10
 # log-read retry cap: FileNotFoundError during a fold is normally a benign
@@ -1015,7 +1019,11 @@ class LogStore(StoreBackend):
         over an unmaintained 20k-block preseed vs 5-11 s steady-state;
         ``max_files`` caps that first-call envelope at roughly
         steady-state cost. Idempotence: a second optimize over an
-        already-compacted table is a metadata-only no-op (no commit)."""
+        already-compacted table is a metadata-only no-op (no commit) —
+        at-or-above-target outputs fail the candidate filter, and a
+        single surviving sub-target file (a table smaller than the
+        target) has nothing to merge with, so both exits are the
+        ``len(metas) <= 1`` early return below."""
         st = self._state(refresh=True)
         metas = [
             m for m in self._live(st, table) if m.rows < target_file_rows
@@ -1025,9 +1033,10 @@ class LogStore(StoreBackend):
         if len(metas) <= 1:
             return
         total = sum(m.rows for m in metas)
+        # floor division: >= 2 candidates each below target give
+        # total < len*target, so nparts < len always — compaction strictly
+        # reduces the file count, and outputs average at-or-above target
         nparts = max(1, total // target_file_rows)
-        if len(metas) <= nparts:
-            return  # inputs already at-or-above target density: no-op
         col = BLOCK_COLUMN.get(table)
         df = self._read_files(table, metas, st)
         if col is not None:
@@ -1054,25 +1063,52 @@ class LogStore(StoreBackend):
         self._commit(build)
 
     def _publish_vacuum_horizon(self, horizon: int) -> None:
-        """Best-effort monotonic max over the marker (atomic replace).
-        Two concurrent vacuums can race the read-then-replace and leave the
-        lower horizon; the marker is a defense-in-depth trigger for the
-        snapshot's post-action re-verification, not the source of truth —
-        the truth is always the on-disk file set it prompts a re-check of."""
-        path = os.path.join(self.root, _VACUUM_MARKER)
+        """TRULY monotonic publish: one immutable empty file per horizon
+        (name carries the version), read = max over the directory listing.
+        A single read-then-replace JSON would let two concurrent vacuums
+        race (P publishes 100, Q then replaces it with 50) and silently
+        REGRESS the marker — and the marker is the sole trigger for the
+        snapshot's silent-partial re-verification, so a regression would
+        disable exactly the defense it exists to provide. Immutable
+        per-version files cannot regress: a concurrent publish only ever
+        ADDS a member to the max. Lower markers are garbage-collected
+        best-effort after each publish (deleting a non-max member never
+        changes the max, so the cleanup needs no coordination)."""
+        mdir = os.path.join(self.root, _VACUUM_MARKER_DIR)
         if self._read_vacuum_horizon() >= horizon:
             return
-        tmp = path + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            json.dump({"horizon": horizon}, f)
-        os.replace(tmp, path)
+        os.makedirs(mdir, exist_ok=True)
+        try:
+            with open(os.path.join(mdir, f"{horizon:0{_COMMIT_WIDTH}d}"), "x"):
+                pass
+        except FileExistsError:
+            pass  # another vacuum published the same horizon: done
+        for name in os.listdir(mdir):
+            try:
+                if int(name) < horizon:
+                    os.unlink(os.path.join(mdir, name))
+            except (ValueError, FileNotFoundError):
+                continue  # foreign file, or a concurrent cleanup won
 
     def _read_vacuum_horizon(self) -> int:
+        """Max published horizon, -1 if no vacuum ever ran. Reads names
+        only (no opens), so concurrent marker cleanup cannot race it."""
+        horizon = -1
+        try:
+            for name in os.listdir(os.path.join(self.root, _VACUUM_MARKER_DIR)):
+                try:
+                    horizon = max(horizon, int(name))
+                except ValueError:
+                    continue
+        except FileNotFoundError:
+            pass
+        # legacy single-file marker (pre-directory roots): fold it in
         try:
             with open(os.path.join(self.root, _VACUUM_MARKER)) as f:
-                return int(json.load(f).get("horizon", -1))
+                horizon = max(horizon, int(json.load(f).get("horizon", -1)))
         except (FileNotFoundError, json.JSONDecodeError, ValueError):
-            return -1
+            pass
+        return horizon
 
     def _list_checkpoints(self) -> list[int]:
         return sorted(
@@ -1212,6 +1248,12 @@ class LogSnapshot:
         self.spark = store.spark
         self.version = state.boundary  # parity with StoreSnapshot.version
         self.epoch = state.epoch
+        # tables this snapshot has actually served reads for: the
+        # silent-partial re-verification (check) sweeps ONLY these — a
+        # vacuumed file of a table this pin never scanned cannot have
+        # truncated any answer, so it must not expire correct answers
+        # about other tables (nor cost an all-tables exists() sweep)
+        self._tables_read: set[str] = set()
 
     # check/guard/collect: the detection surface. Rewind detection can
     # never fire here (the pin is an immutable file set), but the RETENTION
@@ -1224,11 +1266,13 @@ class LogSnapshot:
     #       paths (skips them with a warning), so a vacuum landing between
     #       the existence pre-check and the listing job yields a partial
     #       result with no error at all. check() closes this: vacuum
-    #       publishes its horizon BEFORE deleting (_VACUUM_MARKER), and a
+    #       publishes its horizon BEFORE deleting (_VACUUM_MARKER_DIR, a
+    #       monotone max over immutable per-version files), and a
     #       post-action check on a pin at-or-below that horizon re-verifies
-    #       the pinned file set — one small JSON stat in the happy path,
-    #       the os.path.exists sweep only once a vacuum has actually
-    #       passed the pin.
+    #       the pinned file set of the TABLES THIS SNAPSHOT HAS READ (only
+    #       those can have produced a partial answer) — one small dir
+    #       listing in the happy path, the os.path.exists sweep only once
+    #       a vacuum has actually passed the pin.
     # The EP3 surface brackets every action with guard(), so a naive
     # consumer gets the actionable re-pin error in all failure modes —
     # never a Java stack, never a silently truncated answer.
@@ -1245,10 +1289,15 @@ class LogSnapshot:
                 )
 
     def _missing_files(self) -> list[str]:
+        """Pinned files that no longer exist, SCOPED to the tables this
+        snapshot has read (``_tables_read``): only those files can have
+        produced a partial answer, and an unrelated table losing files to
+        retention must not reject a complete, correct result (nor grow the
+        sweep to O(all tables) per action)."""
         return [
             m.path
-            for fs in self._st.files.values()
-            for m in fs.values()
+            for table in self._tables_read
+            for m in self._st.files.get(table, {}).values()
             if not os.path.exists(self.store._abs(m.path))
         ]
 
@@ -1313,6 +1362,7 @@ class LogSnapshot:
         job's file reads still surfaces as Spark's FileNotFound — the check
         pins the overwhelmingly common failure mode (a long-pinned snapshot
         read AFTER maintenance), not a sub-second race."""
+        self._tables_read.add(table)
         missing = [
             m.path for m in metas if not os.path.exists(self.store._abs(m.path))
         ]

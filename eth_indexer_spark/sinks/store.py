@@ -75,7 +75,7 @@ import functools
 import json
 import os
 import shutil
-from contextlib import contextmanager
+from contextlib import ExitStack, contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.group import GroupedData
@@ -1378,22 +1378,30 @@ class GuardedDataFrame(_ConcreteDataFrame):
 
     Scope: the guarded frame's OWN terminal actions (`collect`, `toPandas`,
     `count`, `first`/`head`/`take`/`tail`, `show`, `isEmpty`, `foreach*`,
-    `toLocalIterator`) are bracketed, and the COMMON TRANSFORMATIONS
-    (`filter`/`where`, `select`/`selectExpr`, `withColumn*`, `drop`,
-    `distinct`/`dropDuplicates`, `join`/`crossJoin`, `union*`, set ops,
-    `limit`/`offset`, `orderBy`/`sort`, `alias`, `repartition`/`coalesce`,
-    `sample`, `hint`) RE-WRAP: a caller that composes and then acts keeps
-    the detection (closing the silent-downgrade hole the r8 verdict named).
+    `toLocalIterator`) are bracketed, and EVERY public DataFrame-returning
+    method RE-WRAPS — the full `_GUARDED_TRANSFORMS` surface plus the
+    eager `_GUARDED_ACTION_TRANSFORMS` (`checkpoint`/`localCheckpoint`,
+    which also bracket the job they run), `randomSplit` element-wise —
+    so a caller that composes and then acts keeps the detection (closing
+    the silent-downgrade hole the r8 verdict named). The claim is literal,
+    not aspirational: a completeness sweep in tests/test_queries.py
+    iterates DataFrame's public methods and fails if a DataFrame-returning
+    one is unguarded (so a pyspark upgrade adding methods fails the suite
+    instead of silently reopening the hole).
     A join/union of two guarded frames pinned to DIFFERENT snapshots is
-    bracketed by BOTH pins (:class:`_CompositeSnapshotGuard`), so a rewind
-    overlapping EITHER side's read raises — cross-snapshot composition is
-    fully guarded, never silently half-guarded. ``groupBy``/``rollup``/
-    ``cube`` return a :class:`GuardedGroupedData` whose ``agg``/``count``/
-    ``pivot``/``applyInPandas`` re-wrap into guarded frames, and the
-    ``df.na``/``df.stat`` namespaces proxy the same way — every
-    intermediate that leaves the DataFrame type re-enters guarded. The one
-    remaining escape hatch is SQL over a temp view (the registration
-    erases the Python wrapper): bracket those actions with
+    bracketed by BOTH pins (:class:`_CompositeSnapshotGuard`, which nests
+    each member's own guard so backend-specific error translation is
+    kept), so a rewind overlapping EITHER side's read raises —
+    cross-snapshot composition is fully guarded, never silently
+    half-guarded. ``groupBy``/``rollup``/``cube`` return a
+    :class:`GuardedGroupedData` whose ``agg``/``count``/``pivot``/
+    ``applyInPandas`` re-wrap into guarded frames, and the ``df.na``/
+    ``df.stat`` namespaces proxy the same way — every intermediate that
+    leaves the DataFrame type re-enters guarded. The remaining escape
+    hatches all leave the DataFrame API entirely: SQL over a temp view
+    (registration erases the Python wrapper — use
+    :func:`sql_over_snapshots` to run SQL and re-enter guarded), ``.rdd``,
+    and ``pandas_api()`` — otherwise bracket those actions with
     ``snapshot.guard()`` explicitly (documented, exercised by
     StoreQueries' own internals).
     """
@@ -1448,6 +1456,43 @@ class GuardedDataFrame(_ConcreteDataFrame):
         "coalesce",
         "sample",
         "hint",
+        # the rest of the DataFrame-returning surface (pyspark 4.1), so the
+        # "every DataFrame-returning method re-wraps" claim is literal —
+        # pinned by tests/test_queries.py's guard-surface completeness
+        # sweep over DataFrame's public methods
+        "agg",
+        "crosstab",
+        "describe",
+        "dropDuplicatesWithinWatermark",
+        "drop_duplicates",
+        "freqItems",
+        "lateralJoin",
+        "mapInArrow",
+        "mapInPandas",
+        "melt",
+        "observe",
+        "repartitionById",
+        "replace",
+        "sampleBy",
+        "summary",
+        "to",
+        "toDF",
+        "transform",
+        "transpose",
+        "unpivot",
+        "withMetadata",
+        "withWatermark",
+        "cache",
+        "persist",
+        "unpersist",
+        "randomSplit",  # list result: each split re-wraps
+    )
+
+    # action-like transforms: materialize EAGERLY (a Spark job runs inside
+    # the call), so they both bracket with guard() AND re-wrap the result
+    _GUARDED_ACTION_TRANSFORMS = (
+        "checkpoint",
+        "localCheckpoint",
     )
 
     def __init__(self, df: DataFrame, snapshot: "StoreSnapshot"):
@@ -1470,18 +1515,29 @@ class GuardedDataFrame(_ConcreteDataFrame):
             _ConcreteDataFrame.stat.fget(self), self._graft_snapshot
         )
 
+    # rows between mid-iteration rewind checks: the check is one small
+    # driver-side metadata read (~µs), so every 8k rows is noise against
+    # the py4j transfer cost of the rows themselves
+    _ITER_CHECK_EVERY = 8192
+
     def toLocalIterator(self, prefetchPartitions: bool = False):
-        """Iterator form: checked at creation and again at EXHAUSTION (a
-        per-row check would add a file read per row). A rewind landing
-        mid-iteration therefore raises before the consumer can complete,
-        though rows already yielded were produced under the race — callers
-        needing stricter brackets should collect() instead."""
+        """Iterator form: checked at creation, every ``_ITER_CHECK_EVERY``
+        rows, and at EXHAUSTION. A rewind landing mid-iteration raises
+        within one check window, so at most ``_ITER_CHECK_EVERY`` rows are
+        yielded under the race (a per-row check would put a file stat in
+        the row hot loop for no practical tightening) — callers needing an
+        exact all-or-nothing bracket should collect() instead."""
         self._graft_snapshot.check()
         inner = _ConcreteDataFrame.toLocalIterator(self, prefetchPartitions)
+        every = self._ITER_CHECK_EVERY
+        snapshot = self._graft_snapshot
 
         def gen():
-            yield from inner
-            self._graft_snapshot.check()
+            for n, row in enumerate(inner, start=1):
+                yield row
+                if n % every == 0:
+                    snapshot.check()
+            snapshot.check()
 
         return gen()
 
@@ -1531,9 +1587,17 @@ class _CompositeSnapshotGuard:
 
     @contextmanager
     def guard(self):
-        self.check()
-        yield
-        self.check()
+        """NEST every member's own ``guard()`` rather than reimplementing
+        it as check-yield-check: each backend's guard carries backend
+        semantics the composite must not drop — LogSnapshot's translates
+        mid-action FileNotFound-class failures into the named
+        :class:`SnapshotExpiredError` (a plain post-check would let the
+        raw Java stack propagate on exactly the cross-snapshot composition
+        this class exists to protect)."""
+        with ExitStack() as stack:
+            for s in self._parts:
+                stack.enter_context(s.guard())
+            yield
 
 
 def _combined_guard(snapshot, args, kwargs):
@@ -1605,16 +1669,30 @@ def _make_guarded_grouping(name: str):
     return grouping
 
 
-def _make_guarded_transform(name: str):
+def _rewrap(out, guard):
+    """Re-enter the guarded type: DataFrames wrap, lists of DataFrames
+    (``randomSplit``) wrap element-wise, everything else passes through."""
+    if isinstance(out, DataFrame) and not isinstance(out, GuardedDataFrame):
+        return GuardedDataFrame(out, guard)
+    if isinstance(out, list) and out and all(isinstance(x, DataFrame) for x in out):
+        return [
+            x if isinstance(x, GuardedDataFrame) else GuardedDataFrame(x, guard)
+            for x in out
+        ]
+    return out
+
+
+def _make_guarded_transform(name: str, bracket: bool = False):
     base = getattr(_ConcreteDataFrame, name)
 
     def transform(self, *args, **kwargs):
-        out = base(self, *args, **kwargs)
-        if isinstance(out, DataFrame) and not isinstance(out, GuardedDataFrame):
-            return GuardedDataFrame(
-                out, _combined_guard(self._graft_snapshot, args, kwargs)
-            )
-        return out
+        guard = _combined_guard(self._graft_snapshot, args, kwargs)
+        if bracket:  # eager materialization (checkpoint): a job runs here
+            with guard.guard():
+                out = base(self, *args, **kwargs)
+        else:
+            out = base(self, *args, **kwargs)
+        return _rewrap(out, guard)
 
     transform.__name__ = name
     transform.__qualname__ = f"GuardedDataFrame.{name}"
@@ -1622,6 +1700,7 @@ def _make_guarded_transform(name: str):
         f"``DataFrame.{name}`` returning a guarded frame pinned to the "
         f"receiver's snapshot plus any differently-pinned guarded-frame "
         f"argument's, so composed plans keep full rewind detection."
+        + (" Eager (runs a job): the call itself is guard-bracketed." if bracket else "")
     )
     return transform
 
@@ -1630,6 +1709,47 @@ for _name in GuardedDataFrame._GUARDED_ACTIONS:
     setattr(GuardedDataFrame, _name, _make_guarded_action(_name))
 for _name in GuardedDataFrame._GUARDED_TRANSFORMS:
     setattr(GuardedDataFrame, _name, _make_guarded_transform(_name))
+for _name in GuardedDataFrame._GUARDED_ACTION_TRANSFORMS:
+    setattr(GuardedDataFrame, _name, _make_guarded_transform(_name, bracket=True))
 for _name in ("groupBy", "groupby", "rollup", "cube"):
     setattr(GuardedDataFrame, _name, _make_guarded_grouping(_name))
 del _name
+
+
+def sql_over_snapshots(spark: SparkSession, query: str, **views) -> DataFrame:
+    """Run SQL over temp views of snapshot-pinned frames WITHOUT losing
+    rewind detection — the guarded form of the one remaining escape hatch
+    (``createOrReplaceTempView`` + ``spark.sql`` erases the Python
+    wrapper, so the result of plain SQL over a pinned view is an
+    unguarded frame).
+
+    Each keyword argument is registered as a temp view under its keyword
+    name, the query runs, and the result re-enters
+    :class:`GuardedDataFrame` under the composite pin of every guarded
+    input (deduplicated; plain DataFrames contribute no pin) — so::
+
+        frame = pinned.headers_in_range(0, 19)
+        top = sql_over_snapshots(
+            spark,
+            "SELECT number, difficulty FROM h ORDER BY difficulty DESC LIMIT 3",
+            h=frame,
+        )
+        top.collect()   # raises SnapshotRetractedError after a rewind
+
+    behaves exactly like the equivalent DataFrame composition. Views are
+    ``createOrReplaceTempView`` (session-scoped, replaceable): callers
+    that interleave pins of the same name re-register on every call, so
+    the view always reflects the frame passed HERE. With zero guarded
+    inputs the plain spark.sql result is returned unchanged."""
+    guards: list = []
+    for name, frame in views.items():
+        frame.createOrReplaceTempView(name)
+        if isinstance(frame, GuardedDataFrame):
+            g = frame._graft_snapshot
+            if all(g is not seen for seen in guards):
+                guards.append(g)
+    out = spark.sql(query)
+    if not guards:
+        return out
+    guard = guards[0] if len(guards) == 1 else _CompositeSnapshotGuard(*guards)
+    return GuardedDataFrame(out, guard)

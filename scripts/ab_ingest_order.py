@@ -51,20 +51,16 @@ ap.add_argument(
 )
 ap.add_argument("--maintain-every", type=int, default=10)
 args = ap.parse_args()
+ORDER = args.order.strip().upper()
+if not ORDER or set(ORDER) - {"A", "B"}:
+    # anything but A/B must be LOUD: a stray char silently mapped to a log
+    # leg would corrupt the per-backend means the A/B adjudication rests on
+    ap.error(f"--order must be a non-empty string over {{A,B}}, got {args.order!r}")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-
-MAINTAIN_TABLES = (
-    "block_headers",
-    "transactions",
-    "receipts",
-    "transfers",
-    "balances",
-    "total_balances",
-)
 
 
 def main() -> None:
-    from bench_ingest import build_chain
+    from bench_ingest import build_chain, maintain_store
     from eth_indexer_spark.schema import RAW_SCHEMAS
     from eth_indexer_spark.session import get_spark
     from eth_indexer_spark.sinks.logstore import LogStore
@@ -81,7 +77,7 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="ab_ingest_")
     legs = []
     try:
-        for li, code in enumerate(args.order.upper()):
+        for li, code in enumerate(ORDER):
             name, cls = (
                 ("parquet", ParquetStore) if code == "A" else ("log", LogStore)
             )
@@ -98,12 +94,7 @@ def main() -> None:
                     and bi
                     and bi % args.maintain_every == 0
                 ):
-                    tm = time.perf_counter()
-                    for t in MAINTAIN_TABLES:
-                        if store.exists(t):
-                            store.optimize(t)
-                    store.vacuum()
-                    maintain_secs.append(round(time.perf_counter() - tm, 2))
+                    maintain_secs.append(round(maintain_store(store), 2))
                 tb = time.perf_counter()
                 ing.process_headers(header_dicts[i : i + args.batch])
                 batch_secs.append(time.perf_counter() - tb)
@@ -143,7 +134,7 @@ def main() -> None:
                 "metric": "ab_ingest_order",
                 "blocks": args.n_blocks,
                 "batch": args.batch,
-                "order": args.order.upper(),
+                "order": ORDER,
                 "maintain_every": args.maintain_every,
                 "backends": by_backend,
                 "legs": legs,

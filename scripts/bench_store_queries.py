@@ -47,7 +47,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
 def main() -> None:
-    from bench_ingest import build_chain
+    from bench_ingest import build_chain, maintain_store
     from eth_indexer_spark.plans.queries import StoreQueries
     from eth_indexer_spark.schema import ETH_TOKEN, RAW_SCHEMAS
     from eth_indexer_spark.session import get_spark
@@ -83,10 +83,7 @@ def main() -> None:
             # maintenance before the read pass on the log backend: a
             # deployment reads a compacted table, not 100 micro-batch files
             if name == "log":
-                for t in ("block_headers", "transfers", "balances", "total_balances"):
-                    if store.exists(t):
-                        store.optimize(t)
-                store.vacuum()
+                maintain_store(store)  # the ingest-table set bench_ingest owns
 
             q = StoreQueries(store)
             mid = N_BLOCKS // 2

@@ -1082,6 +1082,9 @@ def test_vacuum_horizon_marker_gates_post_action_verification(spark, lstore):
     snap = lstore.snapshot()
     v = snap._st.version
     snap.check()  # no marker yet: nothing to verify
+    # the verification sweep is SCOPED to tables the pin actually served —
+    # register the read (lazy: no job) so the sweep covers block_headers
+    snap.read("block_headers")
 
     # a vacuum horizon BELOW the pin never triggers the sweep (no vacuum
     # has passed this pin, so its files are contractually protected)
@@ -1135,3 +1138,72 @@ def test_read_construction_runs_zero_spark_jobs(spark, lstore):
     assert df.columns == ["hash", "parent_hash", "number", "difficulty"]
     assert df.count() == 6
     assert snap_df.count() == 60
+
+def test_expiry_scoped_to_tables_the_snapshot_read(spark, lstore):
+    """A vacuumed file of a table this pin NEVER scanned cannot have
+    truncated any answer, so it must not expire complete, correct answers
+    about other tables. The sweep is scoped to ``_tables_read``: the pin
+    stays healthy for the table it served, and the table that actually
+    lost files still fails LOUDLY at its own read (per-read pre-check)."""
+    from eth_indexer_spark.sinks.logstore import SnapshotExpiredError
+
+    lstore.write_blocks(
+        {
+            "block_headers": headers_df(spark, range(100, 110)),
+            "transfers": transfers_df(
+                spark,
+                [
+                    ("ab" * 20, n, f"{n:064x}", "aa" * 20, "bb" * 20, "1")
+                    for n in range(100, 110)
+                ],
+            ),
+        },
+        block_range=(100, 109),
+    )
+    snap = lstore.snapshot()
+    assert snap.read("block_headers").count() == 10  # registers block_headers
+
+    # vacuum horizon passes the pin; a transfers file (never read through
+    # this pin) is deleted by retention
+    lstore._publish_vacuum_horizon(snap._st.version)
+    meta = next(iter(snap._st.files["transfers"].values()))
+    os.remove(lstore._abs(meta.path))
+
+    # complete answers about the table this pin served stay accepted
+    snap.check()
+    with snap.guard():
+        pass
+    assert snap.read("block_headers").count() == 10
+
+    # the table that lost files is loud at its own read
+    with pytest.raises(SnapshotExpiredError, match="transfers"):
+        snap.read("transfers")
+
+
+def test_vacuum_horizon_publish_cannot_regress_under_any_interleaving(lstore):
+    """The marker is the SOLE trigger for the silent-partial
+    re-verification, so it must be monotone under every interleaving of
+    concurrent publishes — including the adversarial one a read-then-
+    replace JSON loses (P publishes 100, Q then lands 50 over it). The
+    directory-of-immutable-markers design makes regression structurally
+    impossible: a publish only ever ADDS a member to the max, and cleanup
+    only deletes non-max members."""
+    # out-of-order publishes simulate the worst interleaving: the LOWER
+    # horizon lands strictly AFTER the higher one was published
+    lstore._publish_vacuum_horizon(100)
+    assert lstore._read_vacuum_horizon() == 100
+    lstore._publish_vacuum_horizon(50)
+    assert lstore._read_vacuum_horizon() == 100
+    # duplicate publish of the max is a no-op, not an error
+    lstore._publish_vacuum_horizon(100)
+    assert lstore._read_vacuum_horizon() == 100
+    lstore._publish_vacuum_horizon(101)
+    assert lstore._read_vacuum_horizon() == 101
+
+    # legacy single-file marker (roots written by older code) folds into
+    # the max instead of being ignored
+    import json as _json
+
+    with open(os.path.join(lstore.root, "_vacuum_horizon.json"), "w") as f:
+        _json.dump({"horizon": 500}, f)
+    assert lstore._read_vacuum_horizon() == 500

