@@ -5,12 +5,14 @@ codegen), ordered by cost/recall trade-off:
 
 - :func:`exact_dedup` — hash-groupBy on a content digest. One shuffle of
   (digest, id); the 100 TB workhorse for byte-identical copies.
-- :func:`ngram_jaccard_pairs` — exact near-dup pairs via the shared-shingle
-  inverted index: explode shingles, self-join on shingle, count
-  intersections, filter on true Jaccard. Never materializes the O(N²) cross
-  product — only pairs sharing ≥1 shingle meet the join, which is the
-  standard scalable formulation; still quadratic in pathological corpora
-  (everything similar), which is what MinHash fixes.
+- :func:`ngram_jaccard_pairs` — exact near-dup pairs. Default: the
+  DF-capped inverted index (boilerplate shingles dropped from the
+  similarity itself). ``exact=True``: TRUE Jaccard via prefix filtering
+  (SSJoin/AllPairs/PPJoin): only each document's rarest
+  ``n - ceil(t*n) + 1`` shingles enter the candidate join, candidates are
+  verified on the full sets — a ubiquitous shingle generates zero
+  candidates instead of O(N²). Still quadratic when the OUTPUT is
+  quadratic (everything genuinely similar), which is what MinHash fixes.
 - :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH: candidates
   only when a band collides, then exact-Jaccard verification. Cost is
   O(N × signature) + bucket-local joins: the 100 TB near-dup path.
@@ -276,6 +278,9 @@ def _substring_grams(df: DataFrame, text_col: str, id_col: str, L: int) -> DataF
     bit-for-bit)."""
     words = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), words.alias("__w"))
+    # __w is a materialized COLUMN (O(1) lambda-body reference) and Slice
+    # copies O(L) refs per gram — this shape is already linear; see _bind
+    # for the splice trap this must never regress into
     return base.filter(F.size("__w") >= L).select(
         F.col(id_col),
         F.posexplode(
@@ -446,17 +451,48 @@ def incremental_substring_dedup(
     return _excise_covered_spans(base, dup_starts, id_col, L, out_col)
 
 
+def _bind(expr: Column, body) -> Column:
+    """Catalyst "let": evaluate ``expr`` ONCE per row and hand the result to
+    ``body`` as a bound lambda variable (via a one-element ``transform``).
+
+    Splicing a Column expression into a higher-order-function lambda
+    re-evaluates it PER ELEMENT — there is no common-subexpression
+    elimination inside lambda bodies — so an O(len) sub-expression (a
+    split, a gram-hash transform) inside a per-position lambda silently
+    becomes an O(len²) plan. Projection staging (materialize the array as
+    a column first) fixes the happy path but NOT the optimizer rewrites:
+    filter pushdown (e.g. the ``size(..) > 0`` filter
+    InferFiltersFromGenerate adds below an explode) substitutes the alias
+    back into the predicate and resurrects the quadratic form at the scan
+    (measured: a 300-char corpus hanging for tens of minutes on one task).
+    A lambda binding cannot be inlined by any rewrite, so the fix holds in
+    every plan position."""
+    return F.transform(F.array(expr), body)[0]
+
+
 def word_shingles(text_col, k: int = 3) -> Column:
     """Distinct k-word shingles of a whitespace-tokenized text (array<string>).
-    Documents shorter than k words yield an empty array."""
+    Documents shorter than k words yield an empty array.
+
+    The split-token array is :func:`_bind`-bound: the previous form spliced
+    the ``split(text)`` expression into the per-position lambda, where it
+    re-evaluates per ELEMENT — O(words·len) per document, fine on 300-char
+    fixtures, catastrophic on real multi-KB documents (and a pushed-down
+    ``size(..) > 0`` filter paid it again at the scan). The per-position
+    ``slice`` itself is O(k) — copying ``k`` refs from the BOUND array is
+    cheap; only the unbound splice was the trap. Shingle values are
+    bit-identical."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    words = F.split(c, " ")
-    n = F.size(words)
-    shingle_at = lambda i: F.concat_ws(" ", F.slice(words, i, k))  # noqa: E731
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def body(words):
+        n = F.size(words)
+        idx = F.sequence(F.lit(1), n - (k - 1))
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+        return F.when(n >= k, F.array_distinct(sh)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _bind(F.split(c, " "), body)
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
@@ -486,11 +522,21 @@ def ngram_jaccard_pairs(
     i < j, via the inverted shingle index (no cross join).
 
     The DEFAULT routes through :func:`ngram_jaccard_pairs_capped`
-    (document-frequency cap ``max_df``): on an adversarial corpus a shingle
-    present in every document makes the uncapped index O(N²) pairs, so the
-    scale-unsafe form is opt-in — pass ``exact=True`` only when exact
-    co-occurrence over ALL shingles (boilerplate included) is the
-    requirement and the corpus is known benign."""
+    (document-frequency cap ``max_df``): the capped representation is the
+    production trade (boilerplate shingles dropped from the similarity
+    itself). ``exact=True`` computes the TRUE Jaccard over all shingles via
+    PREFIX FILTERING (Chaudhuri et al. SSJoin, ICDE 2006; Bayardo et al.
+    AllPairs, WWW 2007; Xiao et al. PPJoin, WWW 2008): under a global
+    rarest-first token order, two sets with Jaccard >= t must share a token
+    inside both of their (n - ceil(t*n) + 1)-prefixes, so only PREFIX
+    tokens enter the candidate join. A boilerplate shingle present in every
+    document sorts LAST in every prefix order and never generates a
+    candidate — the former O(hot-shingle²) blow-up of the naive inverted
+    index is gone while the pair set stays bit-identical (candidates are
+    verified against the full shingle sets). The irreducible cost is the
+    OUTPUT: a corpus of N near-identical docs has O(N²) true pairs no
+    algorithm can avoid emitting; the capped default stays the right tool
+    when boilerplate-only overlap should not count as similarity at all."""
     if not exact:
         return ngram_jaccard_pairs_capped(
             df, text_col, id_col, k=k, threshold=threshold, max_df=max_df
@@ -498,11 +544,9 @@ def ngram_jaccard_pairs(
     # join on 64-bit shingle hashes, not strings: the shuffled index shrinks
     # ~3× and key compares are long equality. Collision risk over the whole
     # corpus is ~|shingles|²/2⁶⁵ — immaterial next to fp thresholds.
-    # The hashed frame is persisted: both the inverted index and the size
-    # lookup consume it, and shingling+hashing is the CPU-heavy stage — at
-    # scale this is the one intermediate worth materializing
-    # (MEMORY_AND_DISK spills instead of recomputing). Pooled per call site:
-    # repeated calls hold at most one cached frame (see operators/_persist).
+    # Persisted (pooled): the token stream, the prefix index, and the two
+    # verification probes all consume it, and shingling+hashing is the
+    # CPU-heavy stage — the one intermediate worth materializing.
     sh = persist_bounded(
         "dedup.ngram_exact.hashed",
         _spread(df, id_col)
@@ -510,28 +554,60 @@ def ngram_jaccard_pairs(
         .filter(F.size("shingles") > 0)
         .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh")),
     )
-    # The shingle-set size rides along with each index entry (one extra long
-    # per row), so the Jaccard denominator is available straight out of the
-    # pair aggregation — the alternative (a sizes lookup joined onto the
-    # aggregated pairs frame for i and then j) shuffles the largest
-    # intermediate two more times. The index self-join streams both sides;
-    # partial aggregation on (i, j) combines map-side before the one shuffle.
-    inv = sh.select("doc", F.size("hsh").alias("n"), F.explode("hsh").alias("s"))
-    a = inv.select(F.col("s").alias("__k"), F.col("doc").alias("i"), F.col("n").alias("ni"))
-    b = inv.select(F.col("s").alias("__k"), F.col("doc").alias("j"), F.col("n").alias("nj"))
-    pairs = (
-        a.join(b, "__k")
-        .filter(F.col("i") < F.col("j"))
-        .groupBy("i", "j")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            # constant within a (i, j) group — min is the cheapest carrier
-            F.min("ni").alias("ni"),
-            F.min("nj").alias("nj"),
+    toks = sh.select("doc", F.size("hsh").alias("n"), F.explode("hsh").alias("s"))
+    # global document frequency = the token order (rarest first, ties by
+    # hash value → total, deterministic, engine-portable). The df join is
+    # co-partitioned with the groupBy that produced it — no extra exchange.
+    dfreq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc prefix: first n - ceil(t*n) + 1 tokens in (df, s) order. The
+    # 1e-9 nudge guards the float ceil: deflating alpha by one only LENGTHENS
+    # the prefix (extra candidates, same exact output); inflating it would
+    # shorten the prefix and silently drop true pairs.
+    alpha = F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+    pre = persist_bounded(
+        "dedup.ngram_exact.prefix",
+        toks.join(dfreq, "s")
+        .groupBy("doc", "n")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("o"))
+        .select(
+            "doc",
+            "n",
+            F.slice("o", 1, (F.col("n") - alpha + 1).cast("int")).alias("p"),
+        )
+        .select("doc", "n", F.explode("p").alias("ps"))
+        .select("doc", "n", F.col("ps.s").alias("s")),
+    )
+    # candidates: docs sharing a PREFIX token, pruned by the length filter
+    # (Jaccard >= t forces t*max(ni,nj) <= min(ni,nj))
+    a = pre.select("s", F.col("doc").alias("i"), F.col("n").alias("ni"))
+    b = pre.select("s", F.col("doc").alias("j"), F.col("n").alias("nj"))
+    t = F.lit(float(threshold))
+    cand = (
+        a.join(b, "s")
+        .filter(
+            (F.col("i") < F.col("j"))
+            & (F.col("ni") * t <= F.col("nj"))
+            & (F.col("nj") * t <= F.col("ni"))
+        )
+        .select("i", "j")
+        .distinct()
+    )
+    # verify each candidate against the FULL shingle sets — exactness lives
+    # here, the prefix stage only prunes. array_intersect is JVM-side,
+    # O(|A| + |B|) per surviving candidate.
+    ver = (
+        cand.join(sh.select(F.col("doc").alias("i"), F.col("hsh").alias("hi")), "i")
+        .join(sh.select(F.col("doc").alias("j"), F.col("hsh").alias("hj")), "j")
+        .select(
+            "i",
+            "j",
+            F.size(F.array_intersect("hi", "hj")).alias("inter"),
+            F.size("hi").alias("ni"),
+            F.size("hj").alias("nj"),
         )
     )
     jac = F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))
-    return pairs.filter(jac >= threshold).select("i", "j")
+    return ver.filter(jac >= threshold).select("i", "j")
 
 
 def ngram_jaccard_pairs_capped(
@@ -879,24 +955,60 @@ def winnow_fingerprints(
     local-sampling property that makes this the standard plagiarism /
     overlap detector. Expected density ≈ 2/(window+1) of all grams.
 
-    Pure Catalyst expressions (sequence/transform/slice/array_min), one
-    projection, no shuffle. Documents shorter than ``k`` chars get an empty
-    set; shorter than ``k + window - 1`` keep the single global min."""
+    Pure Catalyst expressions, one projection, no shuffle — but the shape
+    matters enormously (this operator is where both scale traps were
+    measured, via the sf0.1 parity sweep hanging on one task for tens of
+    minutes over a 300-char corpus):
+
+    - ``substr(text, i, k)`` per gram position is O(i): UTF8 character
+      addressing scans from the string start, so substr-in-a-position-
+      lambda is O(len²) PER DOCUMENT regardless of how the expression is
+      bound (measured: one 400 KB document = 400 s). The text is instead
+      split into a char array ONCE and each gram is an O(k) slice-join of
+      the BOUND array — same characters, same xxhash64 values;
+    - the char and gram-hash arrays are :func:`_bind`-bound, never spliced
+      into the window lambdas: spliced, an O(len) sub-expression re-
+      evaluates at every position (a second, independent O(len²)), and
+      projection staging alone does not survive filter pushdown
+      re-inlining the alias below an explode. (``slice`` on a bound array
+      copies O(k) refs — the slice was never the trap, the splice was.)
+
+    Net cost O(len·(k + window)) per document (400 KB doc: ~3 s, was
+    400 s). The input is ``_spread``: fingerprinting is the CPU-heavy
+    stage, and a small single-file corpus otherwise serializes it on the
+    scan's one partition. Documents shorter than ``k`` chars get an empty
+    set; shorter than ``k + window - 1`` keep the single global min.
+    Fingerprint values are bit-identical to the previous substr form for
+    BMP text (supplementary-plane codepoints segment as ``split('')``
+    units rather than substr's codepoint count — irrelevant to the hash
+    family's guarantees)."""
     c = F.col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(c) - (k - 1)),
-        lambda i: F.xxhash64(F.substr(c, i, F.lit(k))),
+
+    def body(ch):
+        grams = F.when(
+            F.length(c) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - (k - 1)),
+                lambda i: F.xxhash64(F.concat_ws("", F.slice(ch, i, k))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+        def mins_of(g):
+            mins = F.transform(
+                F.sequence(F.lit(1), F.size(g) - (window - 1)),
+                lambda j: F.array_min(F.slice(g, j, window)),
+            )
+            return (
+                F.when(F.length(c) >= k + window - 1, F.array_distinct(mins))
+                .when(F.length(c) >= k, F.array(F.array_min(g)))
+                .otherwise(F.array().cast("array<bigint>"))
+            )
+
+        return _bind(grams, mins_of)
+
+    return _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), _bind(F.split(c, ""), body).alias("fingerprints")
     )
-    mins = F.transform(
-        F.sequence(F.lit(1), F.size(grams) - (window - 1)),
-        lambda j: F.array_min(F.slice(grams, j, window)),
-    )
-    fps = (
-        F.when(F.length(c) >= k + window - 1, F.array_distinct(mins))
-        .when(F.length(c) >= k, F.array(F.array_min(grams)))
-        .otherwise(F.array().cast("array<bigint>"))
-    )
-    return df.select(F.col(id_col).alias("doc"), fps.alias("fingerprints"))
 
 
 def winnow_overlap_pairs(

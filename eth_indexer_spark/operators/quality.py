@@ -30,15 +30,20 @@ def word_ngrams(col, n: int = 2) -> Column:
     """NON-distinct word n-grams (array<string>) — unlike
     :func:`~eth_indexer_spark.operators.dedup.word_shingles`, repetition
     metrics need every occurrence. Documents shorter than n words yield an
-    empty array."""
+    empty array. Same let-bound shape as ``word_shingles`` (see
+    ``dedup._bind``): splicing the split expression into the per-position
+    lambda re-evaluates it per element — O(words·len) per document."""
+    from eth_indexer_spark.operators.dedup import _bind
+
     c = F.col(col) if isinstance(col, str) else col
-    words = F.split(c, " ")
-    cnt = F.size(words)
-    gram_at = lambda i: F.concat_ws(" ", F.slice(words, i, n))  # noqa: E731
-    idx = F.sequence(F.lit(1), cnt - (n - 1))
-    return F.when(cnt >= n, F.transform(idx, gram_at)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def body(words):
+        cnt = F.size(words)
+        idx = F.sequence(F.lit(1), cnt - (n - 1))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+        return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return _bind(F.split(c, " "), body)
 
 
 def dup_ngram_fraction(col, n: int = 2) -> Column:

@@ -687,11 +687,17 @@ def x_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text", tx.quality_score("text").alias("quality")
     )
     kept = d.filter(F.col("quality") >= 0.5).select("doc_id", "source", "text")
-    words = F.split(F.col("text"), " ")
-    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(3))
-    seglines = F.array_join(
-        F.transform(starts, lambda st: F.concat_ws(" ", F.slice(words, st + 1, 3))),
-        "\n",
+    # let-bound split (dedup._bind): the spliced form re-evaluates the
+    # split per line position, O(words·len) per doc — see word_shingles
+    seglines = dedup._bind(
+        F.split(F.col("text"), " "),
+        lambda words: F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 1, F.lit(3)),
+                lambda st: F.concat_ws(" ", F.slice(words, st + 1, 3)),
+            ),
+            "\n",
+        ),
     )
     cleaned = dedup.line_dedup(
         kept.select("doc_id", seglines.alias("text")), "text", "doc_id", min_df=2
@@ -1163,15 +1169,21 @@ def _synthesized_lines(d: DataFrame) -> DataFrame:
     doc into 4-word lines and punctuate two of every three (st % 12 < 8 —
     the same trick as x_line_dedup). Shared by x_c4_clean and
     x_curation_v4 so the scheme cannot drift from the oracles'."""
-    words = F.split(F.col("text"), " ")
-    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(4))
-    mk = lambda st: F.concat(  # noqa: E731
-        F.concat_ws(" ", F.slice(words, st + 1, 4)),
-        F.when(st % 12 < 8, F.lit(".")).otherwise(F.lit("")),
+    # let-bound split — see word_shingles' docstring
+    synth = dedup._bind(
+        F.split(F.col("text"), " "),
+        lambda words: F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 1, F.lit(4)),
+                lambda st: F.concat(
+                    F.concat_ws(" ", F.slice(words, st + 1, 4)),
+                    F.when(st % 12 < 8, F.lit(".")).otherwise(F.lit("")),
+                ),
+            ),
+            "\n",
+        ),
     )
-    return d.select(
-        "doc_id", F.array_join(F.transform(starts, mk), "\n").alias("text")
-    )
+    return d.select("doc_id", synth.alias("text"))
 
 
 @register(
@@ -1507,11 +1519,16 @@ def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     everywhere, and docs are reassembled from the survivors in order. The
     oracle's NOT IN is the LeftAnti the Spark plan runs on md5(line)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), " ")
-    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(3))
-    seglines = F.array_join(
-        F.transform(starts, lambda st: F.concat_ws(" ", F.slice(words, st + 1, 3))),
-        "\n",
+    # let-bound split — see word_shingles' docstring
+    seglines = dedup._bind(
+        F.split(F.col("text"), " "),
+        lambda words: F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 1, F.lit(3)),
+                lambda st: F.concat_ws(" ", F.slice(words, st + 1, 3)),
+            ),
+            "\n",
+        ),
     )
     d2 = d.select("doc_id", seglines.alias("text"))
     return dedup.line_dedup(d2, "text", "doc_id", min_df=2)

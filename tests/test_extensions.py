@@ -1998,3 +1998,106 @@ def test_curation_funnel_is_monotone_and_consistent(spark):
     assert counts[0] == 500
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
     assert counts[-1] == x_curation_v4(spark, SF_CORRECTNESS).count()
+
+def _brute_jaccard_pairs(rows, k=3, threshold=0.5):
+    """Sequential model: exact Jaccard over distinct k-word shingles."""
+    sets = {}
+    for i, text in rows:
+        words = text.split(" ")
+        if len(words) >= k:
+            sh = {" ".join(words[p : p + k]) for p in range(len(words) - k + 1)}
+            if sh:
+                sets[i] = sh
+    out = set()
+    ids = sorted(sets)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            i, j = ids[a], ids[b]
+            inter = len(sets[i] & sets[j])
+            if inter and inter / (len(sets[i]) + len(sets[j]) - inter) >= threshold:
+                out.add((i, j))
+    return out
+
+
+def test_exact_jaccard_prefix_filter_matches_brute_force(spark):
+    """The prefix-filtered exact form (SSJoin/AllPairs/PPJoin family) must
+    return the bit-identical pair set of the definitional all-pairs model,
+    on randomized corpora across thresholds — the prefix stage may only
+    PRUNE candidates, never change the answer."""
+    import random as _random
+
+    rng = _random.Random(421)
+    vocab = [f"w{v}" for v in range(40)]
+    for trial, threshold in ((0, 0.3), (1, 0.5), (2, 0.8)):
+        rows = []
+        for i in range(60):
+            n_words = rng.randint(3, 14)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(n_words))))
+        # plant a few mutated copies so high thresholds still have pairs
+        for c in range(5):
+            base = rows[c][1].split(" ")
+            if len(base) > 3:
+                base[rng.randrange(len(base))] = rng.choice(vocab)
+            rows.append((100 + c, " ".join(base)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["i"], r["j"])
+            for r in dedup.ngram_jaccard_pairs(
+                df, "text", "doc_id", k=3, threshold=threshold, exact=True
+            ).collect()
+        }
+        want = _brute_jaccard_pairs(rows, k=3, threshold=threshold)
+        assert got == want, (
+            f"trial {trial} t={threshold}: +{sorted(got - want)[:5]} "
+            f"-{sorted(want - got)[:5]}"
+        )
+
+
+def test_exact_jaccard_prefix_excludes_ubiquitous_shingles(spark):
+    """The scale property that makes the exact form deployable: a shingle
+    present in EVERY document sorts last in the global rarest-first order
+    and never enters any prefix, so the candidate join sees zero pairs from
+    it — where the naive inverted index emitted N(N-1)/2. Verified
+    structurally (the prefix index contains no ubiquitous token) and
+    behaviorally (results still exact on the adversarial corpus)."""
+    corpus = _adversarial_corpus(spark)
+    got = {
+        (r["i"], r["j"])
+        for r in dedup.ngram_jaccard_pairs(
+            corpus, "text", "doc_id", k=3, threshold=0.5, exact=True
+        ).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    assert got == _brute_jaccard_pairs(rows, k=3, threshold=0.5)
+    assert {(2 * k, 2 * k + 1) for k in range(10)} <= got
+
+    # structural: rebuild the prefix index exactly as the operator does and
+    # assert the every-doc boilerplate shingles are in NO prefix (their
+    # global df is the corpus size; prefixes keep the rarest ~half)
+    sh = corpus.select(
+        F.col("doc_id").alias("doc"), dedup.word_shingles("text", 3).alias("sh")
+    ).select(
+        "doc",
+        F.size("sh").alias("n"),
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    n_docs = corpus.count()
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    pre = (
+        sh.join(dfreq, "s")
+        .groupBy("doc", "n")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("o"))
+        .select(
+            "doc",
+            F.slice(
+                "o",
+                1,
+                (F.col("n") - F.ceil(F.lit(0.5) * F.col("n") - F.lit(1e-9)) + 1).cast(
+                    "int"
+                ),
+            ).alias("p"),
+        )
+        .select(F.explode("p").alias("ps"))
+        .select(F.col("ps.df").alias("df"))
+    )
+    assert pre.filter(F.col("df") == n_docs).count() == 0
