@@ -2136,5 +2136,12 @@ def x_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = winnow_fingerprints(d, "text", "doc_id", k=8, window=4)
     # min_shared=40: templated synthetic text shares many short substrings,
     # so a low bar pairs most of the corpus; 40 shared fingerprints isolates
-    # the genuinely near-duplicate documents (≈ the planted-dup count)
-    return winnow_overlap_pairs(fps, min_shared=40, max_df=50).orderBy("i", "j")
+    # the genuinely near-duplicate documents (≈ the planted-dup count).
+    # The hot-fingerprint cap must scale WITH the corpus (10% of docs, floor
+    # 50): a fixed cap that is 10% of docs at sf0.01 is 1% at sf0.1 and
+    # capped away the true dup-family fingerprints — the sf0.1 parity sweep
+    # caught the query going degenerate (0 pairs; proportional cap: 210 ≈
+    # 10x the 23 at sf0.01, matching the scaled dup families). One bounded
+    # count job; identical output at the driver's sf0.01 gate (cap = 50).
+    max_df = max(50, d.count() // 10)
+    return winnow_overlap_pairs(fps, min_shared=40, max_df=max_df).orderBy("i", "j")
