@@ -275,18 +275,37 @@ def _substring_grams(df: DataFrame, text_col: str, id_col: str, L: int) -> DataF
     """(id, __spos, __gdigest) for every L-token gram of every document —
     the shared gram stream of the batch and incremental substring-dedup
     forms (identical digests, so incremental results match batch mode
-    bit-for-bit)."""
+    bit-for-bit).
+
+    The digest is a struct of two independently-seeded xxhash64 longs —
+    128 collision bits, the same safety class as the previous md5 form
+    (~|grams|²/2¹²⁹ corpus-wide false-equality odds: immaterial at any
+    scale), but ~5× cheaper to compute (xxhash64 vs full MD5 rounds) and
+    16 bytes on the wire instead of a 32-char hex STRING (~44 bytes with
+    UTF8 overhead) — the digest is what shuffles, so the gram exchange
+    narrows ~2.7× for free. A single 64-bit hash would NOT be enough
+    here: at 100 TB the corpus holds ~10¹³ grams and birthday collisions
+    (~10⁶ at 64 bits) would excise spans that were never duplicated."""
     words = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), words.alias("__w"))
     # __w is a materialized COLUMN (O(1) lambda-body reference) and Slice
     # copies O(L) refs per gram — this shape is already linear; see _bind
-    # for the splice trap this must never regress into
+    # for the splice trap this must never regress into. The gram strings
+    # are materialized as an array FIRST, then hashed twice per element —
+    # grams is the outer transform's input array (evaluated once), not an
+    # expression spliced into the lambda body.
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("__w") - L),
+        lambda s: F.concat_ws(" ", F.slice(F.col("__w"), s + 1, L)),
+    )
     return base.filter(F.size("__w") >= L).select(
         F.col(id_col),
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.size("__w") - L),
-                lambda s: F.md5(F.concat_ws(" ", F.slice(F.col("__w"), s + 1, L))),
+                grams,
+                lambda g: F.struct(
+                    F.xxhash64(g).alias("h1"), F.xxhash64(F.lit(1), g).alias("h2")
+                ),
             )
         ).alias("__spos", "__gdigest"),
     )
@@ -495,6 +514,46 @@ def word_shingles(text_col, k: int = 3) -> Column:
     return _bind(F.split(c, " "), body)
 
 
+def hashed_word_shingles(text_col, k: int = 3) -> Column:
+    """Distinct k-word shingles as 64-bit hashes (array<bigint>), computed
+    WITHOUT materializing the shingle strings: each word is xxhash64-ed
+    once, then every shingle hash is one xxhash64 over its k word hashes —
+    O(words) short-string hashes plus O(words) fixed-width long hashes,
+    versus the string form's O(words) concat allocations + O(words)
+    ~(k·word_len)-char string hashes.
+
+    Drop-in for ``transform(word_shingles(c, k), s -> xxhash64(s))`` in
+    consumers that only ever compare shingles BY HASH (the Jaccard
+    pair/cap/verify family): two shingles are equal iff their word triples
+    are equal, under either hash family, modulo the same ~2⁻⁶⁴-per-pair
+    collision odds the string-hash form already accepts — so pair outputs
+    are identical in practice. NOT for MinHash (`minhash_index` derives
+    signature values from the string-hash family; changing it would change
+    every stored signature and LSH bucket) nor for decontam's
+    string-keyed benchmark joins.
+
+    Both the word array and the word-hash array are :func:`_bind`-bound —
+    an unbound word-hash transform inside the per-position lambda would
+    re-hash every word per shingle position (the O(len²) splice trap)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    def body(words):
+        def inner(h):
+            n = F.size(h)
+            idx = F.sequence(F.lit(1), n - (k - 1))
+            sh = F.transform(
+                idx,
+                lambda i: F.xxhash64(*[F.element_at(h, i + j) for j in range(k)]),
+            )
+            return F.when(n >= k, F.array_distinct(sh)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+
+        return _bind(F.transform(words, lambda w: F.xxhash64(w)), inner)
+
+    return _bind(F.split(c, " "), body)
+
+
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Hash-repartition on the doc id before CPU-heavy shingling — but ONLY
     when the input underparallelizes: a small single-file corpus scans as 1
@@ -550,9 +609,8 @@ def ngram_jaccard_pairs(
     sh = persist_bounded(
         "dedup.ngram_exact.hashed",
         _spread(df, id_col)
-        .select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh")),
+        .select(F.col(id_col).alias("doc"), hashed_word_shingles(text_col, k).alias("hsh"))
+        .filter(F.size("hsh") > 0),
     )
     toks = sh.select("doc", F.size("hsh").alias("n"), F.explode("hsh").alias("s"))
     # global document frequency = the token order (rarest first, ties by
@@ -631,9 +689,8 @@ def ngram_jaccard_pairs_capped(
     co-occurrence over ALL shingles is the requirement."""
     sh = (
         _spread(df, id_col)
-        .select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"))
+        .select(F.col(id_col).alias("doc"), hashed_word_shingles(text_col, k).alias("hsh"))
+        .filter(F.size("hsh") > 0)
     )
     inv = cap_hot_keys(sh.select("doc", F.explode("hsh").alias("s")), "s", max_df)
     # consumed twice (sizes + copairs); pooled so repeated calls don't leak
@@ -843,9 +900,21 @@ def minhash_index(
     # per band — 8× the hashing work; measured 2.4× slower end-to-end.)
     # A cross-band bucket collision only ADDS a candidate, and candidates
     # pass exact verification, so correctness is unaffected.
+    # The bucket id hashes the band's signature longs DIRECTLY (multi-arg
+    # xxhash64 seeded with the band index) instead of stringifying the
+    # slice through concat_ws and hashing the text: bucket equality is
+    # slice equality under both forms (comma-joined longs are injective,
+    # and so is the fixed-arity long tuple), so the candidate set — and
+    # after exact-Jaccard verification the pair output — is unchanged,
+    # while the per-doc banding cost drops the per-band string
+    # materialization entirely.
     bucket_exprs = ", ".join(
-        f"xxhash64({band}, xxhash64(concat_ws(',',"
-        f" slice(sig, {band * rows_per_band + 1}, {rows_per_band}))))"
+        f"xxhash64({band}, "
+        + ", ".join(
+            f"element_at(sig, {band * rows_per_band + r + 1})"
+            for r in range(rows_per_band)
+        )
+        + ")"
         for band in range(bands)
     )
     return (

@@ -99,7 +99,7 @@ def make_curation_batch_fn(
 
         # delta rows aggregate at read: one immutable partition per batch
         gram_idx = (
-            prior(gram_table, "gdigest string, gram_len int, cnt long")
+            prior(gram_table, "gdigest struct<h1:bigint,h2:bigint>, gram_len int, cnt long")
             .groupBy("gdigest", "gram_len")
             .agg(F.sum("cnt").alias("cnt"))
         )
