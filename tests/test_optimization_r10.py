@@ -5,6 +5,7 @@ semantics the oracle checks.
 - hashed_word_shingles ≡ xxhash64 ∘ word_shingles (the Jaccard-family kernel)
 - _substring_grams digest: gram-text equality ⟺ struct-digest equality
 - minhash banding: long-tuple bucket ids ≡ the former stringified-slice ids
+- _merged_dup_intervals: merged-interval coverage ≡ per-start coverage
 """
 from __future__ import annotations
 
@@ -125,3 +126,84 @@ def test_minhash_bucket_ids_match_stringified_slice_form(spark):
         if len(rows[i][1].split(" ")) >= 3 and rows[i][1]:
             if orig in new_b and dup in new_b:
                 assert new_b[orig] == new_b[dup]
+
+
+def test_merged_dup_intervals_cover_exactly_the_per_start_union(spark):
+    """The excision test now runs over _merged_dup_intervals; a token must be
+    covered by some merged [lo, hi) iff it is covered by some raw [s, s+L) —
+    checked against a Python model on randomized start sets spanning the
+    interesting shapes: empty, single, overlapping chains, touching spans
+    (s2 == s1 + L merges — coverage is contiguous), gapped chains, repeats,
+    and unsorted arrival order (collect_list order is nondeterministic)."""
+    L = 5
+    rng = random.Random(11)
+    cases = [[], [0], [3], [0, 2, 4], [0, 5], [0, 6], [7, 0, 3, 20, 22], [4, 4, 4]]
+    for _ in range(40):
+        n = rng.randint(1, 12)
+        starts = [rng.randint(0, 30) for _ in range(n)]
+        rng.shuffle(starts)
+        cases.append(starts)
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "case_id long, starts array<int>"
+    )
+    got = {
+        r["case_id"]: [(v["lo"], v["hi"]) for v in r["ivl"]]
+        for r in df.select(
+            "case_id", dedup._merged_dup_intervals(F.col("starts"), L).alias("ivl")
+        ).collect()
+    }
+    for cid, starts in enumerate(cases):
+        ivl = got[cid]
+        # disjoint, sorted, properly ordered
+        assert all(lo < hi for lo, hi in ivl), (cid, ivl)
+        assert all(ivl[k][1] < ivl[k + 1][0] for k in range(len(ivl) - 1)), (cid, ivl)
+        covered_raw = {i for s in starts for i in range(s, s + L)}
+        covered_merged = {i for lo, hi in ivl for i in range(lo, hi)}
+        assert covered_merged == covered_raw, (cid, starts, ivl)
+
+
+def test_excision_merged_branch_matches_raw_semantics_on_dup_heavy_doc(spark):
+    """Documents above _MERGE_GATE_STARTS duplicated-gram starts take the
+    merged-interval branch of _excise_covered_spans; their output must equal
+    the raw per-start coverage model. The fixture plants one dup-heavy doc
+    (every gram duplicated → starts ≫ gate), one lightly-duplicated doc
+    (raw branch), and one clean doc."""
+    L = 3
+    # heavy: a 2-word motif tiled ~60 times → every L-gram occurs many times
+    heavy = " ".join(["rep tok"] * 60)
+    # light: unique filler with ONE duplicated L-gram planted twice
+    filler = [f"w{i}" for i in range(40)]
+    light = " ".join(filler[:10] + ["a", "b", "c"] + filler[10:30] + ["a", "b", "c"] + filler[30:])
+    clean = " ".join(f"u{i}" for i in range(20))
+    docs = {1: heavy, 2: light, 3: clean}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_kept"])
+        for r in dedup.substring_dedup(
+            df, "text", "doc_id", min_len=L, min_count=2
+        ).collect()
+    }
+
+    # python model: corpus-wide gram counts, then raw per-start coverage
+    from collections import Counter
+
+    counts: Counter = Counter()
+    grams = {}
+    for i, t in docs.items():
+        w = t.split(" ")
+        grams[i] = [tuple(w[s : s + L]) for s in range(len(w) - L + 1)]
+        counts.update(grams[i])
+    expect = {}
+    for i, t in docs.items():
+        w = t.split(" ")
+        covered = set()
+        for s, g in enumerate(grams[i]):
+            if counts[g] >= 2:
+                covered.update(range(s, s + L))
+        kept = [tok for j, tok in enumerate(w) if j not in covered]
+        if kept:
+            expect[i] = (" ".join(kept), len(kept))
+    # the heavy doc must actually exercise the merged branch
+    n_dup_starts = sum(1 for g in grams[1] if counts[g] >= 2)
+    assert n_dup_starts > dedup._MERGE_GATE_STARTS
+    assert got == expect
