@@ -28,6 +28,10 @@ mode would reject on overflow).
 
 from __future__ import annotations
 
+import math
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -630,15 +634,128 @@ def hashed_word_shingles(text_col, k: int = 3) -> Column:
     return _bind(F.split(c, " "), body)
 
 
+#: per-session memo of the (openCostInBytes, maxPartitionBytes,
+#: effective-parallelism) triple used by the split math — four py4j
+#: roundtrips otherwise paid on EVERY query construction for values that
+#: nothing in this engine (or its tests) mutates mid-session
+_SPLIT_CONF_CACHE: dict[int, tuple[int, int, int]] = {}
+
+
+def _split_conf(spark) -> tuple[int, int, int]:
+    key = id(spark)
+    hit = _SPLIT_CONF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    conf = spark.conf
+
+    def _bytes_conf(ckey: str, default: int) -> int:
+        raw = conf.get(ckey, None)
+        if raw is None:
+            return default
+        try:
+            return int(raw)
+        except ValueError:
+            jvm = spark.sparkContext._jvm
+            return int(
+                jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+            )
+
+    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 << 20)
+    max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
+    min_pn = conf.get("spark.sql.files.minPartitionNum", None) or conf.get(
+        "spark.sql.leafNodeDefaultParallelism", None
+    )
+    parallelism = int(min_pn) if min_pn else spark.sparkContext.defaultParallelism
+    out = (open_cost, max_pb, parallelism)
+    _SPLIT_CONF_CACHE[key] = out
+    return out
+
+
+def _files_partition_estimate(df: DataFrame, n_target: int) -> int | None:
+    """Scan-partition count estimated from the source files' sizes with
+    Spark's own split math (``FilePartition.maxSplitBytes``: ``maxSplit =
+    min(maxPartitionBytes, max(openCostInBytes, paddedTotal /
+    minPartitionNum))``), from analysis-time metadata only — ``inputFiles``
+    walks the analyzed plan's file indexes and never builds a physical
+    plan. Returns ``None`` when the frame has no file-backed source
+    (in-memory test frames) or a source whose sizes the driver cannot
+    ``os.stat`` (remote schemes); callers then fall back to the exact
+    ``df.rdd`` probe. The partition count replays Spark's own packing
+    (``FilePartition.getFilePartitions``: size-descending first fit,
+    open-cost padding, bin closed when the next raw split would overflow
+    ``maxSplit``), so it matches the scan exactly on local files; a huge
+    file list short-circuits through the padding-free lower bound
+    ``ceil(rawTotal / maxSplit)`` — when even the lower bound clears the
+    shuffle-partition target, packing cannot change the decision."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-relational plans: fall back to the exact probe
+        return None
+    if not files:
+        return None
+    sizes = []
+    for uri in files:
+        if uri.startswith("file:"):
+            path = unquote(urlparse(uri).path)
+        elif "://" not in uri:
+            path = uri
+        else:
+            return None  # remote FS: size not visible to a driver os.stat
+        try:
+            sizes.append(os.path.getsize(path))
+        except OSError:
+            return None
+    spark = df.sparkSession
+    open_cost, max_pb, parallelism = _split_conf(spark)
+    padded = sum(sizes) + open_cost * len(sizes)
+    max_split = max(1, min(max_pb, max(open_cost, padded // max(parallelism, 1))))
+    lower = math.ceil(sum(sizes) / max_split) if sizes else 1
+    if lower >= n_target:
+        # every bin holds at most max_split RAW bytes, so the true count is
+        # >= lower — already past the only threshold _spread compares with
+        return lower
+    # exact replay of FilePartition.getFilePartitions: split each file by
+    # max_split, sort splits size-descending, first-fit with open-cost
+    # padding, close the bin when the next raw split would overflow
+    splits: list[int] = []
+    for s in sizes:
+        while s > max_split:
+            splits.append(max_split)
+            s -= max_split
+        if s > 0:
+            splits.append(s)
+    splits.sort(reverse=True)
+    bins = 0
+    cur = 0
+    for s in splits:
+        if cur + s > max_split and cur > 0:
+            bins += 1
+            cur = 0
+        cur += s + open_cost
+    if cur > 0:
+        bins += 1
+    return max(1, bins)
+
+
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Hash-repartition on the doc id before CPU-heavy shingling — but ONLY
     when the input underparallelizes: a small single-file corpus scans as 1
     partition, which would serialize all expression work. A corpus whose
     scan already yields at least the shuffle-partition target (the normal
     case at scale — file splits) passes through untouched; shuffling 100 TB
-    of raw text just to re-balance would dwarf the shingling it feeds."""
+    of raw text just to re-balance would dwarf the shingling it feeds.
+
+    The parallelism probe prefers :func:`_files_partition_estimate`:
+    ``df.rdd`` forces a full physical-planning pass (plus the file-split
+    planning it exists to predict) per QUERY CONSTRUCTION — measured at
+    30–100 ms per call locally and O(file-listing) of driver time on a
+    large table — where the file-size estimate needs only the analyzed
+    plan's input files. The exact RDD probe remains the fallback for
+    frames without file-backed sources."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() >= n:
+    est = _files_partition_estimate(df, n)
+    parts = est if est is not None else df.rdd.getNumPartitions()
+    if parts >= n:
         return df
     return df.repartition(n, F.col(id_col))
 

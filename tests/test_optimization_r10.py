@@ -207,3 +207,36 @@ def test_excision_merged_branch_matches_raw_semantics_on_dup_heavy_doc(spark):
     n_dup_starts = sum(1 for g in grams[1] if counts[g] >= 2)
     assert n_dup_starts > dedup._MERGE_GATE_STARTS
     assert got == expect
+
+
+def test_files_partition_estimate_replays_spark_split_math(spark, tmp_path):
+    """_spread's metadata-only parallelism probe must agree exactly with the
+    physical scan it predicts (df.rdd.getNumPartitions()) on file-backed
+    frames — one tiny file, many small files, and a post-filter projection —
+    and decline (None) on frames with no file source so the caller falls
+    back to the exact probe."""
+    n_target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    one = str(tmp_path / "one")
+    spark.range(0, 100).selectExpr(
+        "id as doc_id", "repeat('w ', 8) as text"
+    ).coalesce(1).write.parquet(one)
+    many = str(tmp_path / "many")
+    spark.range(0, 2000).selectExpr(
+        "id as doc_id", "repeat('w ', 40) as text"
+    ).repartition(40).write.parquet(many)
+
+    for path in (one, many):
+        df = spark.read.parquet(path)
+        est = dedup._files_partition_estimate(df, n_target)
+        assert est == df.rdd.getNumPartitions(), path
+        # survives select/filter (the shapes _spread actually receives)
+        shaped = df.select("doc_id", "text").filter(F.col("doc_id") >= 0)
+        est2 = dedup._files_partition_estimate(shaped, n_target)
+        assert est2 == shaped.rdd.getNumPartitions(), path
+
+    mem = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert dedup._files_partition_estimate(mem, n_target) is None
+    # _spread still repartitions underparallelized scans to the target
+    under = spark.read.parquet(one)
+    assert dedup._spread(under, "doc_id").rdd.getNumPartitions() == n_target
