@@ -184,6 +184,14 @@ def gopher_rules(
     pipeline can filter on ``keep`` without re-joining the metrics back to
     the corpus on the id (which would turn a map-only stage into a
     shuffle).
+
+    Feed this battery a PLAIN text column (a scan column or a cache-backed
+    one), not a derived expression: the metrics reference the text and its
+    splits many times, the splits are interpreted higher-order children
+    (no codegen CSE), and predicate pushdown re-substitutes the whole
+    text expression into the ``keep`` filter — an expensive upstream
+    expression is re-evaluated per reference (measured ~30× for
+    x_curation_v4's C4 stage before its cache barrier).
     """
     c = F.col(text_col)
     words = F.split(F.trim(c), r"\s+")

@@ -1750,8 +1750,19 @@ def _v4_stage_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     from eth_indexer_spark.operators import decontam, quality
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    cleaned = quality.c4_line_filter(
-        _synthesized_lines(d), "text", "doc_id"
+    # cache barrier between the C4 stage and the Gopher battery: clean_text
+    # is itself an expensive higher-order expression (synthesized lines →
+    # per-line word-split filter → array_join), and without the barrier the
+    # battery's metric references plus the pushed-down keep-filter
+    # substitute that whole expression ~30× per raw row (measured in the
+    # r10 before-plan: the scan-level Filter carries ~30 copies of the
+    # synthesized-lines subtree). Materializing the survivors once cuts
+    # x_curation_v4 ~25% (4/4 alternating fresh-process pairs, guide §4.4's
+    # evaluate-once principle applied to interpreted HOFs, which get no
+    # codegen CSE).
+    cleaned = persist_bounded(
+        "extensions.curation_v4.cleaned",
+        quality.c4_line_filter(_synthesized_lines(d), "text", "doc_id"),
     ).withColumnRenamed("clean_text", "text")
     g = quality.gopher_rules(
         cleaned, "text", "doc_id",

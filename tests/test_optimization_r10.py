@@ -240,3 +240,26 @@ def test_files_partition_estimate_replays_spark_split_math(spark, tmp_path):
     # _spread still repartitions underparallelized scans to the target
     under = spark.read.parquet(one)
     assert dedup._spread(under, "doc_id").rdd.getNumPartitions() == n_target
+
+
+def test_curation_v4_gopher_reads_cleaned_text_through_cache_barrier(spark):
+    """The C4 → Gopher cache barrier (r10 kept change #6): building the v4
+    stage frames pools the cleaned corpus, and the Gopher stage's optimized
+    plan consumes it through an InMemoryRelation — so the battery's metric
+    expressions and the pushed-down keep-filter evaluate over MATERIALIZED
+    clean text. Without the barrier, predicate pushdown substitutes the
+    whole synthesized-lines + C4 higher-order expression into the scan-level
+    filter ~30x per raw row (the r10 before-plan)."""
+    from eth_indexer_spark.operators._persist import pooled_sites
+    from eth_indexer_spark.plans.extensions import _v4_stage_frames
+
+    frames = _v4_stage_frames(spark, "/root/testdata/sf0.001")
+    assert "extensions.curation_v4.cleaned" in pooled_sites()
+    assert "extensions.curation_v4.kept" in pooled_sites()
+    gopher_plan = frames["gopher"]._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in gopher_plan
+    # the barrier stops expression re-substitution: the synthesized-lines
+    # subtree (sequence(0, size(...), 4)) appears in the CACHED lineage, not
+    # in the consumer plan above the cache boundary
+    above_cache = gopher_plan.split("InMemoryRelation", 1)[0]
+    assert "sequence(0" not in above_cache
