@@ -263,3 +263,42 @@ def test_curation_v4_gopher_reads_cleaned_text_through_cache_barrier(spark):
     # in the consumer plan above the cache boundary
     above_cache = gopher_plan.split("InMemoryRelation", 1)[0]
     assert "sequence(0" not in above_cache
+
+
+def test_antijoin_cap_matches_window_cap(spark):
+    """The capped-jaccard inverted index drops EXACTLY the rows the generic
+    window cap drops (r10 kept change #7): same surviving (doc, key) set on
+    a corpus with a ubiquitous hot shingle, so sizes, intersections, and the
+    final Jaccard pairs are unchanged by the anti-join form."""
+    rows = [(i, f"common boilerplate header unique {i} tail {i * 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inv = df.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(dedup.hashed_word_shingles("text", 3)).alias("s"),
+    )
+    want = {(r["doc"], r["s"]) for r in dedup.cap_hot_keys(inv, "s", 5).collect()}
+    hot = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > 5)
+        .select("s")
+    )
+    got = {(r["doc"], r["s"]) for r in inv.join(hot, "s", "left_anti").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_capped_jaccard_plan_caps_without_window(spark):
+    """ngram_jaccard_pairs_capped's plan carries the anti-join cap — a
+    LeftAnti join and NO Window/Sort in the capping lineage — so the cached
+    index is built without the full-index sort the window form pays."""
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs_capped(df, "text", "doc_id", k=3, max_df=5)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "Window" not in plan
+    from eth_indexer_spark.operators._persist import release_persisted
+
+    release_persisted()

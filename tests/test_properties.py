@@ -265,17 +265,24 @@ def test_bounded_persist_pool_holds_one_frame_per_site(spark):
         "doc_id long, text string",
     )
 
+    # r10: the capped path pools three sites — the pre-cap index (hot
+    # count), the capped index, and the per-doc sizes
+    NGRAM_SITES = [
+        "dedup.ngram_capped.index",
+        "dedup.ngram_capped.index0",
+        "dedup.ngram_capped.sizes",
+    ]
     out1 = dedup.ngram_jaccard_pairs_capped(
         docs, "text", "doc_id", k=3, threshold=0.5, max_df=50
     ).collect()
-    assert P.pooled_sites() == ["dedup.ngram_capped.index"]
+    assert P.pooled_sites() == NGRAM_SITES
     first = P._POOL["dedup.ngram_capped.index"]
 
     out2 = dedup.ngram_jaccard_pairs_capped(
         docs, "text", "doc_id", k=3, threshold=0.5, max_df=50
     ).collect()
     # same plan → the pool KEEPS the first frame and its cache entry
-    assert P.pooled_sites() == ["dedup.ngram_capped.index"]
+    assert P.pooled_sites() == NGRAM_SITES
     assert P._POOL["dedup.ngram_capped.index"] is first
     assert first.storageLevel.useMemory or first.storageLevel.useDisk
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
@@ -297,13 +304,10 @@ def test_bounded_persist_pool_holds_one_frame_per_site(spark):
 
     # minhash uses its own site — the two ops never evict each other
     dedup.minhash_lsh_pairs(docs, "text", "doc_id", k=3).collect()
-    assert P.pooled_sites() == [
-        "dedup.minhash.rows",
-        "dedup.ngram_capped.index",
-    ]
+    assert P.pooled_sites() == ["dedup.minhash.rows"] + NGRAM_SITES
 
     P.release_persisted("dedup.minhash.rows")
-    assert P.pooled_sites() == ["dedup.ngram_capped.index"]
+    assert P.pooled_sites() == NGRAM_SITES
     P.release_persisted()
     assert P.pooled_sites() == []
     # consuming the evicted-lineage result still reproduces identical rows
