@@ -157,6 +157,9 @@ def gopher_rules(
     required_stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
     min_required_stopwords: int = 2,
     passthrough: tuple[str, ...] = (),
+    words_col: str | None = None,
+    lines_col: str | None = None,
+    word_cores_col: str | None = None,
 ) -> DataFrame:
     """Gopher/MassiveText quality-rule filter (Rae et al. 2021 §A.1.1) —
     the standard rule battery applied to every web-scale English corpus
@@ -192,11 +195,20 @@ def gopher_rules(
     text expression into the ``keep`` filter — an expensive upstream
     expression is re-evaluated per reference (measured ~30× for
     x_curation_v4's C4 stage before its cache barrier).
+
+    ``words_col`` / ``lines_col`` / ``word_cores_col`` optionally name
+    PRE-SPLIT array columns the caller materialized (e.g. into the same
+    cache as the text): they must hold exactly ``split(trim(text),
+    '\\s+')``, ``split(text, '\\n')`` and the lowercased edge-stripped
+    word cores respectively — the battery then reads the arrays instead
+    of re-running each split per metric reference (and again inside the
+    pushed-down ``keep`` filter). Semantics are identical by the caller's
+    contract; only where the split work happens moves.
     """
     c = F.col(text_col)
-    words = F.split(F.trim(c), r"\s+")
+    words = F.col(words_col) if words_col else F.split(F.trim(c), r"\s+")
     n_words = F.when(F.length(F.trim(c)) > 0, F.size(words)).otherwise(F.lit(0))
-    lines = F.split(c, "\n")
+    lines = F.col(lines_col) if lines_col else F.split(c, "\n")
     n_lines = F.size(lines)
 
     def ratio(num, den):
@@ -247,9 +259,13 @@ def gopher_rules(
     # count. A raw whitespace-token intersect would make the rule stricter
     # than Gopher's on any punctuated text (a stopword followed by a comma
     # never matches) and reject fluent documents.
-    word_cores = F.transform(
-        F.split(F.lower(F.trim(c)), r"\s+"),
-        lambda w: F.regexp_replace(w, r"^[^0-9a-z]+|[^0-9a-z]+$", ""),
+    word_cores = (
+        F.col(word_cores_col)
+        if word_cores_col
+        else F.transform(
+            F.split(F.lower(F.trim(c)), r"\s+"),
+            lambda w: F.regexp_replace(w, r"^[^0-9a-z]+|[^0-9a-z]+$", ""),
+        )
     )
     n_req_stop = F.size(
         F.array_intersect(

@@ -1760,14 +1760,36 @@ def _v4_stage_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # x_curation_v4 ~25% (4/4 alternating fresh-process pairs, guide §4.4's
     # evaluate-once principle applied to interpreted HOFs, which get no
     # codegen CSE).
+    # The cache rows additionally materialize the battery's three split
+    # arrays (words / lines / word cores) next to the text: the battery
+    # references its splits ~12x per row (each metric, then again inside
+    # the pushed-down keep-filter — interpreted HOF children get no
+    # codegen CSE), so pre-splitting once at materialization cuts the
+    # per-row split count to 3 and every downstream reference to an O(1)
+    # cached-array read, at the cost of wider cache rows (~3x the text
+    # bytes — still the survivor set, not the raw corpus).
+    c4 = quality.c4_line_filter(
+        _synthesized_lines(d), "text", "doc_id"
+    ).withColumnRenamed("clean_text", "text")
     cleaned = persist_bounded(
         "extensions.curation_v4.cleaned",
-        quality.c4_line_filter(_synthesized_lines(d), "text", "doc_id"),
-    ).withColumnRenamed("clean_text", "text")
+        c4.select(
+            "doc_id",
+            "text",
+            "n_lines_kept",
+            F.split(F.trim(F.col("text")), r"\s+").alias("__gwords"),
+            F.split(F.col("text"), "\n").alias("__glines"),
+            F.transform(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda w: F.regexp_replace(w, r"^[^0-9a-z]+|[^0-9a-z]+$", ""),
+            ).alias("__gcores"),
+        ),
+    )
     g = quality.gopher_rules(
         cleaned, "text", "doc_id",
         min_words=20, required_stopwords=("the", "a"), min_required_stopwords=1,
         passthrough=("text", "n_lines_kept"),
+        words_col="__gwords", lines_col="__glines", word_cores_col="__gcores",
     )
     kept = persist_bounded(
         "extensions.curation_v4.kept",

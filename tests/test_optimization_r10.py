@@ -302,3 +302,60 @@ def test_capped_jaccard_plan_caps_without_window(spark):
     from eth_indexer_spark.operators._persist import release_persisted
 
     release_persisted()
+
+
+def test_gopher_presplit_columns_match_inline_splits(spark):
+    """gopher_rules given caller-materialized words/lines/word-cores arrays
+    (the r10 Session-3 kept change: the v4 battery reads pre-split cache
+    columns instead of re-running each split per metric reference) returns
+    EXACTLY the rows of the inline-split form — on a corpus exercising the
+    edge cases the splits encode: multi-space runs, leading/trailing
+    whitespace, punctuation-wrapped stopwords, bullet/ellipsis lines,
+    empty and whitespace-only documents."""
+    from eth_indexer_spark.operators import quality
+
+    docs = [
+        (0, "The quick brown fox. Jumps over the lazy dog."),
+        (1, "  the   spaced    out   doc with,, odd punctuation 'the' !!  "),
+        (2, "- bullet one\n- bullet two\nnormal line with the word"),
+        (3, "ends with ellipsis...\nand another…\nplain the line"),
+        (4, ""),
+        (5, "   "),
+        (6, "### symbols ### everywhere ### the ratio # climbs"),
+        (7, "ONE"),
+        (8, '"The" (a) [the] {a} the.\nsecond the line here with words'),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pre = df.select(
+        "doc_id",
+        "text",
+        F.split(F.trim(F.col("text")), r"\s+").alias("__w"),
+        F.split(F.col("text"), "\n").alias("__l"),
+        F.transform(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda w: F.regexp_replace(w, r"^[^0-9a-z]+|[^0-9a-z]+$", ""),
+        ).alias("__c"),
+    )
+    plain = quality.gopher_rules(df, "text", "doc_id", min_words=3).collect()
+    split_form = quality.gopher_rules(
+        pre, "text", "doc_id", min_words=3,
+        words_col="__w", lines_col="__l", word_cores_col="__c",
+    ).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, split_form))
+    assert len(plain) == len(docs)
+
+
+def test_curation_v4_battery_reads_presplit_arrays(spark):
+    """The v4 Gopher stage's optimized plan performs NO split above the
+    cleaned-cache boundary: every split the battery needs (words, lines,
+    word cores) is materialized INTO the cache, so the metric expressions
+    and the pushed-down keep-filter read O(1) cached arrays."""
+    from eth_indexer_spark.plans.extensions import _v4_stage_frames
+
+    frames = _v4_stage_frames(spark, "/root/testdata/sf0.001")
+    gopher_plan = frames["gopher"]._jdf.queryExecution().optimizedPlan().toString()
+    above_cache = gopher_plan.split("InMemoryRelation", 1)[0]
+    assert "split(" not in above_cache
+    from eth_indexer_spark.operators._persist import release_persisted
+
+    release_persisted()
