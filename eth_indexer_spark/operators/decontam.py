@@ -18,10 +18,15 @@ Scale shape (100 TB corpus, MB-scale benchmark):
   and the semi-join falls back to a hash shuffle on the gram — still one
   shuffle of (gram, id), never a cross product.
 
-Shingling reuses :func:`eth_indexer_spark.operators.dedup.word_shingles`
-(distinct k-word shingles, whitespace tokens) so the contamination predicate
-is bit-identical to the dedup family and reproducible in ANSI SQL — the
-registered query is fully oracle-checked.
+Shingling reuses the dedup family's kernels: the binary
+:func:`contaminated_ids`/:func:`decontaminate` path grams on
+:func:`eth_indexer_spark.operators.dedup.word_shingles` (distinct k-word
+shingles, whitespace tokens — bit-identical to the dedup family and
+reproducible in ANSI SQL; the registered queries are fully oracle-checked),
+while :func:`contamination_report` defaults to
+:func:`~eth_indexer_spark.operators.dedup.hashed_word_shingles` (its output
+is counts only, so gram text never needs to materialize — see the function
+docstring for the measured rationale and the opt-out).
 """
 
 from __future__ import annotations
@@ -29,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from eth_indexer_spark.operators.dedup import word_shingles
+from eth_indexer_spark.operators.dedup import hashed_word_shingles, word_shingles
 
 
 def benchmark_ngrams(bench: DataFrame, text_col: str, k: int = 13) -> DataFrame:
@@ -96,6 +101,7 @@ def contamination_report(
     id_col: str,
     k: int = 13,
     broadcast_bench: bool = True,
+    hashed_grams: bool = True,
 ) -> DataFrame:
     """Contamination SEVERITY per document: ``(id, n_grams, n_hit_grams,
     overlap_frac, contaminated)`` — the inspect-before-you-scrub report
@@ -113,12 +119,36 @@ def contamination_report(
     ``explode_outer`` keeps documents shorter than ``k`` words as a
     null-gram row — ``count(gram)`` ignores it, so they come back with
     zero counts instead of vanishing, with no second id-restore scan
-    (plan-audited)."""
-    grams = benchmark_ngrams(bench, text_col, k).withColumn("__bench", F.lit(True))
+    (plan-audited).
+
+    Gram text never reaches this operator's OUTPUT (only counts and the
+    overlap fraction do), so by default (``hashed_grams=True``) both
+    sides gram on
+    :func:`~eth_indexer_spark.operators.dedup.hashed_word_shingles` —
+    64-bit shingle hashes built without materializing the shingle
+    strings. Per-doc distinct-hash counts equal distinct-shingle counts
+    and hash-join hits equal string-join hits modulo the same
+    ~2⁻⁶⁴-per-pair collision odds the Jaccard family already accepts
+    (the dedup kernel's argument); the broadcast rows narrow from gram
+    strings to longs for free. Measured (r10): ~1.3× at sf0.1 and ~2× at
+    sf1 on the standalone report (6/6 alternating fresh-process pairs) —
+    but the same swap LOST inside the v4 composition's small normalized
+    gram stage (1/6 sf1 pairs), so callers whose gram stage is a minor,
+    short-string slice of a larger cached pipeline pass
+    ``hashed_grams=False`` to keep the string form (the kept-#7
+    "win-is-specific" precedent). The binary
+    :func:`contaminated_ids`/:func:`decontaminate` path always keeps
+    string grams (its oracle compares the gram-set predicate directly)."""
+    shingles = hashed_word_shingles if hashed_grams else word_shingles
+    grams = (
+        bench.select(F.explode(shingles(text_col, k)).alias("gram"))
+        .distinct()
+        .withColumn("__bench", F.lit(True))
+    )
     if broadcast_bench:
         grams = F.broadcast(grams)
     doc_grams = docs.select(
-        F.col(id_col), F.explode_outer(word_shingles(text_col, k)).alias("gram")
+        F.col(id_col), F.explode_outer(shingles(text_col, k)).alias("gram")
     )
     per = (
         doc_grams.join(grams, "gram", "left")

@@ -607,10 +607,13 @@ def hashed_word_shingles(text_col, k: int = 3) -> Column:
     pair/cap/verify family): two shingles are equal iff their word triples
     are equal, under either hash family, modulo the same ~2⁻⁶⁴-per-pair
     collision odds the string-hash form already accepts — so pair outputs
-    are identical in practice. NOT for MinHash (`minhash_index` derives
-    signature values from the string-hash family; changing it would change
-    every stored signature and LSH bucket) nor for decontam's
-    string-keyed benchmark joins.
+    are identical in practice. Also the default gram key of
+    ``decontam.contamination_report`` (counts-only output — hash-join hits
+    ≡ string-join hits under the same argument). NOT for MinHash
+    (`minhash_index` derives signature values from the string-hash family;
+    changing it would change every stored signature and LSH bucket) nor
+    for the binary ``contaminated_ids``/``decontaminate`` path (its oracle
+    compares the gram-set predicate directly).
 
     Both the word array and the word-hash array are :func:`_bind`-bound —
     an unbound word-hash transform inside the per-position lambda would

@@ -1803,8 +1803,14 @@ def _v4_stage_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     ).alias("text")
     bench = kept.filter(F.col("doc_id") % 97 == 0).select("doc_id", norm)
     corpus = kept.filter(F.col("doc_id") % 97 != 0)
+    # hashed_grams=False: the hashed-gram default LOST the sf1 A/B inside
+    # THIS composition (1/6 alternating pairs) while winning 6/6 on the
+    # standalone report — here the gram stage is a small short-string
+    # slice of a cached pipeline and the string form is cheaper (r10
+    # Session 3; the kept-#7 "win-is-specific" precedent)
     rep = decontam.contamination_report(
-        corpus.select("doc_id", norm), bench, "text", "doc_id", k=3
+        corpus.select("doc_id", norm), bench, "text", "doc_id", k=3,
+        hashed_grams=False,
     )
     final = corpus.join(
         rep.where(F.col("overlap_frac") <= 0.02).select(

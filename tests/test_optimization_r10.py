@@ -359,3 +359,58 @@ def test_curation_v4_battery_reads_presplit_arrays(spark):
     from eth_indexer_spark.operators._persist import release_persisted
 
     release_persisted()
+
+
+def test_contamination_report_hashed_grams_match_string_grams(spark):
+    """contamination_report grams on 64-bit shingle hashes (r10 Session-3):
+    per-document totals, hit counts, overlap fractions and flags equal the
+    string-gram form — on a corpus with short docs (no grams), full
+    benchmark copies, partial overlap, and repeated shingles."""
+    from eth_indexer_spark.operators import decontam
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon"),          # partial overlap
+        (1, "zeta eta theta iota kappa"),                # no overlap
+        (2, "alpha beta gamma alpha beta gamma delta"),  # repeats
+        (3, "one two"),                                  # shorter than k
+        (4, ""),                                         # empty
+        (5, "alpha beta gamma delta epsilon"),           # exact bench copy
+    ]
+    bench = [(100, "alpha beta gamma delta epsilon"), (101, "mu nu xi omicron pi")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    b = spark.createDataFrame(bench, "doc_id long, text string")
+    got = decontam.contamination_report(d, b, "text", "doc_id", k=3).collect()
+    # string-gram reference: the pre-rewrite plan, inlined
+    grams = (
+        b.select(F.explode(dedup.word_shingles("text", 3)).alias("gram"))
+        .distinct()
+        .withColumn("__bench", F.lit(True))
+    )
+    doc_grams = d.select(
+        "doc_id", F.explode_outer(dedup.word_shingles("text", 3)).alias("gram")
+    )
+    per = (
+        doc_grams.join(F.broadcast(grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n"),
+            F.sum(F.when(F.col("__bench"), 1).otherwise(0)).cast("long").alias("h"),
+        )
+    )
+    want = per.select(
+        "doc_id",
+        F.col("n").alias("n_grams"),
+        F.coalesce("h", F.lit(0)).cast("long").alias("n_hit_grams"),
+        F.when(F.col("n") > 0, F.round(F.coalesce("h", F.lit(0)).cast("double") / F.col("n"), 4))
+        .otherwise(F.lit(0.0))
+        .alias("overlap_frac"),
+        (F.coalesce("h", F.lit(0)) > 0).alias("contaminated"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert any(r["contaminated"] for r in got) and any(not r["contaminated"] for r in got)
+    # the opt-out path (hashed_grams=False, kept by the v4 composition)
+    # is the string form itself
+    got_str = decontam.contamination_report(
+        d, b, "text", "doc_id", k=3, hashed_grams=False
+    ).collect()
+    assert sorted(map(tuple, got_str)) == sorted(map(tuple, want))
