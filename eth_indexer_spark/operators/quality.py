@@ -327,6 +327,35 @@ def c4_line_filter(
     c = F.col(text_col)
     lines = F.split(c, "\n")
 
+    def word_count_ok(l):
+        """``size(split(trim(l), r"\\s+")) >= min_words_per_line``, decided
+        WITHOUT materializing the word array: the split form allocates one
+        string per word on every line just to compare a count, and this
+        lambda re-evaluates per plan reference (filter pushdown + project
+        copies — interpreted HOFs get no codegen CSE). Anchored POSSESSIVE
+        regexes (``\\S++``/``\\s*+`` never backtrack — an unbounded
+        greedy ``\\S+`` re-scans a giant unbroken token O(len²) on failure)
+        read only the first ``min_words_per_line`` tokens and allocate
+        nothing.
+
+        Exact split-semantics replication, pinned by
+        ``test_c4_word_count_regex_matches_split_form``: ``trim`` strips
+        SPACES only, and a leading separator yields a phantom empty first
+        element (Java split keeps leading empties, drops trailing ones),
+        so a line whose space-trimmed form STARTS with non-space
+        whitespace counts one extra "word". Predicate ⟺ the line has
+        ≥ m non-space runs, OR has the phantom and ≥ m-1 runs. For
+        m < 2 the phantom can satisfy the bound on an all-whitespace
+        line, where run-counting alone cannot — keep the split form
+        there (never hot: the default and every caller use m ≥ 2)."""
+        if min_words_per_line < 2:
+            return F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line
+        m = min_words_per_line
+        runs_m = l.rlike(r"^\s*+(\S++\s++){%d}\S" % (m - 1))
+        phantom = l.rlike(r"^ *+[\s&&[^ ]]")
+        runs_m1 = l.rlike(r"^\s*+(\S++\s++){%d}\S" % (m - 2))
+        return runs_m | (phantom & runs_m1)
+
     def line_ok(l):
         # empty terminal_punct = rule disabled (None & col would yield a
         # NULL boolean that silently drops every line)
@@ -334,7 +363,7 @@ def c4_line_filter(
         for i, p in enumerate(terminal_punct):
             e = l.endswith(p)
             ends = e if i == 0 else (ends | e)
-        ok = ends & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
+        ok = ends & word_count_ok(l)
         for b in line_bans:
             ok = ok & ~F.lower(l).contains(b.lower())
         return ok
