@@ -23,7 +23,7 @@ def main() -> None:
     spark = get_spark("dump-plans", cpus=8)
     registry = entrymod.queries()
     names = list(benchmod.BENCH_QUERIES) + list(benchmod.UNGATED_QUERIES)
-    outdir = os.path.join(REPO, "plans", "r10")
+    outdir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         if only and name not in only:
