@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from eth_indexer_spark.operators._colmemo import memo_col
 from eth_indexer_spark.operators._persist import persist_bounded
 
 
@@ -580,18 +581,27 @@ def word_shingles(text_col, k: int = 3) -> Column:
     ``size(..) > 0`` filter paid it again at the scan). The per-position
     ``slice`` itself is O(k) — copying ``k`` refs from the BOUND array is
     cheap; only the unbound splice was the trap. Shingle values are
-    bit-identical."""
+    bit-identical.
+
+    String-named columns memoize the finished tree (:mod:`._colmemo`):
+    the ~100-round-trip py4j build otherwise repeats per query
+    construction."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
 
-    def body(words):
-        n = F.size(words)
-        idx = F.sequence(F.lit(1), n - (k - 1))
-        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
-        return F.when(n >= k, F.array_distinct(sh)).otherwise(
-            F.array().cast("array<string>")
-        )
+    def build():
+        def body(words):
+            n = F.size(words)
+            idx = F.sequence(F.lit(1), n - (k - 1))
+            sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+            return F.when(n >= k, F.array_distinct(sh)).otherwise(
+                F.array().cast("array<string>")
+            )
 
-    return _bind(F.split(c, " "), body)
+        return _bind(F.split(c, " "), body)
+
+    if isinstance(text_col, str):
+        return memo_col(("word_shingles", text_col, k), build)
+    return build()
 
 
 def hashed_word_shingles(text_col, k: int = 3) -> Column:
@@ -617,24 +627,32 @@ def hashed_word_shingles(text_col, k: int = 3) -> Column:
 
     Both the word array and the word-hash array are :func:`_bind`-bound —
     an unbound word-hash transform inside the per-position lambda would
-    re-hash every word per shingle position (the O(len²) splice trap)."""
+    re-hash every word per shingle position (the O(len²) splice trap).
+
+    String-named columns memoize the finished tree (:mod:`._colmemo`), as
+    :func:`word_shingles` does."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
 
-    def body(words):
-        def inner(h):
-            n = F.size(h)
-            idx = F.sequence(F.lit(1), n - (k - 1))
-            sh = F.transform(
-                idx,
-                lambda i: F.xxhash64(*[F.element_at(h, i + j) for j in range(k)]),
-            )
-            return F.when(n >= k, F.array_distinct(sh)).otherwise(
-                F.array().cast("array<bigint>")
-            )
+    def build():
+        def body(words):
+            def inner(h):
+                n = F.size(h)
+                idx = F.sequence(F.lit(1), n - (k - 1))
+                sh = F.transform(
+                    idx,
+                    lambda i: F.xxhash64(*[F.element_at(h, i + j) for j in range(k)]),
+                )
+                return F.when(n >= k, F.array_distinct(sh)).otherwise(
+                    F.array().cast("array<bigint>")
+                )
 
-        return _bind(F.transform(words, lambda w: F.xxhash64(w)), inner)
+            return _bind(F.transform(words, lambda w: F.xxhash64(w)), inner)
 
-    return _bind(F.split(c, " "), body)
+        return _bind(F.split(c, " "), body)
+
+    if isinstance(text_col, str):
+        return memo_col(("hashed_word_shingles", text_col, k), build)
+    return build()
 
 
 #: per-session memo of the (openCostInBytes, maxPartitionBytes,

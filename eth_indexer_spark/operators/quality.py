@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from eth_indexer_spark.operators._colmemo import memo_col
+
 
 def word_ngrams(col, n: int = 2) -> Column:
     """NON-distinct word n-grams (array<string>) — unlike
@@ -204,86 +206,110 @@ def gopher_rules(
     of re-running each split per metric reference (and again inside the
     pushed-down ``keep`` filter). Semantics are identical by the caller's
     contract; only where the split work happens moves.
+
+    The metric tree (everything except the threshold booleans in ``keep``)
+    is ~1200 py4j round trips to build (~0.3 s of driver time per QUERY
+    CONSTRUCTION); it depends only on the column names and the stopword
+    list, so it is memoized process-wide (:mod:`._colmemo`).
     """
-    c = F.col(text_col)
-    words = F.col(words_col) if words_col else F.split(F.trim(c), r"\s+")
-    n_words = F.when(F.length(F.trim(c)) > 0, F.size(words)).otherwise(F.lit(0))
-    lines = F.col(lines_col) if lines_col else F.split(c, "\n")
-    n_lines = F.size(lines)
 
-    def ratio(num, den):
-        return F.when(den > 0, F.round(num.cast("double") / den, 4)).otherwise(
-            F.lit(0.0)
+    def build_metrics() -> tuple:
+        c = F.col(text_col)
+        words = F.col(words_col) if words_col else F.split(F.trim(c), r"\s+")
+        n_words = F.when(F.length(F.trim(c)) > 0, F.size(words)).otherwise(
+            F.lit(0)
         )
+        lines = F.col(lines_col) if lines_col else F.split(c, "\n")
+        n_lines = F.size(lines)
 
-    char_sum = F.aggregate(
-        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-    )
-    mean_word_len = ratio(char_sum, n_words)
+        def ratio(num, den):
+            return F.when(den > 0, F.round(num.cast("double") / den, 4)).otherwise(
+                F.lit(0.0)
+            )
 
-    def occurrences(literal: str):
+        char_sum = F.aggregate(
+            words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        )
+        mean_word_len = ratio(char_sum, n_words)
+
+        def occurrences(literal: str):
+            return (
+                F.length(c) - F.length(F.replace(c, F.lit(literal), F.lit("")))
+            ) / len(literal)
+
+        n_symbols = (
+            occurrences("#")
+            + F.size(F.regexp_extract_all(c, F.lit(r"\.{3}"), 0))
+            + occurrences("…")
+        )
+        symbol_ratio = ratio(n_symbols, n_words)
+
+        bullet_frac = ratio(
+            F.size(
+                F.filter(
+                    lines,
+                    lambda l: F.substring(F.ltrim(l), 1, 1).isin(*BULLET_CHARS),
+                )
+            ),
+            n_lines,
+        )
+        ellipsis_frac = ratio(
+            F.size(
+                F.filter(
+                    lines,
+                    lambda l: l.endswith("...") | l.endswith("…"),
+                )
+            ),
+            n_lines,
+        )
+        alpha_frac = ratio(
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))), n_words
+        )
+        # stopwords are matched on WORD CORES — lowercased whitespace tokens
+        # with non-alphanumeric edges stripped — so 'The.' / 'the,' / '"the"'
+        # count. A raw whitespace-token intersect would make the rule
+        # stricter than Gopher's on any punctuated text (a stopword followed
+        # by a comma never matches) and reject fluent documents.
+        word_cores = (
+            F.col(word_cores_col)
+            if word_cores_col
+            else F.transform(
+                F.split(F.lower(F.trim(c)), r"\s+"),
+                lambda w: F.regexp_replace(w, r"^[^0-9a-z]+|[^0-9a-z]+$", ""),
+            )
+        )
+        n_req_stop = F.size(
+            F.array_intersect(
+                F.array_distinct(word_cores),
+                F.array(*[F.lit(s) for s in required_stopwords]),
+            )
+        )
         return (
-            F.length(c) - F.length(F.replace(c, F.lit(literal), F.lit("")))
-        ) / len(literal)
-
-    n_symbols = (
-        occurrences("#")
-        + F.size(F.regexp_extract_all(c, F.lit(r"\.{3}"), 0))
-        + occurrences("…")
-    )
-    symbol_ratio = ratio(n_symbols, n_words)
-
-    bullet_frac = ratio(
-        F.size(
-            F.filter(
-                lines,
-                lambda l: F.substring(F.ltrim(l), 1, 1).isin(*BULLET_CHARS),
-            )
-        ),
-        n_lines,
-    )
-    ellipsis_frac = ratio(
-        F.size(
-            F.filter(
-                lines,
-                lambda l: l.endswith("...") | l.endswith("…"),
-            )
-        ),
-        n_lines,
-    )
-    alpha_frac = ratio(
-        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))), n_words
-    )
-    # stopwords are matched on WORD CORES — lowercased whitespace tokens
-    # with non-alphanumeric edges stripped — so 'The.' / 'the,' / '"the"'
-    # count. A raw whitespace-token intersect would make the rule stricter
-    # than Gopher's on any punctuated text (a stopword followed by a comma
-    # never matches) and reject fluent documents.
-    word_cores = (
-        F.col(word_cores_col)
-        if word_cores_col
-        else F.transform(
-            F.split(F.lower(F.trim(c)), r"\s+"),
-            lambda w: F.regexp_replace(w, r"^[^0-9a-z]+|[^0-9a-z]+$", ""),
+            n_words.alias("n_words"),
+            mean_word_len.alias("mean_word_len"),
+            symbol_ratio.alias("symbol_ratio"),
+            bullet_frac.alias("bullet_line_frac"),
+            ellipsis_frac.alias("ellipsis_line_frac"),
+            alpha_frac.alias("alpha_word_frac"),
+            n_req_stop.alias("n_req_stopwords"),
         )
-    )
-    n_req_stop = F.size(
-        F.array_intersect(
-            F.array_distinct(word_cores),
-            F.array(*[F.lit(s) for s in required_stopwords]),
-        )
+
+    metrics = memo_col(
+        (
+            "gopher_metrics",
+            text_col,
+            words_col,
+            lines_col,
+            word_cores_col,
+            tuple(required_stopwords),
+        ),
+        build_metrics,
     )
 
     out = df.select(
         F.col(id_col),
         *[F.col(c) for c in passthrough],
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        n_req_stop.alias("n_req_stopwords"),
+        *metrics,
     )
     keep = (
         (F.col("n_words") >= min_words)
@@ -323,7 +349,49 @@ def c4_line_filter(
     Column expressions, map-only, zero shuffle, no UDF; like
     :func:`~eth_indexer_spark.operators.dedup.line_dedup` but purely local
     (no corpus-wide line counts), so it belongs FIRST in a curation
-    pipeline, ahead of every shuffle-bearing stage."""
+    pipeline, ahead of every shuffle-bearing stage.
+
+    The kept-lines / doc-verdict expression pair is memoized process-wide
+    by its parameters (:mod:`._colmemo`) — the per-line regex battery is
+    hundreds of py4j round trips to build, repeated per query
+    construction otherwise."""
+    key = (
+        "c4_line_filter",
+        text_col,
+        min_words_per_line,
+        min_lines,
+        tuple(terminal_punct),
+        tuple(line_bans),
+        tuple(doc_bans),
+    )
+    kept, doc_ok = memo_col(key, lambda: _c4_exprs(
+        text_col, min_words_per_line, min_lines, terminal_punct, line_bans,
+        doc_bans,
+    ))
+    return (
+        df.select(
+            F.col(id_col),
+            kept.alias("__kept"),
+            doc_ok.alias("__ok"),
+        )
+        .where(F.col("__ok"))
+        .select(
+            F.col(id_col),
+            F.array_join("__kept", "\n").alias("clean_text"),
+            F.size("__kept").alias("n_lines_kept"),
+        )
+    )
+
+
+def _c4_exprs(
+    text_col: str,
+    min_words_per_line: int,
+    min_lines: int,
+    terminal_punct: tuple[str, ...],
+    line_bans: tuple[str, ...],
+    doc_bans: tuple[str, ...],
+) -> tuple[Column, Column]:
+    """(kept-lines array, doc-verdict boolean) for :func:`c4_line_filter`."""
     c = F.col(text_col)
     lines = F.split(c, "\n")
 
@@ -372,19 +440,7 @@ def c4_line_filter(
     doc_ok = F.size(kept) >= min_lines
     for b in doc_bans:
         doc_ok = doc_ok & ~F.lower(c).contains(b.lower())
-    return (
-        df.select(
-            F.col(id_col),
-            kept.alias("__kept"),
-            doc_ok.alias("__ok"),
-        )
-        .where(F.col("__ok"))
-        .select(
-            F.col(id_col),
-            F.array_join("__kept", "\n").alias("clean_text"),
-            F.size("__kept").alias("n_lines_kept"),
-        )
-    )
+    return kept, doc_ok
 
 
 def repetition_stats(
