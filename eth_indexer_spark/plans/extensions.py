@@ -10,6 +10,8 @@ Registered into the same QUERIES/ORACLE registry as plans/analytics.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -264,6 +266,22 @@ def x_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """One query vector, read per CONSTRUCTION (never memoized — it is
+    data). The local-file fast path reads the single row driver-side with
+    pyarrow (row-group predicate pushdown; ~5 ms) instead of scheduling a
+    Spark job for a one-row head() (~80 ms of the ANN queries' measured
+    construction time); non-local sources keep the Spark path."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            path,
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "=", vec_id)],
+        )
+        if tbl.num_rows:
+            return [float(x) for x in tbl.column("embedding")[0].as_py()]
     row = (
         _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").head()
     )

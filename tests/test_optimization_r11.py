@@ -150,3 +150,51 @@ def test_colmemo_trees_are_plan_identical(spark):
     assert a._jdf.queryExecution().analyzed().sameResult(
         b._jdf.queryExecution().analyzed()
     )
+
+
+def test_minhash_hashed_distinct_matches_string_distinct(spark):
+    """minhash_index's hsh column: distinct-by-hash of the raw shingle
+    stream is BIT-identical (same order) to hashing the distinct-by-string
+    set — the condition under which signatures, buckets, and verified
+    pairs are unchanged."""
+    from eth_indexer_spark.operators import dedup
+
+    rng = random.Random(23)
+    words = ("a", "b", "c", "d", "e")
+    df = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 20))))
+            for i in range(120)
+        ],
+        "doc_id long, text string",
+    )
+    old = F.transform(
+        dedup.word_shingles("text", 3), lambda s: F.xxhash64(s)
+    )
+    new = F.array_distinct(
+        F.transform(dedup._raw_word_shingles("text", 3), lambda s: F.xxhash64(s))
+    )
+    bad = df.select(old.alias("o"), new.alias("n")).filter(
+        F.col("o") != F.col("n")
+    )
+    assert bad.count() == 0
+
+
+def test_connected_components_empty_and_tiny_edge_sets(spark):
+    """The pandas/Arrow label path keeps the driver finisher's schema and
+    values, including the empty-edge-set corner (dtype pinned to int64)."""
+    from eth_indexer_spark.operators import dedup
+
+    empty = spark.createDataFrame([], "i long, j long")
+    out = dedup.connected_components(empty)
+    assert out.columns == ["doc", "cluster"]
+    assert out.count() == 0
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint",
+        "bigint",
+    ]
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 7)], "i long, j long"
+    )
+    got = sorted(map(tuple, dedup.connected_components(pairs).collect()))
+    assert got == [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)]
