@@ -409,16 +409,24 @@ def _c4_exprs(
         read only the first ``min_words_per_line`` tokens and allocate
         nothing.
 
-        Exact split-semantics replication, pinned by
-        ``test_c4_word_count_regex_matches_split_form``: ``trim`` strips
-        SPACES only, and a leading separator yields a phantom empty first
-        element (Java split keeps leading empties, drops trailing ones),
-        so a line whose space-trimmed form STARTS with non-space
-        whitespace counts one extra "word". Predicate ⟺ the line has
-        ≥ m non-space runs, OR has the phantom and ≥ m-1 runs. For
-        m < 2 the phantom can satisfy the bound on an all-whitespace
-        line, where run-counting alone cannot — keep the split form
-        there (never hot: the default and every caller use m ≥ 2)."""
+        Split-semantics replication FOR THE LINES THIS FILTER CAN KEEP —
+        pinned by ``test_c4_word_count_regex_matches_split_form``. ``trim``
+        strips SPACES only, and a leading separator yields a phantom empty
+        first element (Spark's ``split`` with the default limit=-1 keeps
+        BOTH leading and trailing empties), so a space-trimmed line that
+        starts — or ends — with non-space whitespace counts phantom
+        "words". The regex form models the LEADING phantom (≥ m non-space
+        runs, OR the leading phantom and ≥ m-1 runs) but deliberately not
+        the trailing one: on a line ending in non-space whitespace
+        (``'a b\\t'`` at m = 3) or an all-whitespace line at m = 2 the two
+        forms diverge — and every such line is UNREACHABLE here, because
+        ``line_ok`` conjoins the terminal-punctuation rule first, which no
+        whitespace-terminated line passes. Standalone equivalence
+        therefore holds exactly for lines not ending in whitespace (the
+        gate's guarantee), not in general. For m < 2 the split form is
+        kept outright (an all-whitespace line's phantoms can satisfy the
+        bound where run-counting cannot; never hot — the default and
+        every caller use m ≥ 2)."""
         if min_words_per_line < 2:
             return F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line
         m = min_words_per_line

@@ -198,3 +198,80 @@ def test_connected_components_empty_and_tiny_edge_sets(spark):
     )
     got = sorted(map(tuple, dedup.connected_components(pairs).collect()))
     assert got == [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)]
+
+
+def test_c4_word_count_regex_matches_split_form(spark):
+    """ADVICE r10: the named pin for word_count_ok's regex rewrite.
+
+    (a) On lines NOT ending in whitespace — the only lines the terminal-
+        punctuation gate can pass — the regex form equals
+        size(split(trim(l), '\\s+')) >= m for m in {2, 3, 4}.
+    (b) The documented divergences are real: 'a b\\t' at m=3 and
+        all-whitespace at m=2 differ standalone...
+    (c) ...and are unreachable through c4_line_filter: the full line_ok
+        conjunction (terminal punct first) agrees with the split-form
+        conjunction on EVERY adversarial line.
+    """
+    lines = [
+        "",
+        " ",
+        "\t",
+        "\t\t ",
+        "a",
+        "a b",
+        "a b c",
+        "a b\t",
+        "a b \t",
+        "\ta b c",
+        " \ta b c.",
+        "a\tb\tc.",
+        "a  b   c!",
+        "word word word word?",
+        "x" * 200 + ".",
+        "a b c\r",
+        "a b c.\r",
+        "\r\r",
+        "one two.",
+        "one two three.",
+        " leading space line.",
+        "trailing space line. ",
+    ]
+    df = spark.createDataFrame([(i, l) for i, l in enumerate(lines)], "i long, l string")
+    for m in (2, 3, 4):
+        runs_m = F.col("l").rlike(r"^\s*+(\S++\s++){%d}\S" % (m - 1))
+        phantom = F.col("l").rlike(r"^ *+[\s&&[^ ]]")
+        runs_m1 = F.col("l").rlike(r"^\s*+(\S++\s++){%d}\S" % (m - 2))
+        regex_form = runs_m | (phantom & runs_m1)
+        split_form = F.size(F.split(F.trim(F.col("l")), r"\s+")) >= m
+        ends_ws = F.col("l").rlike(r"\s$") | (F.length(F.col("l")) == 0)
+        # (a) equality wherever the line does not end in whitespace
+        bad = df.filter(~ends_ws).filter(regex_form != split_form).collect()
+        assert bad == [], (m, bad)
+    # (b) the two documented standalone divergences
+    div = df.filter(F.col("l").isin("a b\t", "\t\t ")).select(
+        "l",
+        (F.size(F.split(F.trim(F.col("l")), r"\s+")) >= 3).alias("split3"),
+        (F.col("l").rlike(r"^\s*+(\S++\s++){2}\S")
+         | (F.col("l").rlike(r"^ *+[\s&&[^ ]]")
+            & F.col("l").rlike(r"^\s*+(\S++\s++){1}\S"))).alias("regex3"),
+        (F.size(F.split(F.trim(F.col("l")), r"\s+")) >= 2).alias("split2"),
+        (F.col("l").rlike(r"^\s*+(\S++\s++){1}\S")
+         | (F.col("l").rlike(r"^ *+[\s&&[^ ]]")
+            & F.col("l").rlike(r"^\s*+(\S++\s++){0}\S"))).alias("regex2"),
+    ).collect()
+    by_l = {r["l"]: r for r in div}
+    assert by_l["a b\t"]["split3"] and not by_l["a b\t"]["regex3"]
+    assert by_l["\t\t "]["split2"] and not by_l["\t\t "]["regex2"]
+    # (c) full-conjunction agreement: terminal punct gate makes the
+    # divergences unreachable
+    punct = (
+        F.col("l").endswith(".") | F.col("l").endswith("!")
+        | F.col("l").endswith("?") | F.col("l").endswith('"')
+    )
+    for m in (2, 3):
+        runs_m = F.col("l").rlike(r"^\s*+(\S++\s++){%d}\S" % (m - 1))
+        phantom = F.col("l").rlike(r"^ *+[\s&&[^ ]]")
+        runs_m1 = F.col("l").rlike(r"^\s*+(\S++\s++){%d}\S" % (m - 2))
+        regex_ok = punct & (runs_m | (phantom & runs_m1))
+        split_ok = punct & (F.size(F.split(F.trim(F.col("l")), r"\s+")) >= m)
+        assert df.filter(regex_ok != split_ok).collect() == []
