@@ -1624,22 +1624,36 @@ def connected_components(
     )
 
 
-def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Assign EVERY document a duplicate-cluster id: docs in no pair are
     their own singleton cluster. The end of the dedup pipeline — keep one
     doc per cluster (``cluster = doc id`` rows are the canonical
-    survivors)."""
+    survivors).
+
+    ``passthrough`` names ``df`` columns to carry through the label join
+    (the :func:`~eth_indexer_spark.operators.quality.gopher_rules`
+    passthrough convention): a downstream consumer that needs per-doc
+    attributes next to the cluster id (x_cluster_keep_best's quality
+    score) otherwise pays a second corpus scan plus a fact-fact join on
+    the id to re-attach them — the label side is the small/broadcast
+    side here, so carrying the columns is free."""
     cc = connected_components(pairs)
     return (
-        df.select(F.col(id_col).cast("long").alias("doc"))
+        df.select(F.col(id_col).cast("long").alias("doc"), *[F.col(c) for c in passthrough])
         .join(cc, "doc", "left")
-        .select("doc", F.coalesce("cluster", F.col("doc")).alias("cluster"))
+        .select(
+            "doc",
+            F.coalesce("cluster", F.col("doc")).alias("cluster"),
+            *passthrough,
+        )
     )
 
 
 def cluster_representatives(
     clusters: DataFrame,
-    scores: DataFrame,
+    scores: DataFrame | None,
     score_col: str,
     id_col: str = "doc",
     cluster_col: str = "cluster",
@@ -1678,13 +1692,23 @@ def cluster_representatives(
     fan out, silently inflating ``n_members`` and letting a doc win on its
     best duplicate row while being counted twice. One extra skinny
     aggregation on an id-keyed frame; map-side combine makes it ~free when
-    ids are already unique."""
-    scores_1 = (
-        scores.select(F.col(id_col), F.col(score_col))
-        .groupBy(id_col)
-        .agg(F.max(score_col).alias(score_col))
-    )
-    joined = clusters.join(scores_1, id_col, "left")
+    ids are already unique.
+
+    ``scores=None`` reads ``score_col`` straight off ``clusters`` —
+    for callers that carried the score through the cluster assignment
+    (``dedup_clusters(..., passthrough=...)``, which guarantees one row
+    per id) this skips the dedupe aggregation AND the id-keyed re-join:
+    one corpus pass instead of two plus a fact-fact shuffle. Semantics
+    identical to passing those rows as ``scores`` (pinned)."""
+    if scores is None:
+        joined = clusters
+    else:
+        scores_1 = (
+            scores.select(F.col(id_col), F.col(score_col))
+            .groupBy(id_col)
+            .agg(F.max(score_col).alias(score_col))
+        )
+        joined = clusters.join(scores_1, id_col, "left")
     best = F.max(
         F.struct(
             # unscored members sort below every real score (scores are

@@ -1299,13 +1299,19 @@ def x_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs_capped(
         d, "text", "doc_id", k=3, threshold=0.5, max_df=5
     )
-    cl = dedup.dedup_clusters(d, pairs, "doc_id")
-    scores = d.select(
-        F.col("doc_id").cast("long").alias("doc"),
-        tx.quality_score("text").alias("quality"),
+    # quality rides the cluster-assignment pass (dedup_clusters
+    # passthrough) and representatives reads it inline (scores=None):
+    # one corpus scan and zero id-keyed re-join, vs the former second
+    # scan + fact-fact join — same rows (r11 pin
+    # test_keep_best_inline_scores_match_joined_form).
+    cl = dedup.dedup_clusters(
+        d.select("doc_id", tx.quality_score("text").alias("quality")),
+        pairs,
+        "doc_id",
+        passthrough=("quality",),
     )
     return dedup.cluster_representatives(
-        cl, scores, "quality", id_col="doc"
+        cl, None, "quality", id_col="doc"
     ).withColumnRenamed("best_score", "best_quality")
 
 

@@ -275,3 +275,36 @@ def test_c4_word_count_regex_matches_split_form(spark):
         regex_ok = punct & (runs_m | (phantom & runs_m1))
         split_ok = punct & (F.size(F.split(F.trim(F.col("l")), r"\s+")) >= m)
         assert df.filter(regex_ok != split_ok).collect() == []
+
+
+def test_keep_best_inline_scores_match_joined_form(spark):
+    """cluster_representatives(scores=None) over a passthrough-carrying
+    dedup_clusters frame returns exactly the rows of the two-frame joined
+    form — including unscored members (NULL quality) and singleton
+    clusters."""
+    from eth_indexer_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, None), (4, 0.2), (7, None), (9, 0.4)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "i long, j long")
+    inline = dedup.cluster_representatives(
+        dedup.dedup_clusters(docs, pairs, "doc_id", passthrough=("quality",)),
+        None,
+        "quality",
+        id_col="doc",
+    )
+    joined = dedup.cluster_representatives(
+        dedup.dedup_clusters(docs, pairs, "doc_id"),
+        docs.select(F.col("doc_id").alias("doc"), "quality"),
+        "quality",
+        id_col="doc",
+    )
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, joined.collect()))
+    assert a == b
+    # winners: cluster 1 -> doc 2 (0.9); cluster 7 -> doc 9 (0.4, doc 7
+    # unscored); singleton 4 keeps itself
+    by_cluster = {r[0]: r for r in a}
+    assert by_cluster[1][1] == 2 and by_cluster[7][1] == 9 and by_cluster[4][1] == 4
